@@ -1,0 +1,132 @@
+"""Int8 vector codec with exact reference semantics.
+
+The reference stores every embedding space as int8 codes under one frozen
+per-space scale (global symmetric absmax quantization); the codec here is
+byte-compatible with the reference implementation
+(``panoptikon/src/db/vector_quants.rs:1446-1511``):
+
+- ``scale = absmax / 127`` puts the corpus absmax exactly on +127; a
+  degenerate all-zero (or non-finite-absmax) corpus yields scale 1.0 so
+  every code is zero rather than dividing by zero.
+- codes are ``clamp(rint(x / s), -128, 127)`` with round-half-to-even;
+  clamping absorbs out-of-range *query* components (a query vector is not
+  part of the corpus the scale was derived from).
+- the scale artifact is the 4-byte little-endian f32 payload; reading
+  rejects anything that is not a usable positive finite scale.
+
+Both a NumPy path (host, bit-exact, used for artifacts and tests) and a JAX
+path (device, used inside the index build pipeline) are provided. They agree
+bit-for-bit: both use round-half-to-even (``np.rint`` / ``jnp.rint``) and
+saturating NaN→0 casts, matching Rust's ``f32 as i8`` semantics.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+INT8_MAX_CODE = 127.0
+
+# The artifact only freezes once a space is statistically "real"; below this
+# the reconcile loop keeps recomputing it (vector_quants.rs:34
+# `ARTIFACT_MIN_VECTORS`).
+ARTIFACT_MIN_VECTORS = 1024
+
+
+def scale_from_absmax(absmax: float) -> float:
+    """Scale for a corpus whose largest component magnitude is ``absmax``.
+
+    Mirrors ``scale_from_absmax`` (vector_quants.rs:1465): positive finite
+    absmax → ``absmax / 127``; anything else (zero corpus, inf/NaN) → 1.0.
+    """
+    absmax = float(absmax)
+    if absmax > 0.0 and np.isfinite(absmax):
+        return absmax / INT8_MAX_CODE
+    return 1.0
+
+
+def scale_artifact(scale: float) -> bytes:
+    """Serialize a scale as the 4-byte little-endian f32 artifact payload."""
+    return struct.pack("<f", np.float32(scale))
+
+
+def artifact_scale(artifact: bytes) -> float | None:
+    """Read a scale artifact; ``None`` unless it is a positive finite f32.
+
+    Callers treat ``None`` as "this quant pair is not usable", never as an
+    excuse to divide by zero (vector_quants.rs:1457-1461).
+    """
+    if len(artifact) != 4:
+        return None
+    (scale,) = struct.unpack("<f", artifact)
+    if np.isfinite(scale) and scale > 0.0:
+        return float(scale)
+    return None
+
+
+def corpus_absmax(vectors: np.ndarray) -> float:
+    """Largest component magnitude across a batch of f32 vectors."""
+    if vectors.size == 0:
+        return 0.0
+    # NaN must not poison the absmax (max would propagate it); the reference
+    # streams with `value > absmax` comparisons, which NaN never wins.
+    return float(np.nanmax(np.abs(vectors.astype(np.float32)), initial=0.0))
+
+
+def quantize_int8(vectors: np.ndarray, scale: float) -> np.ndarray:
+    """Quantize f32 vectors to int8 codes: ``clamp(rint(x/s), -128, 127)``.
+
+    Round-half-to-even, matching ``quantize_int8`` (vector_quants.rs:1489).
+    NaN inputs become 0, matching Rust's saturating `as i8` cast of NaN.
+    Works on any shape; the last axis is the component axis.
+    """
+    x = np.asarray(vectors, dtype=np.float32)
+    scaled = x / np.float32(scale)
+    codes = np.rint(scaled)
+    codes = np.where(np.isnan(codes), np.float32(0.0), codes)
+    codes = np.clip(codes, -128.0, INT8_MAX_CODE)
+    return codes.astype(np.int8)
+
+
+def dequantize_int8(codes: np.ndarray, scale: float) -> np.ndarray:
+    """Reconstruct f32 approximations from int8 codes."""
+    return codes.astype(np.float32) * np.float32(scale)
+
+
+def compute_query_quant(query: np.ndarray, scale: float) -> np.ndarray:
+    """Quantize a query with the pair's frozen scale.
+
+    Identical code path to the write side, so the two are byte-compatible by
+    construction (vector_quants.rs:1501-1505). Saturation of out-of-range
+    query components is expected and measured harmless.
+    """
+    return quantize_int8(query, scale)
+
+
+# ---------------------------------------------------------------------------
+# JAX (device) path — used inside jitted index-build pipelines.
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8_jax(vectors, scale):
+    """Device-side int8 quantization, bit-identical to :func:`quantize_int8`.
+
+    ``jnp.rint`` is round-half-to-even on TPU; the clamp bounds the value
+    into int8 range before the cast so XLA's cast is exact. NaNs map to 0
+    via an explicit select (XLA float→int casts of NaN are undefined).
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(vectors, dtype=jnp.float32)
+    scaled = x / jnp.float32(scale)
+    codes = jnp.rint(scaled)
+    codes = jnp.where(jnp.isnan(codes), jnp.float32(0.0), codes)
+    codes = jnp.clip(codes, -128.0, INT8_MAX_CODE)
+    return codes.astype(jnp.int8)
+
+
+def dequantize_int8_jax(codes, scale):
+    import jax.numpy as jnp
+
+    return codes.astype(jnp.float32) * jnp.float32(scale)
