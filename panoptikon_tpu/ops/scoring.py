@@ -1,0 +1,260 @@
+"""Streaming fused scorer: chunked GEMM + distance epilogue + running top-k.
+
+The production query path. The corpus (f32 vectors or int8 codes) is scanned
+in static-shape chunks; each chunk contributes one MXU GEMM, a distance
+epilogue computed from the dot products and precomputed per-row sum-of-
+squares, and a fold into the running result — either a running top-k (one
+row per item) or running per-group aggregates (multi-row items: text chunks,
+video frames). Nothing of size (Q, N) is ever materialized, so HBM traffic
+is the corpus bytes themselves — the design condition for hitting the
+bandwidth roof at 1M+ vectors.
+
+Distance semantics over int8 codes match the reference's quant arm, which
+evaluates sqlite-vec distances directly on the codes
+(docs/vector-int8-quant.md:53-79):
+
+- COSINE on codes equals cosine on the dequantized vectors exactly — the
+  scale cancels — so values are on the true axis already.
+- L2 on codes is the true distance ÷ scale; ranking is identical. We rescale
+  by the pair's frozen scale before returning, so values live on the true
+  distance axis (the reference documents the raw code-space axis as a
+  caveat; rescaling removes it without touching membership or order).
+
+The int8 GEMM itself is `int8 × int8 → int32` on the MXU
+(``preferred_element_type=jnp.int32``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+from panoptikon_tpu.ops.exact import INF, topk_ascending
+
+Distance = Literal["l2", "cosine"]
+Aggregation = Literal["min", "max", "avg"]
+
+
+def row_sumsq(corpus) -> jax.Array:
+    """Per-row sum of squares, precomputed at index build.
+
+    int8 codes → int32 (exact: ≤ D·128² needs 31 bits up to D=131072);
+    f32 vectors → f32.
+    """
+    if corpus.dtype == jnp.int8:
+        wide = corpus.astype(jnp.int32)
+        return jnp.sum(wide * wide, axis=-1)
+    corpus = corpus.astype(jnp.float32)
+    return jnp.sum(corpus * corpus, axis=-1)
+
+
+def _chunk_dots(queries, chunk):
+    """(Q, D) × (C, D)ᵀ on the MXU. int8 inputs accumulate in int32."""
+    if chunk.dtype == jnp.int8:
+        return jax.lax.dot_general(
+            queries.astype(jnp.int8),
+            chunk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    return jax.lax.dot_general(
+        queries.astype(jnp.float32),
+        chunk.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _distance_epilogue(dots, chunk_sumsq, query_sumsq, distance, scale):
+    """Dot products → distances on the true axis. All f32, VPU-only."""
+    dots = dots.astype(jnp.float32)
+    xx = chunk_sumsq.astype(jnp.float32)[None, :]
+    qq = query_sumsq.astype(jnp.float32)[:, None]
+    if distance == "cosine":
+        denom = jnp.sqrt(jnp.maximum(xx * qq, 1e-30))
+        return 1.0 - dots / denom
+    if distance == "l2":
+        sq = jnp.maximum(qq - 2.0 * dots + xx, 0.0)
+        return jnp.float32(scale) * jnp.sqrt(sq)
+    raise ValueError(f"Unknown distance {distance!r}")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "distance", "chunk_rows"),
+)
+def streaming_topk(
+    corpus,
+    sumsq,
+    row_valid,
+    queries,
+    *,
+    k: int,
+    distance: Distance = "cosine",
+    scale: float = 1.0,
+    chunk_rows: int = 32768,
+):
+    """Top-k rows per query, streamed. One row per item (fast path).
+
+    corpus: (N_pad, D) int8 or f32, N_pad divisible by chunk_rows;
+    queries: (Q, D) same dtype domain as corpus (int8 codes quantized with
+    the space's frozen scale, or f32). Returns (dist (Q,k), row_idx (Q,k),
+    valid (Q,k)) with ascending distance, lowest-row-index tiebreak.
+    """
+    n = corpus.shape[0]
+    num_chunks = n // chunk_rows
+    assert num_chunks * chunk_rows == n, "corpus must be padded to chunk_rows"
+    corpus_c = corpus.reshape(num_chunks, chunk_rows, corpus.shape[1])
+    sumsq_c = sumsq.reshape(num_chunks, chunk_rows)
+    valid_c = row_valid.reshape(num_chunks, chunk_rows)
+    query_sumsq = row_sumsq(queries)
+    q = queries.shape[0]
+
+    init = (
+        jnp.full((q, k), INF, dtype=jnp.float32),
+        jnp.full((q, k), jnp.iinfo(jnp.int32).max, dtype=jnp.int32),
+    )
+
+    def body(carry, chunk_data):
+        top_v, top_i = carry
+        chunk_idx, chunk, chunk_sumsq, chunk_valid = chunk_data
+        dots = _chunk_dots(queries, chunk)
+        dist = _distance_epilogue(dots, chunk_sumsq, query_sumsq, distance, scale)
+        dist = jnp.where(chunk_valid[None, :], dist, INF)
+        rows = chunk_idx * chunk_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (1, chunk_rows), 1
+        )
+        # Candidate set = carried top-k ++ this chunk; lax.top_k prefers
+        # lower candidate positions on ties, and carried rows (always lower
+        # row indices than this chunk's) sit first, so the ascending-row
+        # tiebreak is preserved across chunks.
+        cand_v = jnp.concatenate([top_v, dist], axis=1)
+        cand_i = jnp.concatenate([top_i, jnp.broadcast_to(rows, (q, chunk_rows))], axis=1)
+        neg_v, sel = jax.lax.top_k(-cand_v, k)
+        return (-neg_v, jnp.take_along_axis(cand_i, sel, axis=1)), None
+
+    chunk_ids = jnp.arange(num_chunks, dtype=jnp.int32)
+    (top_v, top_i), _ = jax.lax.scan(
+        body, init, (chunk_ids, corpus_c, sumsq_c, valid_c)
+    )
+    return top_v, top_i, jnp.isfinite(top_v)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "distance", "aggregation", "num_groups", "chunk_rows", "weighted"),
+)
+def streaming_grouped_topk(
+    corpus,
+    sumsq,
+    row_valid,
+    group_ids,
+    queries,
+    *,
+    num_groups: int,
+    k: int,
+    distance: Distance = "cosine",
+    aggregation: Aggregation = "min",
+    scale: float = 1.0,
+    chunk_rows: int = 32768,
+    weighted: bool = False,
+    weights=None,
+):
+    """Top-k *groups* per query for multi-row items.
+
+    Streams per-group aggregates (MIN/MAX/AVG, or the confidence-weighted
+    average ``SUM(d·w)/SUM(w)`` when ``weighted`` — exact.rs:64-80) into
+    (Q, num_groups) accumulators, then takes top-k over groups. Accumulator
+    HBM footprint is Q·M·4 bytes, independent of rows per item.
+    """
+    n = corpus.shape[0]
+    num_chunks = n // chunk_rows
+    assert num_chunks * chunk_rows == n, "corpus must be padded to chunk_rows"
+    corpus_c = corpus.reshape(num_chunks, chunk_rows, corpus.shape[1])
+    sumsq_c = sumsq.reshape(num_chunks, chunk_rows)
+    valid_c = row_valid.reshape(num_chunks, chunk_rows)
+    gid_c = group_ids.reshape(num_chunks, chunk_rows)
+    if weights is None:
+        weights = jnp.ones((n,), dtype=jnp.float32)
+    w_c = weights.reshape(num_chunks, chunk_rows)
+    query_sumsq = row_sumsq(queries)
+    q = queries.shape[0]
+    m = num_groups
+
+    if weighted:
+        init = (jnp.zeros((q, m), jnp.float32), jnp.zeros((q, m), jnp.float32))
+    elif aggregation == "min":
+        init = (jnp.full((q, m), INF, jnp.float32), jnp.zeros((q, m), jnp.float32))
+    elif aggregation == "max":
+        init = (jnp.full((q, m), -INF, jnp.float32), jnp.zeros((q, m), jnp.float32))
+    else:  # avg: (sum, count)
+        init = (jnp.zeros((q, m), jnp.float32), jnp.zeros((q, m), jnp.float32))
+
+    def body(carry, chunk_data):
+        acc_a, acc_b = carry
+        chunk, chunk_sumsq, chunk_valid, gids, w = chunk_data
+        dots = _chunk_dots(queries, chunk)
+        dist = _distance_epilogue(dots, chunk_sumsq, query_sumsq, distance, scale)
+        # Invalid rows route to a scrap segment.
+        safe_ids = jnp.where(chunk_valid, gids, m)
+
+        def seg(vals, reducer, fill):
+            return reducer(
+                jnp.where(chunk_valid[None, :], vals, fill),
+                safe_ids,
+                num_segments=m + 1,
+            )[:, :m]
+
+        seg_sum = functools.partial(jax.vmap(
+            lambda v, i: jax.ops.segment_sum(v, i, num_segments=m + 1),
+            in_axes=(0, None),
+        ))
+        if weighted:
+            wv = jnp.where(chunk_valid, w, 0.0)
+            acc_a = acc_a + seg_sum(dist * wv[None, :], safe_ids)[:, :m]
+            acc_b = acc_b + seg_sum(jnp.broadcast_to(wv[None, :], dist.shape), safe_ids)[:, :m]
+        elif aggregation == "min":
+            chunk_min = jax.vmap(
+                lambda v, i: jax.ops.segment_min(v, i, num_segments=m + 1),
+                in_axes=(0, None),
+            )(jnp.where(chunk_valid[None, :], dist, INF), safe_ids)[:, :m]
+            acc_a = jnp.minimum(acc_a, chunk_min)
+            acc_b = acc_b + seg_sum(
+                jnp.broadcast_to(chunk_valid[None, :].astype(jnp.float32), dist.shape),
+                safe_ids,
+            )[:, :m]
+        elif aggregation == "max":
+            chunk_max = jax.vmap(
+                lambda v, i: jax.ops.segment_max(v, i, num_segments=m + 1),
+                in_axes=(0, None),
+            )(jnp.where(chunk_valid[None, :], dist, -INF), safe_ids)[:, :m]
+            acc_a = jnp.maximum(acc_a, chunk_max)
+            acc_b = acc_b + seg_sum(
+                jnp.broadcast_to(chunk_valid[None, :].astype(jnp.float32), dist.shape),
+                safe_ids,
+            )[:, :m]
+        else:  # avg
+            acc_a = acc_a + seg_sum(jnp.where(chunk_valid[None, :], dist, 0.0), safe_ids)[:, :m]
+            acc_b = acc_b + seg_sum(
+                jnp.broadcast_to(chunk_valid[None, :].astype(jnp.float32), dist.shape),
+                safe_ids,
+            )[:, :m]
+        return (acc_a, acc_b), None
+
+    (acc_a, acc_b), _ = jax.lax.scan(body, init, (corpus_c, sumsq_c, valid_c, gid_c, w_c))
+
+    if weighted:
+        group_valid = acc_b > 0
+        group_dist = acc_a / jnp.maximum(acc_b, 1e-30)
+    elif aggregation in ("min", "max"):
+        group_valid = acc_b > 0
+        group_dist = acc_a
+    else:
+        group_valid = acc_b > 0
+        group_dist = acc_a / jnp.maximum(acc_b, 1.0)
+    group_dist = jnp.where(group_valid, group_dist, INF)
+
+    return jax.vmap(lambda v, va: topk_ascending(v, va, k))(group_dist, group_valid)

@@ -20,3 +20,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Make the repo root importable without an install step.
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# The axon sitecustomize imports jax at interpreter startup, freezing the
+# config defaults from the ambient env (JAX_PLATFORMS=axon) before this
+# conftest runs — so the env vars above are not enough; update the live
+# config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
