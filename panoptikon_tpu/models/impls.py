@@ -1,0 +1,493 @@
+"""In-process model implementations — the registry's ``impl_class`` index.
+
+TPU-native replacements for the reference's worker impls
+(``python/inferio/impl/``): same predict contract (inputs with ``data`` /
+``file``, outputs npy bytes / JSON-like dicts / error slots), but the
+compute is jit-compiled JAX on static-shape buckets instead of
+torch-in-a-subprocess.
+
+Image decode happens host-side (PIL) exactly like the reference's workers —
+and like them, a payload the decoder rejects becomes an ``input`` error
+slot for that position only, never failing its batch-mates
+(docs/inferio-worker-protocol.md:99-126).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import time
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+
+from panoptikon_tpu.models import batching, clip, text_embed
+from panoptikon_tpu.models.base import InferenceModel, PredictionInput, SlotError
+from panoptikon_tpu.utils import npy
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def decode_image(payload: bytes, size: int) -> np.ndarray:
+    """bytes → (size, size, 3) f32, CLIP-normalized. Raises SlotError('input')
+    for undecodable payloads — the worker's own decoder is the only component
+    allowed to call media bad."""
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            im = im.convert("RGB")
+            # Resize shorter side then center crop (CLIP preprocessing).
+            w, h = im.size
+            scale = size / min(w, h)
+            im = im.resize((max(size, round(w * scale)), max(size, round(h * scale))))
+            w, h = im.size
+            left, top = (w - size) // 2, (h - size) // 2
+            im = im.crop((left, top, left + size, top + size))
+            arr = np.asarray(im, dtype=np.float32) / 255.0
+    except Exception as exc:
+        raise SlotError("input", f"Undecodable image payload: {exc}") from exc
+    return (arr - CLIP_MEAN) / CLIP_STD
+
+
+class HashTokenizer:
+    """Deterministic fallback tokenizer (no vocab files in this offline
+    image): whitespace split + stable hash into the vocab. Architecture-
+    complete stand-in; real deployments point ``tokenizer_path`` at a
+    HuggingFace tokenizer directory and get the real BPE."""
+
+    def __init__(self, vocab: int, bos: int = 1, eos: int = 2):
+        self.vocab = vocab
+        self.bos = bos
+        self.eos = eos
+
+    def encode(self, text: str) -> list[int]:
+        ids = [self.bos]
+        for word in text.lower().split():
+            h = int.from_bytes(hashlib.sha1(word.encode()).digest()[:4], "little")
+            ids.append(3 + h % (self.vocab - 3))
+        ids.append(self.eos)
+        return ids
+
+
+def load_tokenizer(tokenizer_path: Optional[str], vocab: int):
+    if tokenizer_path:
+        try:
+            from tokenizers import Tokenizer
+
+            tok = Tokenizer.from_file(tokenizer_path)
+            return lambda text: tok.encode(text).ids
+        except Exception:
+            pass
+    ht = HashTokenizer(vocab)
+    return ht.encode
+
+
+class ClipImpl(InferenceModel):
+    """OpenCLIP-equivalent image/text encoder (reference impl/clip.py):
+    encodes image files and ``{"text": ...}`` inputs in one batch, L2-
+    normalized f32 features as npy bytes."""
+
+    def __init__(
+        self,
+        model_arch: str = "ViT-B-32",
+        checkpoint: Optional[str] = None,
+        tokenizer_path: Optional[str] = None,
+        context_length: Optional[int] = None,
+        batch_cap: int = 64,
+        **_: Any,
+    ):
+        self.arch = model_arch
+        self.cfg = clip.CONFIGS.get(model_arch) or clip.CONFIGS["ViT-B-32"]
+        self.checkpoint = checkpoint
+        self.context_length = context_length or self.cfg.text_ctx
+        self.batch_ladder = batching.bucket_ladder(batch_cap)
+        self.tokenize = load_tokenizer(tokenizer_path, self.cfg.text_vocab)
+        self.params = None
+
+    @classmethod
+    def name(cls) -> str:
+        return "clip"
+
+    def load(self) -> None:
+        if self.params is not None:
+            return
+        if self.checkpoint:
+            from panoptikon_tpu.models import weights
+
+            self.params = weights.load_clip_checkpoint(self.checkpoint, self.cfg)
+        else:
+            self.params = clip.init_params(jax.random.key(0), self.cfg)
+
+    def unload(self) -> None:
+        self.params = None
+
+    def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
+        self.load()
+        outputs: list[Any] = [None] * len(inputs)
+        images, image_pos = [], []
+        texts, text_pos = [], []
+        for i, inp in enumerate(inputs):
+            if inp.file is not None:
+                try:
+                    images.append(decode_image(inp.file, self.cfg.image_size))
+                    image_pos.append(i)
+                except SlotError as err:
+                    outputs[i] = err.to_slot()
+            elif isinstance(inp.data, dict) and "text" in inp.data:
+                texts.append(str(inp.data["text"]))
+                text_pos.append(i)
+            else:
+                outputs[i] = SlotError(
+                    "input", "Input must be an image file or {'text': ...}"
+                ).to_slot()
+
+        if images:
+            batch = np.stack(images)
+            bucket = batching.bucket_for(len(images), self.batch_ladder)
+            padded, valid = batching.pad_batch(batch, bucket)
+            feats = np.asarray(clip.embed_images_jit(self.params, self.cfg, padded))
+            for pos, j in zip(image_pos, range(len(images))):
+                outputs[pos] = npy.serialize_npy(feats[j])
+        if texts:
+            seqs = [self.tokenize(t)[: self.context_length] for t in texts]
+            ids, _mask, _ = batching.pad_token_batch(
+                seqs, [self.cfg.text_ctx], self.batch_ladder
+            )
+            feats = np.asarray(clip.embed_texts_jit(self.params, self.cfg, ids))
+            for pos, j in zip(text_pos, range(len(texts))):
+                outputs[pos] = npy.serialize_npy(feats[j])
+        return outputs
+
+
+class TextEmbedImpl(InferenceModel):
+    """Sentence-transformers-equivalent text embedder with the chunking +
+    combined-embedding contract (reference impl/sentence_transformers.py).
+    One input text → 2D npy array of chunk embeddings."""
+
+    def __init__(
+        self,
+        model_arch: str = "minilm-l6",
+        checkpoint: Optional[str] = None,
+        tokenizer_path: Optional[str] = None,
+        max_seq_length: Optional[int] = None,
+        combine_threshold: int = -1,
+        batch_cap: int = 64,
+        query_prompt_name_map: Optional[dict] = None,
+        **_: Any,
+    ):
+        self.cfg = text_embed.CONFIGS.get(model_arch) or text_embed.CONFIGS["minilm-l6"]
+        self.checkpoint = checkpoint
+        self.max_seq_length = min(max_seq_length or self.cfg.ctx, self.cfg.ctx)
+        self.combine_threshold = combine_threshold
+        self.batch_ladder = batching.bucket_ladder(batch_cap)
+        self.length_ladder = [
+            l for l in (32, 64, 128, 256, 512) if l <= self.max_seq_length
+        ] or [self.max_seq_length]
+        self.tokenize = load_tokenizer(tokenizer_path, self.cfg.vocab)
+        self.query_prompt_name_map = query_prompt_name_map or {}
+        self.params = None
+
+    @classmethod
+    def name(cls) -> str:
+        return "sentence_transformers"
+
+    def load(self) -> None:
+        if self.params is not None:
+            return
+        if self.checkpoint:
+            from panoptikon_tpu.models import weights
+
+            self.params = weights.load_text_encoder_checkpoint(self.checkpoint, self.cfg)
+        else:
+            self.params = text_embed.init_params(jax.random.key(1), self.cfg)
+
+    def unload(self) -> None:
+        self.params = None
+
+    def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
+        self.load()
+        texts = []
+        combine_at = []
+        for inp in inputs:
+            data = inp.data if isinstance(inp.data, dict) else {}
+            texts.append(str(data.get("text", "")))
+            combine_at.append(int(data.get("combine_threshold", self.combine_threshold)))
+
+        # Chunk every text (rebalanced tail), track ownership.
+        all_chunks: list[list[int]] = []
+        chunk_map: list[int] = []
+        for idx, text in enumerate(texts):
+            tokens = self.tokenize(text) or [0]
+            for chunk in text_embed.split_tokens(tokens, self.max_seq_length):
+                all_chunks.append(chunk or [0])
+                chunk_map.append(idx)
+
+        ids, mask, valid = batching.pad_token_batch(
+            all_chunks, self.length_ladder, self.batch_ladder
+        )
+        feats = np.asarray(
+            text_embed.encode_jit(self.params, self.cfg, ids, mask)
+        )[: len(all_chunks)]
+
+        grouped: list[list[np.ndarray]] = [[] for _ in texts]
+        for emb, owner in zip(feats, chunk_map):
+            grouped[owner].append(emb)
+        outputs = []
+        for idx, emb_list in enumerate(grouped):
+            arr = text_embed.combine_chunks(np.stack(emb_list), combine_at[idx])
+            outputs.append(npy.serialize_npy(arr))
+        return outputs
+
+
+class TaggerImpl(InferenceModel):
+    """WD-tagger-equivalent multi-label tagger: ViT backbone + sigmoid head,
+    mcut/fixed thresholds host-side, reference output shape
+    (impl/wd_tagger.py:118-160: namespace + rating/character/general tag
+    maps + mcut)."""
+
+    def __init__(
+        self,
+        model_arch: str = "test-tiny",
+        checkpoint: Optional[str] = None,
+        namespace: str = "danbooru",
+        tag_vocab: Optional[list[str]] = None,
+        rating_tags: Optional[list[str]] = None,
+        batch_cap: int = 32,
+        **_: Any,
+    ):
+        self.cfg = clip.CONFIGS.get(model_arch) or clip.CONFIGS["test-tiny"]
+        self.checkpoint = checkpoint
+        self.namespace = namespace
+        self.rating_tags = rating_tags or ["general", "safe", "sensitive", "questionable", "explicit"]
+        self.tag_vocab = tag_vocab or [f"tag_{i}" for i in range(64)]
+        self.batch_ladder = batching.bucket_ladder(batch_cap)
+        self.params = None
+        self.head = None
+
+    @classmethod
+    def name(cls) -> str:
+        return "wd_tagger"
+
+    def load(self) -> None:
+        if self.params is not None:
+            return
+        self.params = clip.init_params(jax.random.key(2), self.cfg)
+        n_out = len(self.rating_tags) + len(self.tag_vocab)
+        self.head = np.asarray(
+            jax.random.normal(jax.random.key(3), (self.cfg.embed_dim, n_out))
+        ) * self.cfg.embed_dim**-0.5
+
+    def unload(self) -> None:
+        self.params = None
+        self.head = None
+
+    @staticmethod
+    def mcut_threshold(probs: np.ndarray) -> float:
+        """Maximum-category-cut: threshold at the largest gap in the sorted
+        score curve (impl/utils.py mcut)."""
+        sorted_probs = np.sort(probs)[::-1]
+        if len(sorted_probs) < 2:
+            return 0.0
+        gaps = sorted_probs[:-1] - sorted_probs[1:]
+        t = int(np.argmax(gaps))
+        return float((sorted_probs[t] + sorted_probs[t + 1]) / 2)
+
+    def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
+        self.load()
+        outputs: list[Any] = [None] * len(inputs)
+        images, kept = [], []
+        for i, inp in enumerate(inputs):
+            if inp.file is None:
+                outputs[i] = SlotError("input", "Tagger requires an image file").to_slot()
+                continue
+            try:
+                images.append(decode_image(inp.file, self.cfg.image_size))
+                kept.append(i)
+            except SlotError as err:
+                outputs[i] = err.to_slot()
+        if images:
+            bucket = batching.bucket_for(len(images), self.batch_ladder)
+            padded, _ = batching.pad_batch(np.stack(images), bucket)
+            feats = np.asarray(clip.embed_images_jit(self.params, self.cfg, padded))
+            logits = feats[: len(images)] @ self.head
+            probs = 1.0 / (1.0 + np.exp(-logits))
+            n_rating = len(self.rating_tags)
+            for j, pos in enumerate(kept):
+                config = inputs[pos].data if isinstance(inputs[pos].data, dict) else {}
+                rating_probs = probs[j, :n_rating]
+                general_probs = probs[j, n_rating:]
+                thresh = config.get("threshold")
+                mcut = self.mcut_threshold(general_probs)
+                eff = mcut if not thresh else float(thresh)
+                general = {
+                    self.tag_vocab[t]: float(general_probs[t])
+                    for t in np.flatnonzero(general_probs >= eff)
+                }
+                rating = {self.rating_tags[int(np.argmax(rating_probs))]: float(rating_probs.max())}
+                outputs[pos] = {
+                    "namespace": self.namespace,
+                    "tags": [
+                        ("rating", rating),
+                        ("character", {}),
+                        ("general", general),
+                    ],
+                    "mcut": mcut,
+                    "rating_severity": self.rating_tags,
+                    "metadata": {},
+                    "metadata_score": 0.0,
+                }
+        return outputs
+
+
+# ---------------------------------------------------------------------------
+# Fixture impls — the reference's behavior-probe zoo (SURVEY.md §4), used by
+# the manager/API tests exactly as the reference uses its fake workers.
+# ---------------------------------------------------------------------------
+
+
+class EchoImpl(InferenceModel):
+    def __init__(self, **kwargs: Any):
+        self.kwargs = kwargs
+        self.loaded = False
+
+    @classmethod
+    def name(cls) -> str:
+        return "echo_impl"
+
+    def load(self) -> None:
+        self.loaded = True
+
+    def unload(self) -> None:
+        self.loaded = False
+
+    def predict(self, inputs):
+        return [
+            {"echo": inp.data, "file_len": len(inp.file) if inp.file else 0}
+            for inp in inputs
+        ]
+
+
+class BatchSizeImpl(InferenceModel):
+    """Reports the batch size it observed (batching-dynamics tests)."""
+
+    def __init__(self, **_: Any):
+        pass
+
+    @classmethod
+    def name(cls) -> str:
+        return "batchsize_impl"
+
+    def load(self) -> None:
+        pass
+
+    def unload(self) -> None:
+        pass
+
+    def predict(self, inputs):
+        return [{"observed_batch": len(inputs)} for _ in inputs]
+
+
+class FailBatchImpl(InferenceModel):
+    """Fails any merged batch (>1 input) — exercises the per-request
+    fallback (dispatch.rs:28-35)."""
+
+    def __init__(self, **_: Any):
+        pass
+
+    @classmethod
+    def name(cls) -> str:
+        return "failbatch_impl"
+
+    def load(self) -> None:
+        pass
+
+    def unload(self) -> None:
+        pass
+
+    def predict(self, inputs):
+        if len(inputs) > 1:
+            raise RuntimeError("merged batch refused")
+        return [{"ok": True} for _ in inputs]
+
+
+class ErrorSlotImpl(InferenceModel):
+    """Emits typed error slots on demand: data {"fail": "input"|"transient"}."""
+
+    def __init__(self, **_: Any):
+        pass
+
+    @classmethod
+    def name(cls) -> str:
+        return "errorslot_impl"
+
+    def load(self) -> None:
+        pass
+
+    def unload(self) -> None:
+        pass
+
+    def predict(self, inputs):
+        out = []
+        for inp in inputs:
+            fail = (inp.data or {}).get("fail") if isinstance(inp.data, dict) else None
+            if fail:
+                out.append(SlotError(fail, f"requested {fail} failure").to_slot())
+            else:
+                out.append({"ok": True})
+        return out
+
+
+class SlowImpl(InferenceModel):
+    def __init__(self, delay: float = 0.2, **_: Any):
+        self.delay = delay
+
+    @classmethod
+    def name(cls) -> str:
+        return "slow_impl"
+
+    def load(self) -> None:
+        pass
+
+    def unload(self) -> None:
+        pass
+
+    def predict(self, inputs):
+        time.sleep(self.delay)
+        return [{"ok": True} for _ in inputs]
+
+
+class BrokenLoadImpl(InferenceModel):
+    def __init__(self, **_: Any):
+        pass
+
+    @classmethod
+    def name(cls) -> str:
+        return "broken_impl"
+
+    def load(self) -> None:
+        raise RuntimeError("deliberately broken load")
+
+    def unload(self) -> None:
+        pass
+
+    def predict(self, inputs):
+        return []
+
+
+IMPL_INDEX: dict[str, type[InferenceModel]] = {
+    cls.name(): cls
+    for cls in [
+        ClipImpl,
+        TextEmbedImpl,
+        TaggerImpl,
+        EchoImpl,
+        BatchSizeImpl,
+        FailBatchImpl,
+        ErrorSlotImpl,
+        SlowImpl,
+        BrokenLoadImpl,
+    ]
+}

@@ -1,0 +1,235 @@
+"""Model manager: cache-key LRU/TTL lifecycle over in-process JAX models.
+
+Keeps the reference manager's observable semantics (inferio/manager.rs
+header, itself a port of the legacy Python manager) while replacing
+process-per-model workers with jit-cache-resident model objects:
+
+- ``lru_caches[cache_key]`` is an insertion-ordered ``inference_id →
+  expiration`` map; ``lru_size`` enforced on every load, oldest evicted.
+- ``cache_refs[inference_id]`` is the set of cache keys referencing the
+  model; it unloads only when the last reference disappears.
+- TTL ≥ 0 → now + ttl; negative → never. A sweeper pass (caller- or
+  timer-driven) expires entries and unloads unreferenced models.
+- Repeated load renews TTL and moves to MRU (the cron preload loop
+  depends on this).
+- Predict pins the model with a refcount: the sweeper skips pinned models
+  entirely, and each completing predict restores its own cache-key TTL —
+  overlapping predicts through different keys cannot unpin each other.
+- Failed loads never leave phantom ids; ``lru_size <= 0`` refuses the
+  load (the fixed Python leaks, manager.rs:39-55).
+- Merged-batch failure falls back to per-request predicts
+  (dispatch.rs:28-35) at the batching layer (``predict_batched``).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+from panoptikon_tpu.models.base import InferenceModel, PredictionInput
+from panoptikon_tpu.models.registry import Registry, RegistryError
+
+
+class ModelLoadError(RuntimeError):
+    pass
+
+
+@dataclass
+class _LoadedModel:
+    model: InferenceModel
+    impl_class: str
+    predict_pins: int = 0
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+
+class ModelManager:
+    def __init__(self, registry: Registry, impl_index: dict[str, type[InferenceModel]]):
+        self.registry = registry
+        self.impl_index = impl_index
+        self._state = threading.Lock()
+        self._load_lock = threading.Lock()  # serializes slow load phases
+        self._models: dict[str, _LoadedModel] = {}
+        self._lru: dict[str, OrderedDict[str, float]] = {}
+        self._refs: dict[str, set[str]] = {}
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def load_model(
+        self,
+        inference_id: str,
+        *,
+        cache_key: str = "default",
+        lru_size: int = 1,
+        ttl_seconds: float = 3600.0,
+    ) -> None:
+        if lru_size <= 0:
+            raise ModelLoadError("lru_size must be positive")
+        group, _, name = inference_id.partition("/")
+        resolved = self.registry.resolve(group, name)
+        with self._load_lock:
+            with self._state:
+                cache = self._lru.setdefault(cache_key, OrderedDict())
+                already = inference_id in self._models
+            if not already:
+                impl_cls = self.impl_index.get(resolved.impl_class)
+                if impl_cls is None:
+                    raise ModelLoadError(
+                        f"unknown impl_class {resolved.impl_class!r} for {inference_id}"
+                    )
+                try:
+                    model = impl_cls(**resolved.spawn_kwargs())
+                    model.load()
+                except Exception as exc:
+                    raise ModelLoadError(
+                        f"failed to load {inference_id}: {exc}"
+                    ) from exc
+                with self._state:
+                    self._models[inference_id] = _LoadedModel(
+                        model=model, impl_class=resolved.impl_class
+                    )
+            with self._state:
+                expiry = (
+                    time.monotonic() + ttl_seconds if ttl_seconds >= 0 else float("inf")
+                )
+                # Renewal moves to MRU before reassigning (manager.rs:18-20).
+                if inference_id in cache:
+                    cache.move_to_end(inference_id)
+                cache[inference_id] = expiry
+                self._refs.setdefault(inference_id, set()).add(cache_key)
+                evicted = []
+                while len(cache) > lru_size:
+                    old_id, _ = cache.popitem(last=False)
+                    self._refs.get(old_id, set()).discard(cache_key)
+                    if not self._refs.get(old_id):
+                        evicted.append(old_id)
+            for old_id in evicted:
+                self._unload(old_id)
+
+    def predict(
+        self, inference_id: str, inputs: Sequence[PredictionInput],
+        *, cache_key: str = "default", lru_size: int = 1, ttl_seconds: float = 3600.0,
+    ) -> list[Any]:
+        with self._state:
+            entry = self._models.get(inference_id)
+        if entry is None:
+            self.load_model(
+                inference_id, cache_key=cache_key, lru_size=lru_size,
+                ttl_seconds=ttl_seconds,
+            )
+            with self._state:
+                entry = self._models[inference_id]
+        with self._state:
+            entry.predict_pins += 1
+        try:
+            # One outstanding predict per model (the reference enforces this
+            # with &mut self on the worker).
+            with entry.lock:
+                outputs = list(entry.model.predict(inputs))
+            if len(outputs) != len(inputs):
+                raise RuntimeError(
+                    f"{inference_id}: {len(outputs)} outputs for {len(inputs)} inputs"
+                )
+            return outputs
+        finally:
+            with self._state:
+                entry.predict_pins -= 1
+                cache = self._lru.get(cache_key)
+                if cache is not None and inference_id in cache:
+                    # Restore this key's TTL only (manager.rs:51-55).
+                    cache[inference_id] = (
+                        time.monotonic() + ttl_seconds
+                        if ttl_seconds >= 0
+                        else float("inf")
+                    )
+
+    def unload_model(self, inference_id: str, cache_key: str | None = None) -> bool:
+        with self._state:
+            keys = (
+                [cache_key]
+                if cache_key is not None
+                else list(self._refs.get(inference_id, set()))
+            )
+            for key in keys:
+                cache = self._lru.get(key)
+                if cache is not None:
+                    cache.pop(inference_id, None)
+                self._refs.get(inference_id, set()).discard(key)
+            gone = not self._refs.get(inference_id)
+        if gone:
+            self._unload(inference_id)
+        return gone
+
+    def clear_cache(self, cache_key: str) -> None:
+        with self._state:
+            cache = self._lru.pop(cache_key, OrderedDict())
+            to_unload = []
+            for inference_id in cache:
+                self._refs.get(inference_id, set()).discard(cache_key)
+                if not self._refs.get(inference_id):
+                    to_unload.append(inference_id)
+        for inference_id in to_unload:
+            self._unload(inference_id)
+
+    def sweep(self) -> list[str]:
+        """Expire overdue entries; returns unloaded ids. Pinned models are
+        skipped entirely."""
+        now = time.monotonic()
+        unloaded = []
+        with self._state:
+            pinned = {
+                mid for mid, m in self._models.items() if m.predict_pins > 0
+            }
+            for key, cache in self._lru.items():
+                for mid in [m for m, exp in cache.items() if exp <= now]:
+                    if mid in pinned:
+                        continue
+                    cache.pop(mid, None)
+                    self._refs.get(mid, set()).discard(key)
+                    if not self._refs.get(mid):
+                        unloaded.append(mid)
+        for mid in unloaded:
+            self._unload(mid)
+        return unloaded
+
+    # -- introspection (the /cache and /health surfaces) --------------------
+
+    def loaded_models(self) -> dict[str, list[str]]:
+        with self._state:
+            return {mid: sorted(refs) for mid, refs in self._refs.items() if refs}
+
+    def cache_expirations(self, cache_key: str) -> dict[str, float]:
+        with self._state:
+            cache = self._lru.get(cache_key, OrderedDict())
+            now = time.monotonic()
+            return {mid: exp - now for mid, exp in cache.items()}
+
+    def health(self) -> dict:
+        with self._state:
+            return {
+                "status": "ok",
+                "model_count": len(self._models),
+                "cache_keys": list(self._lru.keys()),
+            }
+
+    def shutdown(self) -> None:
+        with self._state:
+            ids = list(self._models.keys())
+            self._lru.clear()
+            self._refs.clear()
+        for mid in ids:
+            self._unload(mid)
+
+    # -- internals ----------------------------------------------------------
+
+    def _unload(self, inference_id: str) -> None:
+        with self._state:
+            entry = self._models.pop(inference_id, None)
+            self._refs.pop(inference_id, None)
+        if entry is not None:
+            try:
+                entry.model.unload()
+            except Exception:
+                pass

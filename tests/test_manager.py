@@ -1,0 +1,180 @@
+"""Registry + model manager tests — the reference's manager/registry
+behavior surface (manager.rs, registry.rs) driven through in-process
+fixture impls (the fake-model pattern from SURVEY.md §4)."""
+
+import time
+
+import pytest
+
+from panoptikon_tpu.models.base import PredictionInput, is_error_slot, parse_error_slot
+from panoptikon_tpu.models.impls import IMPL_INDEX
+from panoptikon_tpu.models.manager import ModelLoadError, ModelManager
+from panoptikon_tpu.models.registry import Registry, RegistryError
+
+BUILTIN = """
+[group.fixtures]
+config.impl_class = "echo_impl"
+config.shared_opt = "from-group"
+
+[group.fixtures.metadata]
+name = "Fixtures"
+default_inference_id = "echo"
+
+[group.fixtures.inference_ids.echo]
+metadata.description = "echo model"
+
+[group.fixtures.inference_ids.slots]
+config.impl_class = "errorslot_impl"
+
+[group.fixtures.inference_ids.broken]
+config.impl_class = "broken_impl"
+
+[group.fixtures.inference_ids.slow]
+config.impl_class = "slow_impl"
+config.delay = 0.01
+"""
+
+
+@pytest.fixture
+def registry(tmp_path):
+    builtin = tmp_path / "builtin"
+    builtin.mkdir()
+    (builtin / "00_base.toml").write_text(BUILTIN)
+    user = tmp_path / "user"
+    user.mkdir()
+    return Registry(builtin, user)
+
+
+@pytest.fixture
+def manager(registry):
+    m = ModelManager(registry, IMPL_INDEX)
+    yield m
+    m.shutdown()
+
+
+class TestRegistry:
+    def test_group_config_inherits(self, registry):
+        rid = registry.resolve("fixtures", "echo")
+        assert rid.impl_class == "echo_impl"
+        assert rid.config["shared_opt"] == "from-group"
+
+    def test_id_config_overrides_group(self, registry):
+        rid = registry.resolve("fixtures", "slots")
+        assert rid.impl_class == "errorslot_impl"
+
+    def test_spawn_kwargs_strip_directives(self, registry):
+        rid = registry.resolve("fixtures", "slow")
+        kwargs = rid.spawn_kwargs()
+        assert "impl_class" not in kwargs and kwargs["delay"] == 0.01
+
+    def test_duplicate_id_fails_whole_load(self, registry, tmp_path):
+        (tmp_path / "user" / "10_dup.toml").write_text(
+            "[group.fixtures.inference_ids.echo]\nmetadata.description='dup'\n"
+        )
+        with pytest.raises(RegistryError, match="duplicate"):
+            registry.load(force=True)
+
+    def test_allow_override_permits_redefinition(self, registry, tmp_path):
+        (tmp_path / "user" / "10_dup.toml").write_text(
+            "allow_override = true\n"
+            "[group.fixtures.inference_ids.echo]\n"
+            "config.impl_class = 'batchsize_impl'\n"
+        )
+        registry.load(force=True)
+        assert registry.resolve("fixtures", "echo").impl_class == "batchsize_impl"
+
+    def test_metadata_shape_no_config_leak(self, registry):
+        meta = registry.metadata()
+        assert meta["fixtures"]["group_metadata"]["name"] == "Fixtures"
+        assert "echo" in meta["fixtures"]["inference_ids"]
+        flat = str(meta)
+        assert "impl_class" not in flat
+
+    def test_mtime_reload(self, registry, tmp_path):
+        registry.load()
+        assert registry.ids_in_group("fixtures") == ["echo", "slots", "broken", "slow"]
+        extra = tmp_path / "user" / "20_extra.toml"
+        extra.write_text("[group.extra.inference_ids.x]\nconfig.impl_class='echo_impl'\n")
+        import os
+
+        os.utime(extra, (time.time() + 10, time.time() + 10))
+        registry.load()
+        assert "extra" in registry.groups()
+
+
+class TestManager:
+    def test_load_and_predict(self, manager):
+        out = manager.predict(
+            "fixtures/echo", [PredictionInput(data={"x": 1})]
+        )
+        assert out[0]["echo"] == {"x": 1}
+        assert "fixtures/echo" in manager.loaded_models()
+
+    def test_lru_eviction_oldest_first(self, manager):
+        manager.load_model("fixtures/echo", cache_key="k", lru_size=2)
+        manager.load_model("fixtures/slots", cache_key="k", lru_size=2)
+        manager.load_model("fixtures/slow", cache_key="k", lru_size=2)
+        loaded = manager.loaded_models()
+        assert "fixtures/echo" not in loaded
+        assert "fixtures/slots" in loaded and "fixtures/slow" in loaded
+
+    def test_renewal_moves_to_mru(self, manager):
+        manager.load_model("fixtures/echo", cache_key="k", lru_size=2)
+        manager.load_model("fixtures/slots", cache_key="k", lru_size=2)
+        manager.load_model("fixtures/echo", cache_key="k", lru_size=2)  # renew
+        manager.load_model("fixtures/slow", cache_key="k", lru_size=2)
+        loaded = manager.loaded_models()
+        # slots was LRU after echo's renewal.
+        assert "fixtures/slots" not in loaded and "fixtures/echo" in loaded
+
+    def test_refcount_across_cache_keys(self, manager):
+        manager.load_model("fixtures/echo", cache_key="a")
+        manager.load_model("fixtures/echo", cache_key="b")
+        manager.unload_model("fixtures/echo", cache_key="a")
+        assert "fixtures/echo" in manager.loaded_models()
+        manager.unload_model("fixtures/echo", cache_key="b")
+        assert "fixtures/echo" not in manager.loaded_models()
+
+    def test_ttl_sweep(self, manager):
+        manager.load_model("fixtures/echo", cache_key="k", ttl_seconds=0.0)
+        time.sleep(0.01)
+        unloaded = manager.sweep()
+        assert "fixtures/echo" in unloaded
+        assert "fixtures/echo" not in manager.loaded_models()
+
+    def test_negative_ttl_never_expires(self, manager):
+        manager.load_model("fixtures/echo", cache_key="k", ttl_seconds=-1)
+        assert manager.sweep() == []
+
+    def test_failed_load_leaves_no_phantom(self, manager):
+        with pytest.raises(ModelLoadError, match="deliberately broken"):
+            manager.load_model("fixtures/broken")
+        assert "fixtures/broken" not in manager.loaded_models()
+
+    def test_zero_lru_refused(self, manager):
+        with pytest.raises(ModelLoadError, match="lru_size"):
+            manager.load_model("fixtures/echo", lru_size=0)
+
+    def test_clear_cache(self, manager):
+        manager.load_model("fixtures/echo", cache_key="k")
+        manager.clear_cache("k")
+        assert "fixtures/echo" not in manager.loaded_models()
+
+    def test_error_slots_typed(self, manager):
+        out = manager.predict(
+            "fixtures/slots",
+            [
+                PredictionInput(data={}),
+                PredictionInput(data={"fail": "input"}),
+                PredictionInput(data={"fail": "transient"}),
+            ],
+        )
+        assert out[0] == {"ok": True}
+        assert is_error_slot(out[1]) and parse_error_slot(out[1])[0] == "input"
+        assert parse_error_slot(out[2])[0] == "transient"
+
+    def test_malformed_slot_rejected(self):
+        with pytest.raises(ValueError, match="malformed"):
+            parse_error_slot({"__error__": {"class": "bogus", "message": "x"}})
+        with pytest.raises(ValueError):
+            parse_error_slot({"__error__": "not-an-object"})
