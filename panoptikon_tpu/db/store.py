@@ -70,18 +70,16 @@ def upsert_file(
     scan_id: int | None = None,
 ) -> int:
     filename = path.rsplit("/", 1)[-1]
-    cur = conn.execute(
+    row = conn.execute(
         """INSERT INTO files (sha256, item_id, path, filename, last_modified,
            scan_id, available) VALUES (?,?,?,?,?,?,1)
            ON CONFLICT(path) DO UPDATE SET sha256=excluded.sha256,
              item_id=excluded.item_id, filename=excluded.filename,
              last_modified=excluded.last_modified, scan_id=excluded.scan_id,
-             available=1""",
+             available=1
+           RETURNING id""",
         (sha256, item_id, path, filename, last_modified, scan_id),
-    )
-    if cur.lastrowid:
-        return int(cur.lastrowid)
-    row = conn.execute("SELECT id FROM files WHERE path = ?", (path,)).fetchone()
+    ).fetchone()
     return int(row[0])
 
 
@@ -108,14 +106,13 @@ def item_by_sha256(conn: sqlite3.Connection, sha256: str) -> Optional[sqlite3.Ro
 
 
 def add_folder(conn: sqlite3.Connection, path: str, included: bool = True) -> int:
-    cur = conn.execute(
+    row = conn.execute(
         """INSERT INTO folders (path, included, time_added) VALUES (?,?,?)
-           ON CONFLICT(path) DO UPDATE SET included=excluded.included""",
+           ON CONFLICT(path) DO UPDATE SET included=excluded.included
+           RETURNING id""",
         (path, int(included), now_iso()),
-    )
-    if cur.lastrowid:
-        return int(cur.lastrowid)
-    return int(conn.execute("SELECT id FROM folders WHERE path=?", (path,)).fetchone()[0])
+    ).fetchone()
+    return int(row[0])
 
 
 def list_folders(conn: sqlite3.Connection, included: bool | None = None):
@@ -134,11 +131,10 @@ def list_folders(conn: sqlite3.Connection, included: bool | None = None):
 
 
 def upsert_setter(conn: sqlite3.Connection, name: str) -> int:
-    cur = conn.execute(
+    # DO NOTHING leaves cursor.lastrowid stale, so re-select explicitly.
+    conn.execute(
         "INSERT INTO setters (name) VALUES (?) ON CONFLICT(name) DO NOTHING", (name,)
     )
-    if cur.lastrowid:
-        return int(cur.lastrowid)
     return int(conn.execute("SELECT id FROM setters WHERE name=?", (name,)).fetchone()[0])
 
 
@@ -271,13 +267,11 @@ def insert_embedding(conn: sqlite3.Connection, data_id: int, vector: np.ndarray)
 
 
 def upsert_tag(conn: sqlite3.Connection, namespace: str, name: str) -> int:
-    cur = conn.execute(
+    conn.execute(
         """INSERT INTO tags (namespace, name) VALUES (?,?)
            ON CONFLICT(namespace, name) DO NOTHING""",
         (namespace, name),
     )
-    if cur.lastrowid:
-        return int(cur.lastrowid)
     return int(
         conn.execute(
             "SELECT id FROM tags WHERE namespace=? AND name=?", (namespace, name)

@@ -254,6 +254,21 @@ class VectorIndex:
             self._snapshots[space] = snap
             return snap
 
+    def group_slots_for_items(self, space: str, item_ids) -> np.ndarray:
+        """DB item ids → dense group slots (-1 where the item has no rows in
+        this space). Host-side join used by the PQL executor."""
+        with self._lock:
+            st = self._require(space)
+            table = st.group_of_item
+        ids = np.asarray(item_ids, dtype=np.int64)
+        out = np.full(ids.shape, -1, dtype=np.int64)
+        flat = out.reshape(-1)
+        for j, item in enumerate(ids.reshape(-1).tolist()):
+            slot = table.get(item)
+            if slot is not None:
+                flat[j] = slot
+        return out
+
     def item_id_of_groups(self, space: str, group_slots: np.ndarray) -> np.ndarray:
         """Dense group slots → DB item ids (host-side join after top-k)."""
         with self._lock:

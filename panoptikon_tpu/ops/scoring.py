@@ -145,9 +145,9 @@ def streaming_topk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "distance", "aggregation", "num_groups", "chunk_rows", "weighted"),
+    static_argnames=("distance", "aggregation", "num_groups", "chunk_rows", "weighted"),
 )
-def streaming_grouped_topk(
+def grouped_scores(
     corpus,
     sumsq,
     row_valid,
@@ -155,7 +155,6 @@ def streaming_grouped_topk(
     queries,
     *,
     num_groups: int,
-    k: int,
     distance: Distance = "cosine",
     aggregation: Aggregation = "min",
     scale: float = 1.0,
@@ -163,12 +162,13 @@ def streaming_grouped_topk(
     weighted: bool = False,
     weights=None,
 ):
-    """Top-k *groups* per query for multi-row items.
+    """Full per-group score arrays: (Q, num_groups) distances + validity.
 
     Streams per-group aggregates (MIN/MAX/AVG, or the confidence-weighted
     average ``SUM(d·w)/SUM(w)`` when ``weighted`` — exact.rs:64-80) into
-    (Q, num_groups) accumulators, then takes top-k over groups. Accumulator
-    HBM footprint is Q·M·4 bytes, independent of rows per item.
+    (Q, num_groups) accumulators. This is the PQL composition surface: rank
+    fusion needs every candidate's score, not just top-k. Accumulator HBM
+    footprint is Q·M·4 bytes, independent of rows per item.
     """
     n = corpus.shape[0]
     num_chunks = n // chunk_rows
@@ -246,15 +246,50 @@ def streaming_grouped_topk(
 
     (acc_a, acc_b), _ = jax.lax.scan(body, init, (corpus_c, sumsq_c, valid_c, gid_c, w_c))
 
+    group_valid = acc_b > 0
     if weighted:
-        group_valid = acc_b > 0
         group_dist = acc_a / jnp.maximum(acc_b, 1e-30)
     elif aggregation in ("min", "max"):
-        group_valid = acc_b > 0
         group_dist = acc_a
     else:
-        group_valid = acc_b > 0
         group_dist = acc_a / jnp.maximum(acc_b, 1.0)
     group_dist = jnp.where(group_valid, group_dist, INF)
+    return group_dist, group_valid
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "distance", "aggregation", "num_groups", "chunk_rows", "weighted"),
+)
+def streaming_grouped_topk(
+    corpus,
+    sumsq,
+    row_valid,
+    group_ids,
+    queries,
+    *,
+    num_groups: int,
+    k: int,
+    distance: Distance = "cosine",
+    aggregation: Aggregation = "min",
+    scale: float = 1.0,
+    chunk_rows: int = 32768,
+    weighted: bool = False,
+    weights=None,
+):
+    """Top-k groups per query: :func:`grouped_scores` + masked top-k."""
+    group_dist, group_valid = grouped_scores(
+        corpus,
+        sumsq,
+        row_valid,
+        group_ids,
+        queries,
+        num_groups=num_groups,
+        distance=distance,
+        aggregation=aggregation,
+        scale=scale,
+        chunk_rows=chunk_rows,
+        weighted=weighted,
+        weights=weights,
+    )
     return jax.vmap(lambda v, va: topk_ascending(v, va, k))(group_dist, group_valid)

@@ -1,0 +1,979 @@
+"""PQL execution: host candidate masks + device scoring + rank fusion.
+
+The reference compiles PQL to a SQLite CTE chain (pql/builder.rs); here the
+same semantics lower onto a hybrid plan:
+
+- **base snapshot**: the entity grain (one row per file, or per text-file
+  pair) is materialized once per index epoch as NumPy column arrays and
+  cached — the analog of the reference's epoch-validated caches.
+- **metadata filters** (match/path/text/tags/bookmarks/processed_by/…)
+  evaluate to boolean masks over the base rows via SQL + vectorized NumPy.
+- **vector filters** score on device (``ops.scoring.grouped_scores``) over
+  the embedding space's snapshot, masked row-level by src_text constraints,
+  and land back as per-row rank arrays.
+- **composition** follows the builder's contract: AND chains refine the
+  context left-to-right, OR unions branch results, NOT subtracts; every
+  sortable filter contributes an order entry (rank values, direction,
+  priority, rrf, row_n, gt/lt bounds, select_as).
+- **order assembly** replicates ``combine_order_lists`` +
+  ``build_coalesced_expr`` (builder.rs:1043-1320): priority DESC, filters
+  before top-level args at equal priority, same-priority filter runs
+  coalesce (min/max with ±∞ fallback) or RRF-fuse
+  (Σ weight/(k + coalesce(rank, ∞))) when the first spec carries rrf.
+- ``random`` orders by ``pk_mix(file_id, seed)`` (builder.rs:1558-1570);
+  ``file_id`` ascending is the final tiebreak, making every ordering total
+  and therefore pageable/cacheable.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from panoptikon_tpu.db.connection import Database
+from panoptikon_tpu.db.epochs import EPOCHS
+from panoptikon_tpu.index.vector_index import VectorIndex
+from panoptikon_tpu.ops import scoring
+from panoptikon_tpu.pql import model as pql
+from panoptikon_tpu.pql import preprocess as prep
+from panoptikon_tpu.utils.splitmix import pk_mix_array
+
+VERY_LARGE = np.inf
+XMODAL_PREFIX = "t"  # the reference's `t`-sibling naming (vector_quants.rs:51)
+
+
+# ---------------------------------------------------------------------------
+# Base snapshot
+# ---------------------------------------------------------------------------
+
+_FILE_SQL = """
+SELECT f.id, f.item_id, f.sha256, f.path, f.filename, f.last_modified,
+       i.md5, i.type, i.size, i.width, i.height, i.duration,
+       i.audio_tracks, i.video_tracks, i.subtitle_tracks, i.blurhash,
+       i.time_added
+FROM files f JOIN items i ON i.id = f.item_id
+WHERE f.available = 1
+ORDER BY f.id
+"""
+
+_TEXT_SQL = """
+SELECT f.id, f.item_id, f.sha256, f.path, f.filename, f.last_modified,
+       i.md5, i.type, i.size, i.width, i.height, i.duration,
+       i.audio_tracks, i.video_tracks, i.subtitle_tracks, i.blurhash,
+       i.time_added,
+       d.id AS data_id, t.language, t.language_confidence, t.confidence,
+       t.text, t.text_length, d.job_id, d.setter_id, s.name AS setter_name,
+       d.idx AS data_index, d.source_id
+FROM files f
+JOIN items i ON i.id = f.item_id
+JOIN item_data d ON d.item_id = i.id
+JOIN extracted_text t ON t.id = d.id
+JOIN setters s ON s.id = d.setter_id
+WHERE f.available = 1
+ORDER BY f.id, d.id
+"""
+
+_FILE_COLS = [
+    "file_id", "item_id", "sha256", "path", "filename", "last_modified",
+    "md5", "type", "size", "width", "height", "duration",
+    "audio_tracks", "video_tracks", "subtitle_tracks", "blurhash", "time_added",
+]
+_TEXT_COLS = _FILE_COLS + [
+    "data_id", "language", "language_confidence", "confidence",
+    "text", "text_length", "job_id", "setter_id", "setter_name",
+    "data_index", "source_id",
+]
+
+_NUMERIC = {
+    "file_id", "item_id", "size", "width", "height", "duration",
+    "audio_tracks", "video_tracks", "subtitle_tracks", "data_id",
+    "language_confidence", "confidence", "text_length", "job_id",
+    "setter_id", "data_index", "source_id",
+}
+
+
+@dataclass
+class BaseSnapshot:
+    entity: str
+    epoch: int
+    columns: dict[str, np.ndarray]
+    n: int
+
+    def col(self, name: str) -> np.ndarray:
+        if name not in self.columns:
+            raise pql.PqlError(f"column {name!r} not available for entity {self.entity!r}")
+        return self.columns[name]
+
+
+@dataclass
+class OrderEntry:
+    """One sortable filter's contribution (builder.rs OrderByFilter)."""
+
+    values: np.ndarray  # per-row rank, NaN where the filter didn't match
+    direction: str
+    priority: int
+    rrf: Optional[pql.Rrf]
+    select_as: Optional[str] = None
+    seq: int = 0
+
+
+@dataclass
+class EvalState:
+    order_list: list[OrderEntry] = field(default_factory=list)
+    seq: int = 0
+
+    def push(self, entry: OrderEntry) -> None:
+        entry.seq = self.seq
+        self.seq += 1
+        self.order_list.append(entry)
+
+
+@dataclass
+class SearchMetrics:
+    compile_s: float = 0.0
+    execute_s: float = 0.0
+    cache: str = "miss"
+
+
+@dataclass
+class SearchResult:
+    count: Optional[int]
+    results: list[dict]
+    seed: Optional[int]
+    metrics: SearchMetrics
+
+
+def _escape_fts(query: str) -> str:
+    """Quote every term — the non-raw FTS5 escape (pql utils)."""
+    terms = [t.replace('"', '""') for t in query.split()]
+    return " ".join(f'"{t}"' for t in terms)
+
+
+class Executor:
+    def __init__(self, db: Database, index: VectorIndex, manager=None):
+        self.db = db
+        self.index = index
+        self.manager = manager
+        self._base_cache: dict[str, BaseSnapshot] = {}
+        self._cache_lock = threading.Lock()
+
+    # -- base snapshot ------------------------------------------------------
+
+    def base_snapshot(self, entity: str) -> BaseSnapshot:
+        epoch = EPOCHS.index_epoch(self.db.name)
+        with self._cache_lock:
+            snap = self._base_cache.get(entity)
+            if snap is not None and snap.epoch == epoch:
+                return snap
+        conn = self.db.reader()
+        sql, cols = (_FILE_SQL, _FILE_COLS) if entity == "file" else (_TEXT_SQL, _TEXT_COLS)
+        rows = conn.execute(sql).fetchall()
+        columns: dict[str, np.ndarray] = {}
+        for ci, name in enumerate(cols):
+            values = [r[ci] for r in rows]
+            if name in _NUMERIC:
+                arr = np.array(
+                    [v if v is not None else np.nan for v in values], dtype=np.float64
+                )
+                if name in ("file_id", "item_id", "data_id", "setter_id", "job_id",
+                            "source_id", "data_index"):
+                    arr = np.where(np.isnan(arr), -1, arr).astype(np.int64)
+            else:
+                arr = np.array(["" if v is None else str(v) for v in values], dtype=object)
+            columns[name] = arr
+        snap = BaseSnapshot(entity=entity, epoch=epoch, columns=columns, n=len(rows))
+        with self._cache_lock:
+            self._base_cache[entity] = snap
+        return snap
+
+    # -- public entry -------------------------------------------------------
+
+    def execute(self, query: pql.PqlQuery) -> SearchResult:
+        t0 = time.perf_counter()
+        seed, _synth = query.resolve_seed()
+        prep.preprocess_query(query, manager=self.manager, index=self.index)
+        base = self.base_snapshot(query.entity)
+        state = EvalState()
+        ctx = np.ones(base.n, dtype=bool)
+        if query.query is not None:
+            ctx = self._eval(query.query, ctx, base, state)
+        compile_s = time.perf_counter() - t0
+
+        t1 = time.perf_counter()
+        order_keys, extra_cols = self._assemble_order(
+            query, base, state, ctx, seed
+        )
+        rows = np.flatnonzero(ctx)
+        if order_keys:
+            # np.lexsort: last key is primary.
+            keys = [base.col("file_id")[rows]]  # final tiebreak (asc)
+            for values, descending in reversed(order_keys):
+                k = values[rows]
+                if descending:
+                    # Negate numeric keys; object/string keys get rank codes.
+                    if k.dtype == object:
+                        _, inv = np.unique(k.astype(str), return_inverse=True)
+                        k = -inv.astype(np.float64)
+                    else:
+                        k = -k.astype(np.float64)
+                    k = np.where(np.isnan(k), np.inf, k)
+                else:
+                    if k.dtype == object:
+                        _, inv = np.unique(k.astype(str), return_inverse=True)
+                        k = inv.astype(np.float64)
+                    else:
+                        k = k.astype(np.float64)
+                    k = np.where(np.isnan(k), np.inf, k)
+                keys.append(k)
+            order = np.lexsort(keys)
+            rows = rows[order]
+
+        if query.partition_by:
+            part_cols = [base.col(c)[rows] for c in query.partition_by]
+            seen: set = set()
+            keep = np.zeros(len(rows), dtype=bool)
+            if len(part_cols) == 1:
+                col = part_cols[0]
+                for i in range(len(rows)):
+                    key = col[i]
+                    if key not in seen:
+                        seen.add(key)
+                        keep[i] = True
+            else:
+                for i in range(len(rows)):
+                    key = tuple(c[i] for c in part_cols)
+                    if key not in seen:
+                        seen.add(key)
+                        keep[i] = True
+            rows = rows[keep]
+
+        count = int(len(rows)) if query.count else None
+        results: list[dict] = []
+        if query.results:
+            start = (query.page - 1) * query.page_size
+            page_rows = rows[start : start + query.page_size]
+            select = list(query.select)
+            for ri in page_rows:
+                row = {c: _pyval(base.col(c)[ri]) for c in select}
+                row["file_id"] = int(base.col("file_id")[ri])
+                row["item_id"] = int(base.col("item_id")[ri])
+                if query.entity == "text":
+                    row["data_id"] = int(base.col("data_id")[ri])
+                extra = {
+                    alias: _pyval(values[ri])
+                    for alias, values in extra_cols.items()
+                    if not _isnan(values[ri])
+                }
+                if extra:
+                    row["extra"] = extra
+                results.append(row)
+        metrics = SearchMetrics(
+            compile_s=compile_s, execute_s=time.perf_counter() - t1
+        )
+        return SearchResult(count=count, results=results, seed=seed, metrics=metrics)
+
+    # -- tree evaluation ----------------------------------------------------
+
+    def _eval(self, el, ctx: np.ndarray, base: BaseSnapshot, state: EvalState) -> np.ndarray:
+        if isinstance(el, pql.AndOperator):
+            for child in el.and_:
+                ctx = self._eval(child, ctx, base, state)
+            return ctx
+        if isinstance(el, pql.OrOperator):
+            out = np.zeros_like(ctx)
+            for child in el.or_:
+                out |= self._eval(child, ctx, base, state)
+            return out
+        if isinstance(el, pql.NotOperator):
+            inner = self._eval(el.not_, ctx, base, state)
+            return ctx & ~inner
+        handler = _LEAF_HANDLERS.get(type(el))
+        if handler is None:
+            raise pql.PqlError(f"unsupported filter {type(el).__name__}")
+        return handler(self, el, ctx, base, state)
+
+    # Rank bookkeeping shared by sortable leaves.
+    def _sortable(
+        self,
+        sort: pql.SortableOptions,
+        mask: np.ndarray,
+        values: Optional[np.ndarray],
+        base: BaseSnapshot,
+        state: EvalState,
+    ) -> np.ndarray:
+        if values is None:
+            return mask
+        values = np.where(mask, values, np.nan)
+        # gt/lt cursor bounds refine membership (model.rs:188-199).
+        if sort.gt is not None:
+            mask = mask & (values > float(sort.gt))
+            values = np.where(mask, values, np.nan)
+        if sort.lt is not None:
+            mask = mask & (values < float(sort.lt))
+            values = np.where(mask, values, np.nan)
+        if sort.row_n:
+            # Row-number the filter's output by its own rank ordering so
+            # heterogeneous rank axes become comparable (model.rs:155-177).
+            rows = np.flatnonzero(mask)
+            vals = values[rows]
+            order = np.argsort(
+                -vals if sort.row_n_direction == "desc" else vals, kind="stable"
+            )
+            rn = np.full_like(values, np.nan)
+            rn[rows[order]] = np.arange(1, len(rows) + 1, dtype=np.float64)
+            values = rn
+        if sort.order_by or sort.select_as:
+            state.push(
+                OrderEntry(
+                    values=values,
+                    direction=sort.direction,
+                    priority=sort.priority,
+                    rrf=sort.rrf,
+                    select_as=sort.select_as,
+                )
+            )
+        return mask
+
+    # -- order assembly -----------------------------------------------------
+
+    def _assemble_order(self, query, base, state, ctx, seed):
+        extra_cols = {
+            e.select_as: e.values for e in state.order_list if e.select_as
+        }
+        # combine_order_lists (builder.rs:1097-1145): priority DESC, filters
+        # before args at equal priority, stable by sequence.
+        items: list[tuple[int, int, int, Any]] = []
+        for e in state.order_list:
+            if e.select_as and not _entry_orders(e, state):
+                continue
+            items.append((e.priority, 0, e.seq, e))
+        for idx, args in enumerate(query.order_by):
+            items.append((args.priority, 1, idx, args))
+        items.sort(key=lambda t: (-t[0], t[1], t[2]))
+
+        order_keys: list[tuple[np.ndarray, bool]] = []
+        i = 0
+        while i < len(items):
+            prio, kind, _, obj = items[i]
+            if kind == 1:
+                values, descending = self._order_args_key(obj, base, seed)
+                order_keys.append((values, descending))
+                i += 1
+                continue
+            # Group consecutive filter entries at equal priority.
+            group = [obj]
+            j = i + 1
+            while j < len(items) and items[j][1] == 0 and items[j][0] == prio:
+                group.append(items[j][3])
+                j += 1
+            if len(group) == 1:
+                order_keys.append((obj.values, obj.direction == "desc"))
+            else:
+                enable_rrf = group[0].rrf is not None
+                if enable_rrf:
+                    total = np.zeros(base.n, dtype=np.float64)
+                    for e in group:
+                        rrf = e.rrf or pql.Rrf()
+                        rank = np.where(np.isnan(e.values), VERY_LARGE, e.values)
+                        total += rrf.weight * (1.0 / (rrf.k + rank))
+                    # RRF is higher-is-better (desc).
+                    order_keys.append((total, True))
+                else:
+                    descending = group[0].direction == "desc"
+                    fallback = -VERY_LARGE if descending else VERY_LARGE
+                    stacked = np.stack(
+                        [np.where(np.isnan(e.values), fallback, e.values) for e in group]
+                    )
+                    combined = stacked.max(axis=0) if descending else stacked.min(axis=0)
+                    order_keys.append((combined, descending))
+            i = j
+        return order_keys, extra_cols
+
+    def _order_args_key(self, args: pql.OrderArgs, base: BaseSnapshot, seed):
+        field_name = args.order_by
+        if field_name == "random":
+            if seed is None:
+                seed = 0
+            values = pk_mix_array(base.col("file_id"), seed).astype(np.float64)
+            descending = args.order == "desc"
+            return values, descending
+        values = base.col(field_name)
+        # last_modified defaults desc, everything else asc (builder.rs:1147+).
+        default_desc = field_name == "last_modified"
+        descending = (args.order == "desc") if args.order else default_desc
+        return values, descending
+
+    # -- leaf filters -------------------------------------------------------
+
+    def _leaf_match(self, el: pql.MatchFilter, ctx, base, state):
+        return ctx & _eval_matches(el.match_, base)
+
+    def _leaf_match_path(self, el: pql.MatchPath, ctx, base, state):
+        args = el.match_path
+        q = args.match if args.raw_fts5_match else _escape_fts(args.match)
+        col = "filename" if args.filename_only else None
+        conn = self.db.reader()
+        match_expr = f"filename : ({q})" if col else q
+        try:
+            rows = conn.execute(
+                "SELECT rowid, rank FROM files_path_fts WHERE files_path_fts MATCH ?",
+                (match_expr,),
+            ).fetchall()
+        except Exception as exc:
+            raise pql.PqlError(f"invalid path match query: {exc}") from exc
+        ranks = {int(r[0]): -float(r[1]) for r in rows}  # -bm25: higher better
+        file_ids = base.col("file_id")
+        mask = np.isin(file_ids, np.fromiter(ranks.keys(), dtype=np.int64, count=len(ranks)))
+        mask &= ctx
+        values = np.full(base.n, np.nan)
+        for i in np.flatnonzero(mask):
+            values[i] = ranks[int(file_ids[i])]
+        return self._sortable(el.sort, mask, values, base, state)
+
+    def _leaf_match_text(self, el: pql.MatchText, ctx, base, state):
+        args = el.match_text
+        if not args.match and not args.filter_only:
+            return ctx
+        conn = self.db.reader()
+        wheres, params = [], []
+        if args.match and not args.filter_only:
+            q = args.match if args.raw_fts5_match else _escape_fts(args.match)
+            join = (
+                "JOIN extracted_text_fts fts ON fts.rowid = t.id "
+                "AND extracted_text_fts MATCH ?"
+            )
+            params.append(q)
+            rank_sel = "-fts.rank"
+        else:
+            join = ""
+            rank_sel = "NULL"
+        if args.setters:
+            wheres.append(
+                f"s.name IN ({','.join('?' * len(args.setters))})"
+            )
+            params.extend(args.setters)
+        if args.languages:
+            wheres.append(f"t.language IN ({','.join('?' * len(args.languages))})")
+            params.extend(args.languages)
+        if args.min_language_confidence is not None:
+            wheres.append("t.language_confidence >= ?")
+            params.append(args.min_language_confidence)
+        if args.min_confidence is not None:
+            wheres.append("t.confidence >= ?")
+            params.append(args.min_confidence)
+        if args.min_length is not None:
+            wheres.append("t.text_length >= ?")
+            params.append(args.min_length)
+        if args.max_length is not None:
+            wheres.append("t.text_length <= ?")
+            params.append(args.max_length)
+        where_sql = (" AND " + " AND ".join(wheres)) if wheres else ""
+        sql = f"""
+            SELECT d.item_id, d.id, {rank_sel}
+            FROM extracted_text t
+            JOIN item_data d ON d.id = t.id
+            JOIN setters s ON s.id = d.setter_id
+            {join}
+            WHERE 1=1 {where_sql}
+        """
+        try:
+            rows = conn.execute(sql, params).fetchall()
+        except Exception as exc:
+            raise pql.PqlError(f"invalid text match query: {exc}") from exc
+        if base.entity == "text":
+            ranks: dict[int, float] = {}
+            for item_id, data_id, rank in rows:
+                ranks[int(data_id)] = float(rank) if rank is not None else np.nan
+            ids = base.col("data_id")
+        else:
+            ranks = {}
+            for item_id, data_id, rank in rows:
+                r = float(rank) if rank is not None else np.nan
+                prev = ranks.get(int(item_id))
+                if prev is None or (not np.isnan(r) and (np.isnan(prev) or r > prev)):
+                    ranks[int(item_id)] = r
+            ids = base.col("item_id")
+        mask = np.isin(
+            ids, np.fromiter(ranks.keys(), dtype=np.int64, count=len(ranks))
+        ) & ctx
+        values = np.full(base.n, np.nan)
+        for i in np.flatnonzero(mask):
+            values[i] = ranks[int(ids[i])]
+        return self._sortable(el.sort, mask, values, base, state)
+
+    def _leaf_match_tags(self, el: pql.MatchTags, ctx, base, state):
+        args = el.match_tags
+        if not args.tags:
+            return ctx
+        conn = self.db.reader()
+        wheres, params = [], []
+        wheres.append(f"tg.name IN ({','.join('?' * len(args.tags))})")
+        params.extend(args.tags)
+        if args.min_confidence > 0:
+            wheres.append("ti.confidence >= ?")
+            params.append(args.min_confidence)
+        if args.setters:
+            wheres.append(f"s.name IN ({','.join('?' * len(args.setters))})")
+            params.extend(args.setters)
+        if args.namespaces:
+            ns_conds = []
+            for ns in args.namespaces:
+                ns_conds.append("(tg.namespace = ? OR tg.namespace LIKE ?)")
+                params.extend([ns, ns + ".%"])
+            wheres.append("(" + " OR ".join(ns_conds) + ")")
+        sql = f"""
+            SELECT ti.item_id, tg.name, s.name, MAX(ti.confidence)
+            FROM tags_items ti
+            JOIN tags tg ON tg.id = ti.tag_id
+            JOIN item_data d ON d.id = ti.item_data_id
+            JOIN setters s ON s.id = d.setter_id
+            WHERE {' AND '.join(wheres)}
+            GROUP BY ti.item_id, tg.name, s.name
+        """
+        rows = conn.execute(sql, params).fetchall()
+        # item → {tag → {setters}}, item → max confidence
+        per_item_tags: dict[int, dict[str, set]] = {}
+        conf: dict[int, float] = {}
+        for item_id, tag, setter, c in rows:
+            per_item_tags.setdefault(int(item_id), {}).setdefault(tag, set()).add(setter)
+            conf[int(item_id)] = max(conf.get(int(item_id), 0.0), float(c))
+        required = set(args.tags)
+        matched: set[int] = set()
+        all_setters = set(args.setters)
+        require_all_setters = (
+            args.all_setters_required
+            and args.setters
+            and not (args.match_any and len(args.tags) > 1)
+        )
+        for item_id, tag_map in per_item_tags.items():
+            if require_all_setters:
+                tag_map = {
+                    t: ss for t, ss in tag_map.items() if all_setters <= ss
+                }
+            if args.match_any:
+                if tag_map:
+                    matched.add(item_id)
+            else:
+                if required <= set(tag_map.keys()):
+                    matched.add(item_id)
+        ids = base.col("item_id")
+        mask = np.isin(ids, np.fromiter(matched, dtype=np.int64, count=len(matched))) & ctx
+        values = np.full(base.n, np.nan)
+        for i in np.flatnonzero(mask):
+            values[i] = conf.get(int(ids[i]), np.nan)
+        return self._sortable(el.sort, mask, values, base, state)
+
+    def _leaf_in_bookmarks(self, el: pql.InBookmarks, ctx, base, state):
+        args = el.in_bookmarks
+        if not args.filter:
+            return ctx
+        conn = self.db.reader()
+        wheres, params = [], []
+        users = [args.user]
+        if args.include_wildcard:
+            users.append("*")
+        wheres.append(f"b.user IN ({','.join('?' * len(users))})")
+        params.extend(users)
+        if args.namespaces:
+            conds = []
+            for ns in args.namespaces:
+                if args.sub_ns:
+                    conds.append("(b.namespace = ? OR b.namespace LIKE ?)")
+                    params.extend([ns, ns + ".%"])
+                else:
+                    conds.append("b.namespace = ?")
+                    params.append(ns)
+            wheres.append("(" + " OR ".join(conds) + ")")
+        rows = conn.execute(
+            f"SELECT b.sha256, MAX(b.time_added) FROM user_data.bookmarks b "
+            f"WHERE {' AND '.join(wheres)} GROUP BY b.sha256",
+            params,
+        ).fetchall()
+        times = {r[0]: r[1] for r in rows}
+        shas = base.col("sha256")
+        mask = np.array([s in times for s in shas], dtype=bool) & ctx
+        values = np.full(base.n, np.nan)
+        order_vals = {s: i for i, s in enumerate(sorted(times, key=times.get))}
+        for i in np.flatnonzero(mask):
+            values[i] = order_vals[shas[i]]
+        return self._sortable(el.sort, mask, values, base, state)
+
+    def _leaf_in_pinboard(self, el: pql.InPinboard, ctx, base, state):
+        args = el.in_pinboard
+        if not args.filter:
+            return ctx
+        conn = self.db.reader()
+        wheres, params = ["p.user = ?"], [args.user]
+        if args.pinboard_ids:
+            wheres.append(
+                f"p.id IN ({','.join('?' * len(args.pinboard_ids))})"
+            )
+            params.extend(args.pinboard_ids)
+        rows = conn.execute(
+            f"""SELECT DISTINCT pvi.sha256
+                FROM user_data.pinboards p
+                JOIN user_data.pinboard_version_items pvi
+                  ON pvi.version_id = p.head_version_id
+                WHERE {' AND '.join(wheres)}""",
+            params,
+        ).fetchall()
+        shas = {r[0] for r in rows}
+        mask = np.array([s in shas for s in base.col("sha256")], dtype=bool) & ctx
+        return self._sortable(el.sort, mask, None, base, state)
+
+    def _leaf_processed_by(self, el: pql.ProcessedBy, ctx, base, state):
+        conn = self.db.reader()
+        rows = conn.execute(
+            """SELECT DISTINCT d.item_id FROM item_data d
+               JOIN setters s ON s.id = d.setter_id WHERE s.name = ?""",
+            (el.processed_by,),
+        ).fetchall()
+        items = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+        return ctx & np.isin(base.col("item_id"), items)
+
+    def _leaf_has_unprocessed(self, el: pql.HasUnprocessedData, ctx, base, state):
+        args = el.has_data_unprocessed
+        conn = self.db.reader()
+        type_sql = ",".join("?" * len(args.data_types))
+        rows = conn.execute(
+            f"""SELECT DISTINCT src.item_id FROM item_data src
+                WHERE src.data_type IN ({type_sql})
+                  AND (src.is_placeholder IS NULL OR src.is_placeholder = 0)
+                  AND NOT EXISTS (
+                    SELECT 1 FROM item_data derived
+                    JOIN setters s ON s.id = derived.setter_id
+                    WHERE derived.source_id = src.id AND s.name = ?)""",
+            (*args.data_types, args.setter_name),
+        ).fetchall()
+        items = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+        return ctx & np.isin(base.col("item_id"), items)
+
+    def _leaf_failed_for(self, el: pql.FailedFor, ctx, base, state):
+        conn = self.db.reader()
+        rows = conn.execute(
+            """SELECT item_id FROM extraction_errors
+               WHERE setter_name = ? AND error_class = 'input'""",
+            (el.failed_for,),
+        ).fetchall()
+        items = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+        return ctx & np.isin(base.col("item_id"), items)
+
+    # -- vector leaves ------------------------------------------------------
+
+    def _space_scores(
+        self,
+        space: str,
+        queries: np.ndarray,
+        *,
+        distance: str,
+        aggregation: str,
+        quant,
+        src_text: Optional[pql.SourceArgs],
+    ) -> Optional[tuple[np.ndarray, np.ndarray]]:
+        """Score one embedding space → (per-item distance, validity) keyed by
+        the space's group slots; None when the space doesn't exist."""
+        try:
+            snap = self.index.snapshot(space)
+        except KeyError:
+            return None
+        row_valid = snap.row_valid.copy()
+        weighted = bool(src_text and src_text.weighted)
+        if src_text is not None and (
+            src_text.setters
+            or src_text.languages
+            or src_text.min_confidence is not None
+            or src_text.min_language_confidence is not None
+        ):
+            allowed = self._src_text_rows(space, src_text)
+            row_valid &= np.isin(snap.row_ids, allowed)
+        if quant is not None and snap.quant_ready:
+            corpus = snap.codes
+            q = prep.codec.compute_query_quant(queries, snap.scale)
+            scale = float(snap.scale)
+        else:
+            corpus = snap.vectors
+            q = queries.astype(np.float32)
+            scale = 1.0
+        sumsq = np.asarray(scoring.row_sumsq(corpus))
+        dist, valid = scoring.grouped_scores(
+            corpus,
+            sumsq,
+            row_valid,
+            snap.group_ids,
+            q,
+            num_groups=snap.num_groups,
+            distance=distance,
+            aggregation=aggregation,
+            scale=scale,
+            chunk_rows=min(32768, snap.capacity),
+            weighted=weighted,
+            weights=snap.weights,
+        )
+        dist = np.asarray(dist)
+        valid = np.asarray(valid)
+        agg = aggregation
+        if dist.shape[0] > 1:
+            # Multi-query (similar_to anchors): aggregate across queries.
+            vd = np.where(valid, dist, np.nan)
+            with np.errstate(all="ignore"):
+                if agg == "min" and not weighted:
+                    combined = np.nanmin(vd, axis=0)
+                elif agg == "max" and not weighted:
+                    combined = np.nanmax(vd, axis=0)
+                else:
+                    combined = np.nanmean(vd, axis=0)
+            valid = ~np.isnan(combined)
+            dist = np.where(valid, combined, np.inf)
+        else:
+            dist, valid = dist[0], valid[0]
+        return dist, valid
+
+    def _src_text_rows(self, space: str, src: pql.SourceArgs) -> np.ndarray:
+        """data_ids whose SOURCE text satisfies the constraints."""
+        conn = self.db.reader()
+        wheres, params = ["1=1"], []
+        if src.setters:
+            wheres.append(
+                f"ss.name IN ({','.join('?' * len(src.setters))})"
+            )
+            params.extend(src.setters)
+        if src.languages:
+            wheres.append(f"t.language IN ({','.join('?' * len(src.languages))})")
+            params.extend(src.languages)
+        if src.min_confidence is not None:
+            wheres.append("t.confidence >= ?")
+            params.append(src.min_confidence)
+        if src.min_language_confidence is not None:
+            wheres.append("t.language_confidence >= ?")
+            params.append(src.min_language_confidence)
+        rows = conn.execute(
+            f"""SELECT d.id FROM item_data d
+                JOIN item_data srcd ON srcd.id = d.source_id
+                JOIN setters ss ON ss.id = srcd.setter_id
+                JOIN extracted_text t ON t.id = d.source_id
+                WHERE {' AND '.join(wheres)}""",
+            params,
+        ).fetchall()
+        return np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+
+    def _apply_item_scores(
+        self, el, spaces_scores: list[tuple[str, np.ndarray, np.ndarray]],
+        aggregation: str, ctx, base, state,
+    ):
+        """Per-space item scores → combined per-row rank + mask."""
+        item_dist: dict[int, float] = {}
+        for space, dist, valid in spaces_scores:
+            item_ids = self.index.item_id_of_groups(
+                space, np.flatnonzero(valid)
+            )
+            vals = dist[valid]
+            for item, v in zip(item_ids.tolist(), vals.tolist()):
+                prev = item_dist.get(item)
+                if prev is None:
+                    item_dist[item] = v
+                elif aggregation == "max":
+                    item_dist[item] = max(prev, v)
+                elif aggregation == "avg":
+                    item_dist[item] = (prev + v) / 2.0
+                else:
+                    item_dist[item] = min(prev, v)
+        ids = base.col("item_id")
+        mask = np.isin(
+            ids, np.fromiter(item_dist.keys(), dtype=np.int64, count=len(item_dist))
+        ) & ctx
+        values = np.full(base.n, np.nan)
+        for i in np.flatnonzero(mask):
+            values[i] = item_dist[int(ids[i])]
+        return self._sortable(el.sort, mask, values, base, state)
+
+    def _leaf_semantic_image(self, el: pql.SemanticImageSearch, ctx, base, state):
+        args = el.image_embeddings
+        q = args._embedding[None, :]
+        distance = (args._distance_func_override or "COSINE").lower()
+        agg = args.distance_aggregation.lower()
+        spaces = [args.model]
+        if args.clip_xmodal:
+            spaces.append(XMODAL_PREFIX + args.model)
+        scored = []
+        for i, space in enumerate(spaces):
+            src = args.src_text if (args.clip_xmodal and i == 1) else None
+            out = self._space_scores(
+                space, q, distance=distance, aggregation=agg,
+                quant=args._quant, src_text=src,
+            )
+            if out is not None:
+                scored.append((space, *out))
+        if not scored:
+            raise pql.PqlError(f"no embedding space for model {args.model!r}")
+        return self._apply_item_scores(el, scored, agg, ctx, base, state)
+
+    def _leaf_semantic_text(self, el: pql.SemanticTextSearch, ctx, base, state):
+        args = el.text_embeddings
+        q = args._embedding[None, :]
+        distance = (args._distance_func_override or "COSINE").lower()
+        agg = args.distance_aggregation.lower()
+        out = self._space_scores(
+            args.model, q, distance=distance, aggregation=agg,
+            quant=args._quant, src_text=args.src_text,
+        )
+        if out is None:
+            raise pql.PqlError(f"no embedding space for model {args.model!r}")
+        return self._apply_item_scores(el, [(args.model, *out)], agg, ctx, base, state)
+
+    def _leaf_similar_to(self, el: pql.SimilarTo, ctx, base, state):
+        args = el.similar_to
+        conn = self.db.reader()
+        row = conn.execute(
+            "SELECT id FROM items WHERE sha256 = ?", (args.target,)
+        ).fetchone()
+        if row is None:
+            raise pql.PqlError(f"similar_to target {args.target!r} not found")
+        target_item = int(row[0])
+        distance = args.distance_function.lower()
+        agg = args.distance_aggregation.lower()
+        spaces = [args.model]
+        if args.clip_xmodal:
+            spaces.append(XMODAL_PREFIX + args.model)
+        # Anchor vectors: the target item's own rows in each space.
+        scored = []
+        for space in spaces:
+            try:
+                snap = self.index.snapshot(space)
+            except KeyError:
+                continue
+            slot = self.index.group_slots_for_items(space, [target_item])[0]
+            if slot < 0:
+                continue
+            anchor_rows = (snap.group_ids[: snap.size] == slot) & snap.row_valid[: snap.size]
+            anchors = snap.vectors[: snap.size][anchor_rows]
+            if anchors.size == 0:
+                continue
+            for target_space in spaces:
+                if target_space == space and space.startswith(XMODAL_PREFIX):
+                    if not args.xmodal_t2t and args.clip_xmodal:
+                        continue
+                if target_space == space and not space.startswith(XMODAL_PREFIX):
+                    if args.clip_xmodal and not args.xmodal_i2i:
+                        continue
+                out = self._space_scores(
+                    target_space, anchors, distance=distance, aggregation=agg,
+                    quant=args._quant, src_text=args.src_text
+                    if target_space.startswith(XMODAL_PREFIX) else None,
+                )
+                if out is not None:
+                    scored.append((target_space, *out))
+        if not scored:
+            raise pql.PqlError(
+                f"similar_to target has no embeddings for model {args.model!r}"
+            )
+        return self._apply_item_scores(el, scored, agg, ctx, base, state)
+
+
+def _entry_orders(entry: OrderEntry, state: EvalState) -> bool:
+    return True  # select_as entries with order_by=False are filtered upstream
+
+
+def _pyval(v):
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        f = float(v)
+        return None if np.isnan(f) else f
+    return v
+
+
+def _isnan(v) -> bool:
+    try:
+        return bool(np.isnan(v))
+    except TypeError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Match-ops evaluation (vectorized; match_filter.rs:143-226 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _eval_matches(m, base: BaseSnapshot) -> np.ndarray:
+    if isinstance(m, pql.MatchAnd):
+        out = np.ones(base.n, dtype=bool)
+        for child in m.and_:
+            out &= _eval_matches(child, base)
+        return out
+    if isinstance(m, pql.MatchOr):
+        out = np.zeros(base.n, dtype=bool)
+        for child in m.or_:
+            out |= _eval_matches(child, base)
+        return out
+    if isinstance(m, pql.MatchNot):
+        return ~_eval_matches(m.not_, base)
+    assert isinstance(m, pql.MatchOps)
+    out = np.ones(base.n, dtype=bool)
+    for op, cols in m.ops.items():
+        for col_name, value in cols.items():
+            out &= _eval_op(op, base.col(col_name), value)
+    return out
+
+
+def _eval_op(op: str, col: np.ndarray, value) -> np.ndarray:
+    is_str = col.dtype == object
+
+    def coerce(v):
+        return str(v) if is_str else float(v)
+
+    if op == "eq":
+        return col == coerce(value)
+    if op == "neq":
+        return col != coerce(value)
+    if op == "in_":
+        return np.isin(col, [coerce(v) for v in value])
+    if op == "nin":
+        return ~np.isin(col, [coerce(v) for v in value])
+    if op in ("gt", "gte", "lt", "lte"):
+        if is_str:
+            c = col.astype(str)
+            v = str(value)
+        else:
+            c = col.astype(np.float64)
+            v = float(value)
+        if op == "gt":
+            return c > v
+        if op == "gte":
+            return c >= v
+        if op == "lt":
+            return c < v
+        return c <= v
+    strs = col.astype(str)
+    if op == "startswith":
+        return np.logical_or.reduce([np.char.startswith(strs.astype(np.str_), str(v)) for v in value])
+    if op == "not_startswith":
+        return ~np.logical_or.reduce([np.char.startswith(strs.astype(np.str_), str(v)) for v in value])
+    if op == "endswith":
+        return np.logical_or.reduce([np.char.endswith(strs.astype(np.str_), str(v)) for v in value])
+    if op == "not_endswith":
+        return ~np.logical_or.reduce([np.char.endswith(strs.astype(np.str_), str(v)) for v in value])
+    if op == "contains":
+        return np.logical_or.reduce([np.char.find(strs.astype(np.str_), str(v)) >= 0 for v in value])
+    if op == "not_contains":
+        return ~np.logical_or.reduce([np.char.find(strs.astype(np.str_), str(v)) >= 0 for v in value])
+    raise pql.PqlError(f"unknown match op {op}")
+
+
+_LEAF_HANDLERS = {
+    pql.MatchFilter: Executor._leaf_match,
+    pql.MatchPath: Executor._leaf_match_path,
+    pql.MatchText: Executor._leaf_match_text,
+    pql.MatchTags: Executor._leaf_match_tags,
+    pql.InBookmarks: Executor._leaf_in_bookmarks,
+    pql.InPinboard: Executor._leaf_in_pinboard,
+    pql.ProcessedBy: Executor._leaf_processed_by,
+    pql.HasUnprocessedData: Executor._leaf_has_unprocessed,
+    pql.FailedFor: Executor._leaf_failed_for,
+    pql.SemanticImageSearch: Executor._leaf_semantic_image,
+    pql.SemanticTextSearch: Executor._leaf_semantic_text,
+    pql.SimilarTo: Executor._leaf_similar_to,
+}

@@ -1,0 +1,307 @@
+"""PQL executor tests: end-to-end over a seeded database + device index.
+
+The fixture builds a small corpus (items/files/text/tags/bookmarks +
+CLIP-like embeddings) and drives PQL queries through the executor,
+asserting membership, ordering, fusion, and pagination semantics against
+straightforward NumPy oracles.
+"""
+
+import numpy as np
+import pytest
+
+from panoptikon_tpu.db import store
+from panoptikon_tpu.db.connection import Database
+from panoptikon_tpu.db.writer import IndexWriter
+from panoptikon_tpu.index.vector_index import VectorIndex
+from panoptikon_tpu.pql import model as pql
+from panoptikon_tpu.pql.executor import Executor
+from panoptikon_tpu.utils import npy
+from panoptikon_tpu.utils.splitmix import pk_mix
+
+DIM = 16
+N_ITEMS = 24
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pqlenv")
+    db = Database(root, "pql")
+    writer = IndexWriter(db)
+    index = VectorIndex(chunk_rows=64)
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(N_ITEMS, DIM)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def unit(conn):
+        sid_clip = store.upsert_setter(conn, "clip")
+        sid_ocr = store.upsert_setter(conn, "ocr")
+        sid_tag = store.upsert_setter(conn, "tagger")
+        info = []
+        for i in range(N_ITEMS):
+            sha = f"{i:02d}" * 32
+            mime = "image/png" if i % 3 else "video/mp4"
+            item_id = store.upsert_item(
+                conn, sha, f"md5{i}".ljust(32, "0"), mime, size=1000 + i,
+                width=100 + i,
+            )
+            store.upsert_file(
+                conn, item_id, sha, f"/media/folder{i % 2}/file{i:02d}.png",
+                f"2026-01-{i + 1:02d}T00:00:00",
+            )
+            did = store.insert_item_data(conn, item_id, sid_clip, "clip")
+            store.insert_embedding(conn, did, vecs[i])
+            if i % 2 == 0:
+                tdid = store.insert_item_data(conn, item_id, sid_ocr, "text")
+                store.insert_extracted_text(
+                    conn, tdid, f"hello document number{i:02d} content",
+                    language="en", confidence=0.5 + i / 100, language_confidence=0.9,
+                )
+            if i % 4 == 0:
+                gdid = store.insert_item_data(conn, item_id, sid_tag, "tags")
+                tid = store.upsert_tag(conn, "general", "cat")
+                store.tag_item(conn, gdid, item_id, tid, 0.5 + i / 100)
+            if i == 5:
+                gdid = store.insert_item_data(conn, item_id, sid_tag, "tags")
+                for name in ("cat", "dog"):
+                    tid = store.upsert_tag(conn, "general", name)
+                    store.tag_item(conn, gdid, item_id, tid, 0.9)
+            info.append((item_id, sha))
+        return info
+
+    info = writer.call(unit)
+
+    # Bookmarks for items 1 and 2.
+    uconn = db.user_data_write_connection()
+    with uconn:
+        for i in (1, 2):
+            uconn.execute(
+                "INSERT INTO bookmarks (user, namespace, sha256, time_added)"
+                " VALUES ('user', 'favorites', ?, ?)",
+                (info[i][1], f"2026-02-0{i}T00:00:00"),
+            )
+    uconn.close()
+
+    # Device index mirrors the embeddings.
+    item_ids = np.array([i[0] for i in info], dtype=np.int64)
+    index.add("clip", item_ids, np.arange(N_ITEMS), vecs)
+    index.build_quant("clip")
+
+    ex = Executor(db, index, manager=None)
+    yield {"db": db, "ex": ex, "vecs": vecs, "info": info, "index": index}
+    writer.close()
+
+
+def run(ex, payload):
+    return ex.execute(pql.PqlQuery.from_json(payload))
+
+
+def b64_query(vec):
+    import base64
+
+    return base64.standard_b64encode(npy.serialize_npy(vec)).decode()
+
+
+class TestBasics:
+    def test_empty_query_returns_everything(self, env):
+        res = run(env["ex"], {"page_size": 100})
+        assert res.count == N_ITEMS
+        # Default order: last_modified desc.
+        lm = [r["last_modified"] for r in res.results]
+        assert lm == sorted(lm, reverse=True)
+
+    def test_pagination_partitions(self, env):
+        q = {"page_size": 10, "order_by": [{"order_by": "file_id"}]}
+        p1 = run(env["ex"], {**q, "page": 1})
+        p2 = run(env["ex"], {**q, "page": 2})
+        p3 = run(env["ex"], {**q, "page": 3})
+        ids = [r["file_id"] for p in (p1, p2, p3) for r in p.results]
+        assert ids == sorted(set(ids)) and len(ids) == N_ITEMS
+
+    def test_match_filter(self, env):
+        res = run(env["ex"], {
+            "query": {"match": {"eq": {"type": "video/mp4"}}},
+            "page_size": 100,
+        })
+        assert res.count == N_ITEMS // 3
+        assert all(r["type"] == "video/mp4" for r in res.results)
+
+    def test_match_gt_and_nested(self, env):
+        res = run(env["ex"], {
+            "query": {"match": {"and_": [
+                {"gt": {"size": 1010}},
+                {"not_": {"eq": {"type": "video/mp4"}}},
+            ]}},
+            "page_size": 100,
+        })
+        for r in res.results:
+            assert r["type"] != "video/mp4"
+
+    def test_seeded_random_is_stable_and_pageable(self, env):
+        q = {"order_by": [{"order_by": "random"}], "seed": 99, "page_size": 100}
+        a = run(env["ex"], q)
+        b = run(env["ex"], q)
+        assert [r["file_id"] for r in a.results] == [r["file_id"] for r in b.results]
+        # Permutation matches pk_mix ordering.
+        ids = [r["file_id"] for r in a.results]
+        expected = sorted(ids, key=lambda fid: (pk_mix(fid, 99), fid))
+        assert ids == expected
+        # Pages partition under the same seed.
+        p1 = run(env["ex"], {**q, "page_size": 10, "page": 1})
+        assert [r["file_id"] for r in p1.results] == ids[:10]
+
+    def test_minted_seed_returned(self, env):
+        res = run(env["ex"], {"order_by": [{"order_by": "random"}]})
+        assert res.seed is not None
+
+
+class TestTextAndTags:
+    def test_match_text_fts(self, env):
+        res = run(env["ex"], {
+            "query": {"match_text": {"match": "number04"}},
+            "page_size": 100,
+        })
+        assert res.count == 1
+
+    def test_match_text_min_confidence(self, env):
+        res = run(env["ex"], {
+            "query": {"match_text": {"match": "", "filter_only": True,
+                                     "min_confidence": 0.65}},
+            "page_size": 100,
+        })
+        # items 16..22 even have confidence 0.66+
+        for r in res.results:
+            assert int(r["file_id"]) >= 1
+
+    def test_match_tags_all_vs_any(self, env):
+        both = run(env["ex"], {
+            "query": {"match_tags": {"tags": ["cat", "dog"]}},
+            "page_size": 100,
+        })
+        assert both.count == 1  # only item 5 has both
+        any_ = run(env["ex"], {
+            "query": {"match_tags": {"tags": ["cat", "dog"], "match_any": True}},
+            "page_size": 100,
+        })
+        assert any_.count == len([i for i in range(N_ITEMS) if i % 4 == 0]) + 1
+
+    def test_in_bookmarks(self, env):
+        res = run(env["ex"], {
+            "query": {"in_bookmarks": {"namespaces": ["favorites"]}},
+            "page_size": 100,
+        })
+        assert res.count == 2
+
+    def test_processed_by(self, env):
+        res = run(env["ex"], {"query": {"processed_by": "ocr"}, "page_size": 100})
+        assert res.count == N_ITEMS // 2
+
+
+class TestVector:
+    def test_semantic_search_exact_order(self, env):
+        vecs = env["vecs"]
+        qv = vecs[7]  # query with item 7's own vector
+        res = run(env["ex"], {
+            "query": {"image_embeddings": {
+                "query": b64_query(qv), "model": "clip", "embed": None,
+                "index": "exact",
+            }},
+            "page_size": 5,
+        })
+        # Best match is item 7 itself; order matches numpy cosine.
+        dists = 1 - vecs @ qv
+        expected = np.argsort(dists, kind="stable")[:5]
+        got_items = [r["item_id"] for r in res.results]
+        expected_items = [env["info"][i][0] for i in expected]
+        assert got_items == expected_items
+        assert res.count == N_ITEMS
+
+    def test_semantic_search_quant_close_to_exact(self, env):
+        vecs = env["vecs"]
+        qv = vecs[3]
+        res = run(env["ex"], {
+            "query": {"image_embeddings": {
+                "query": b64_query(qv), "model": "clip", "embed": None,
+                "index": "quant",
+            }},
+            "page_size": 5,
+        })
+        assert res.results[0]["item_id"] == env["info"][3][0]
+
+    def test_select_as_rank_in_extra(self, env):
+        vecs = env["vecs"]
+        res = run(env["ex"], {
+            "query": {"image_embeddings": {
+                "query": b64_query(vecs[0]), "model": "clip", "embed": None,
+                "index": "exact",
+            }, "select_as": "dist"},
+            "page_size": 3,
+        })
+        assert "extra" in res.results[0]
+        assert res.results[0]["extra"]["dist"] == pytest.approx(0.0, abs=1e-4)
+
+    def test_and_composition_restricts_membership(self, env):
+        vecs = env["vecs"]
+        res = run(env["ex"], {
+            "query": {"and_": [
+                {"match": {"eq": {"type": "video/mp4"}}},
+                {"image_embeddings": {
+                    "query": b64_query(vecs[0]), "model": "clip",
+                    "embed": None, "index": "exact",
+                }},
+            ]},
+            "page_size": 100,
+        })
+        assert res.count == N_ITEMS // 3
+        assert all(r["type"] == "video/mp4" for r in res.results)
+
+    def test_rrf_fusion_two_spaces(self, env):
+        vecs = env["vecs"]
+        res = run(env["ex"], {
+            "query": {"and_": [
+                {"image_embeddings": {
+                    "query": b64_query(vecs[2]), "model": "clip",
+                    "embed": None, "index": "exact"},
+                 "row_n": True, "priority": 5, "rrf": {"k": 0, "weight": 1.0}},
+                {"image_embeddings": {
+                    "query": b64_query(vecs[9]), "model": "clip",
+                    "embed": None, "index": "exact"},
+                 "row_n": True, "priority": 5, "rrf": {"k": 0, "weight": 1.0}},
+            ]},
+            "page_size": 4,
+        })
+        top2 = {r["item_id"] for r in res.results[:2]}
+        assert top2 == {env["info"][2][0], env["info"][9][0]}
+
+    def test_similar_to(self, env):
+        vecs = env["vecs"]
+        target_sha = env["info"][11][1]
+        res = run(env["ex"], {
+            "query": {"similar_to": {
+                "target": target_sha, "model": "clip", "index": "exact",
+                "distance_function": "COSINE",
+            }},
+            "page_size": 3,
+        })
+        assert res.results[0]["item_id"] == env["info"][11][0]
+        dists = 1 - vecs @ vecs[11]
+        runner_up = int(np.argsort(dists)[1])
+        assert res.results[1]["item_id"] == env["info"][runner_up][0]
+
+    def test_quant_strict_errors_when_not_ready(self, env):
+        with pytest.raises(pql.PqlError, match="not ready"):
+            run(env["ex"], {
+                "query": {"image_embeddings": {
+                    "query": b64_query(env["vecs"][0]), "model": "nonexistent",
+                    "embed": None, "index": "quant",
+                }},
+            })
+
+
+class TestPartition:
+    def test_partition_by_item(self, env):
+        res = run(env["ex"], {
+            "partition_by": ["item_id"],
+            "page_size": 100,
+        })
+        items = [r["item_id"] for r in res.results]
+        assert len(items) == len(set(items)) == N_ITEMS
