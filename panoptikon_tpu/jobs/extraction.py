@@ -1,0 +1,338 @@
+"""The extraction pipeline: the index-build path.
+
+The reference's streaming extraction job (jobs/extraction.rs:237
+``run_extraction_job``) re-expressed for in-process TPU inference:
+
+- the work list is the ledger-aware unprocessed-items query (chunked keyset
+  cursor, WORK_CHUNK_ROWS semantics — short-lived read snapshots keep the
+  WAL checkpointable);
+- per chunk: load file payloads (host), run the model through the manager
+  on static-shape buckets, route outputs through per-type handlers that
+  write via the single-writer;
+- per-item typed error slots: ``input`` persists in the ledger and excludes
+  the item from future work queries; ``transient`` fails the item softly
+  and the next run retries it;
+- items with no output still get a placeholder row so ProcessedBy sees
+  them as done (output_handlers/mod.rs:18-27);
+- embeddings also append to the device VectorIndex in the same logical
+  step, and the finishing phase runs the quant reconcile inline
+  (jobs/vector_quants.rs:280 ``finishing_phase``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from panoptikon_tpu.db import store
+from panoptikon_tpu.db.connection import Database
+from panoptikon_tpu.db.writer import IndexWriter
+from panoptikon_tpu.index.vector_index import VectorIndex
+from panoptikon_tpu.jobs.queue import ChangeSummary
+from panoptikon_tpu.models.base import PredictionInput, is_error_slot, parse_error_slot
+from panoptikon_tpu.utils import npy
+
+WORK_CHUNK_ROWS = 1024
+
+
+@dataclass
+class ExtractionReport:
+    setter: str
+    total_remaining: int = 0
+    processed: int = 0
+    segments: int = 0
+    input_errors: int = 0
+    transient_errors: int = 0
+    data_load_time: float = 0.0
+    inference_time: float = 0.0
+    summary: ChangeSummary = field(default_factory=ChangeSummary)
+
+
+def _decode_outputs(kind: str, output: Any) -> dict:
+    """Normalize one model output by group output_type."""
+    if kind in ("clip", "text-embedding"):
+        assert isinstance(output, bytes)
+        return {"embeddings": npy.parse_npy_matrix(output)}
+    if kind == "tags":
+        assert isinstance(output, dict)
+        return {"tags": output}
+    if kind == "text":
+        if isinstance(output, dict):
+            return {"text": output}
+        return {"text": {"text": str(output)}}
+    raise ValueError(f"unknown output type {kind!r}")
+
+
+def run_extraction_job(
+    *,
+    db: Database,
+    writer: IndexWriter,
+    index: VectorIndex,
+    manager,
+    inference_id: str,
+    setter_name: Optional[str] = None,
+    output_type: str = "clip",
+    mime_prefixes: tuple[str, ...] = ("image/",),
+    batch_size: int = 16,
+    threshold: Optional[float] = None,
+    target_entity: str = "items",
+    source_setters: tuple[str, ...] = (),
+    cancelled=lambda: False,
+) -> ExtractionReport:
+    """Run one extraction pass for a model over all unprocessed items.
+
+    ``target_entity='items'`` feeds file payloads (image/media models);
+    ``'text'`` feeds previously extracted text rows (text-embedding models,
+    whose work query is the derived-data one — HasUnprocessedData).
+    """
+    setter = setter_name or inference_id.rsplit("/", 1)[-1]
+    report = ExtractionReport(setter=setter)
+    conn = db.reader()
+
+    job_id = writer.call(store.create_data_job)
+    if target_entity == "items":
+        report.total_remaining = store.count_unprocessed(conn, setter, mime_prefixes)
+    log_id = writer.call(
+        lambda c: store.add_data_log(
+            c,
+            job_id,
+            log_type=output_type,
+            setter=setter,
+            batch_size=batch_size,
+            threshold=threshold,
+            total_remaining=report.total_remaining,
+        )
+    )
+    setter_id = writer.call(lambda c: store.upsert_setter(c, setter))
+
+    after = 0
+    pending_vectors: list[tuple[int, int, np.ndarray, float]] = []
+
+    while not cancelled():
+        if target_entity == "items":
+            work = store.unprocessed_items(
+                conn, setter, mime_prefixes=mime_prefixes,
+                after_item_id=after, limit=WORK_CHUNK_ROWS,
+            )
+        else:
+            work = _unprocessed_text(conn, setter, source_setters, after)
+        if not work:
+            break
+        after = work[-1][0]
+        for chunk_start in range(0, len(work), batch_size):
+            if cancelled():
+                break
+            chunk = work[chunk_start : chunk_start + batch_size]
+            t0 = time.perf_counter()
+            inputs, loadable = [], []
+            for row in chunk:
+                payload = _load_payload(conn, db, row, target_entity, threshold)
+                if payload is None:
+                    writer.call(
+                        lambda c, r=row: store.record_extraction_error(
+                            c, r[0], setter, stage="load",
+                            error_class="input", message="no loadable payload",
+                        )
+                    )
+                    report.input_errors += 1
+                    continue
+                inputs.append(payload)
+                loadable.append(row)
+            report.data_load_time += time.perf_counter() - t0
+            if not inputs:
+                continue
+            t0 = time.perf_counter()
+            try:
+                outputs = manager.predict(inference_id, inputs)
+            except Exception as exc:
+                # Merged-batch failure → per-request fallback
+                # (dispatch.rs:28-35).
+                outputs = []
+                for single in inputs:
+                    try:
+                        outputs.extend(manager.predict(inference_id, [single]))
+                    except Exception:
+                        outputs.append(
+                            {"__error__": {"class": "transient", "message": str(exc)}}
+                        )
+            report.inference_time += time.perf_counter() - t0
+
+            for row, output in zip(loadable, outputs):
+                item_id = row[0]
+                if is_error_slot(output):
+                    cls, msg = parse_error_slot(output)
+                    if cls == "input":
+                        writer.call(
+                            lambda c, i=item_id, m=msg: store.record_extraction_error(
+                                c, i, setter, stage="inference",
+                                error_class="input", message=m,
+                            )
+                        )
+                        report.input_errors += 1
+                    else:
+                        report.transient_errors += 1
+                    continue
+                _write_output(
+                    writer, index, output_type, setter, setter_id, job_id,
+                    item_id, row, output, report, pending_vectors,
+                )
+                report.processed += 1
+        report.summary.wrote_data = True
+
+    # Flush device-index appends in row-id order.
+    if pending_vectors:
+        pending_vectors.sort(key=lambda t: t[1])
+        items = np.array([p[0] for p in pending_vectors], dtype=np.int64)
+        rows = np.array([p[1] for p in pending_vectors], dtype=np.int64)
+        vecs = np.stack([p[2] for p in pending_vectors])
+        weights = np.array([p[3] for p in pending_vectors], dtype=np.float32)
+        index.add(setter, items, rows, vecs, weights)
+        report.summary.needs_analyze = True
+
+    writer.call(
+        lambda c: store.finish_data_log(
+            c,
+            log_id,
+            total_segments=report.segments,
+            errors=report.input_errors + report.transient_errors,
+            data_load_time=report.data_load_time,
+            inference_time=report.inference_time,
+        )
+    )
+    writer.call(lambda c: store.complete_data_job(c, job_id))
+    if output_type == "tags":
+        report.summary.tags_dirty = True
+
+    # Finishing phase: inline quant reconcile for the touched space
+    # (jobs/vector_quants.rs:280).
+    if output_type in ("clip", "text-embedding") and pending_vectors:
+        from panoptikon_tpu.jobs.reconcile import reconcile_space
+
+        reconcile_space(db, writer, index, setter)
+    return report
+
+
+def _unprocessed_text(conn, setter: str, source_setters, after: int):
+    """Derived-data work query: text rows not yet embedded by this setter
+    (the HasUnprocessedData shape)."""
+    src_sql, params = "", [setter, after]
+    if source_setters:
+        src_sql = f"AND ss.name IN ({','.join('?' * len(source_setters))})"
+        params.extend(source_setters)
+    rows = conn.execute(
+        f"""SELECT d.item_id, d.id, t.text, t.confidence, t.language_confidence
+            FROM item_data d
+            JOIN extracted_text t ON t.id = d.id
+            JOIN setters ss ON ss.id = d.setter_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM item_data dv JOIN setters s2 ON s2.id = dv.setter_id
+                WHERE dv.source_id = d.id AND s2.name = ?)
+              AND d.id > ? {src_sql}
+            ORDER BY d.id LIMIT {WORK_CHUNK_ROWS}""",
+        params,
+    ).fetchall()
+    # (cursor_key=data_id, item_id, source data_id, text payload)
+    return [(int(r[1]), int(r[0]), int(r[1]), r[2], r[3], r[4]) for r in rows]
+
+
+def _load_payload(conn, db: Database, row, target_entity: str, threshold):
+    if target_entity == "text":
+        _cursor, _item, _src, text, _conf, _lconf = row
+        return PredictionInput(data={"text": text})
+    item_id, sha, mime = row
+    file_row = conn.execute(
+        "SELECT path FROM files WHERE item_id = ? AND available = 1 LIMIT 1",
+        (item_id,),
+    ).fetchone()
+    if file_row is None:
+        return None
+    try:
+        with open(file_row[0], "rb") as f:
+            data: dict = {}
+            if threshold is not None:
+                data["threshold"] = threshold
+            return PredictionInput(data=data, file=f.read())
+    except OSError:
+        return None
+
+
+def _write_output(
+    writer, index, output_type, setter, setter_id, job_id, item_id, row,
+    output, report, pending_vectors,
+):
+    decoded = _decode_outputs(output_type, output)
+
+    if "embeddings" in decoded:
+        matrix = decoded["embeddings"]
+        source_id = row[2] if len(row) > 3 else None  # text rows carry src data_id
+        weight = 1.0
+        if len(row) > 4:
+            conf = row[4] if row[4] is not None else 1.0
+            lconf = row[5] if row[5] is not None else 1.0
+            weight = float(conf) * float(lconf)
+
+        def unit(c):
+            ids = []
+            for i in range(matrix.shape[0]):
+                did = store.insert_item_data(
+                    c, item_id, setter_id, output_type, idx=i, job_id=job_id,
+                    source_id=source_id,
+                )
+                store.insert_embedding(c, did, matrix[i])
+                ids.append(did)
+            return ids
+
+        data_ids = writer.call(unit)
+        for did, i in zip(data_ids, range(matrix.shape[0])):
+            pending_vectors.append((item_id, did, matrix[i], weight))
+        report.segments += matrix.shape[0]
+
+    elif "tags" in decoded:
+        payload = decoded["tags"]
+
+        def unit(c):
+            did = store.insert_item_data(
+                c, item_id, setter_id, "tags", job_id=job_id
+            )
+            n = 0
+            namespace = payload.get("namespace", "tags")
+            for sub_ns, tag_map in payload.get("tags", []):
+                if not tag_map:
+                    continue
+                full_ns = f"{namespace}:{sub_ns}" if sub_ns else namespace
+                for name, confidence in tag_map.items():
+                    tid = store.upsert_tag(c, full_ns, name)
+                    store.tag_item(c, did, item_id, tid, float(confidence))
+                    n += 1
+            if n == 0:
+                c.execute(
+                    "UPDATE item_data SET is_placeholder = 1 WHERE id = ?", (did,)
+                )
+            return n
+
+        report.segments += writer.call(unit)
+
+    elif "text" in decoded:
+        payload = decoded["text"]
+        text = payload.get("text", "")
+
+        def unit(c):
+            did = store.insert_item_data(
+                c, item_id, setter_id, "text", job_id=job_id,
+                is_placeholder=not text,
+            )
+            if text:
+                store.insert_extracted_text(
+                    c,
+                    did,
+                    text,
+                    language=payload.get("language"),
+                    language_confidence=payload.get("language_confidence"),
+                    confidence=payload.get("confidence"),
+                )
+
+        writer.call(unit)
+        report.segments += 1 if text else 0

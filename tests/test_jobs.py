@@ -1,0 +1,372 @@
+"""Jobs layer tests: scan → extraction → reconcile end-to-end with
+in-process fixture/real models (the reference's real-process/fake-model
+pattern, in-process)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from panoptikon_tpu.db import store
+from panoptikon_tpu.db.connection import Database
+from panoptikon_tpu.db.writer import IndexWriter
+from panoptikon_tpu.index.vector_index import VectorIndex
+from panoptikon_tpu.jobs import cron, extraction, index_sync, reconcile, scan
+from panoptikon_tpu.jobs.queue import ChangeSummary, JobQueue, JobType
+from panoptikon_tpu.models.impls import IMPL_INDEX
+from panoptikon_tpu.models.manager import ModelManager
+from panoptikon_tpu.models.registry import Registry
+
+REG_TOML = """
+[group.clip]
+config.impl_class = "clip"
+config.model_arch = "test-tiny"
+[group.clip.metadata]
+output_type = "clip"
+input_mime_types = ["image/"]
+[group.clip.inference_ids.tiny]
+
+[group.textembed]
+config.impl_class = "sentence_transformers"
+config.model_arch = "test-tiny"
+[group.textembed.inference_ids.tiny-te]
+
+[group.tags]
+config.impl_class = "wd_tagger"
+config.model_arch = "test-tiny"
+[group.tags.inference_ids.tiny-tagger]
+
+[group.fixtures.inference_ids.slots]
+config.impl_class = "errorslot_impl"
+"""
+
+
+def make_png(path, color, size=(40, 40)):
+    from PIL import Image
+
+    Image.new("RGB", size, color).save(path)
+
+
+@pytest.fixture
+def media_root(tmp_path):
+    media = tmp_path / "media"
+    (media / "sub").mkdir(parents=True)
+    make_png(media / "red.png", (255, 0, 0))
+    make_png(media / "green.png", (0, 255, 0))
+    make_png(media / "sub" / "blue.png", (0, 0, 255))
+    (media / "notes.txt").write_text("not an image")
+    (media / ".hidden.png").write_text("skip me")
+    return media
+
+
+@pytest.fixture
+def env(tmp_path, media_root):
+    db = Database(tmp_path / "data", "jobs")
+    writer = IndexWriter(db)
+    index = VectorIndex(chunk_rows=64)
+    reg_dir = tmp_path / "registry"
+    reg_dir.mkdir()
+    (reg_dir / "00.toml").write_text(REG_TOML)
+    manager = ModelManager(Registry(reg_dir), IMPL_INDEX)
+    yield {
+        "db": db, "writer": writer, "index": index, "manager": manager,
+        "media": media_root,
+    }
+    manager.shutdown()
+    writer.close()
+
+
+class TestScan:
+    def test_scan_registers_items_files_thumbnails(self, env):
+        db, writer = env["db"], env["writer"]
+        writer.call(lambda c: store.add_folder(c, str(env["media"])))
+        counters = scan.rescan_folders(db, writer)
+        assert counters.new_files == 4  # 3 images + 1 txt; hidden skipped
+        conn = db.reader()
+        assert conn.execute("SELECT COUNT(*) FROM items").fetchone()[0] == 4
+        types = {r[0] for r in conn.execute("SELECT type FROM items").fetchall()}
+        assert "image/png" in types and "text/plain" in types
+        thumbs = conn.execute("SELECT COUNT(*) FROM storage.thumbnails").fetchone()[0]
+        assert thumbs == 3
+        # Dimensions extracted.
+        w = conn.execute(
+            "SELECT width FROM items WHERE type='image/png' LIMIT 1"
+        ).fetchone()[0]
+        assert w == 40
+
+    def test_rescan_skips_unchanged(self, env):
+        db, writer = env["db"], env["writer"]
+        writer.call(lambda c: store.add_folder(c, str(env["media"])))
+        scan.rescan_folders(db, writer)
+        second = scan.rescan_folders(db, writer)
+        assert second.unchanged_files == 4
+        assert second.new_files == 0
+
+    def test_vanished_files_marked_unavailable(self, env):
+        db, writer = env["db"], env["writer"]
+        writer.call(lambda c: store.add_folder(c, str(env["media"])))
+        scan.rescan_folders(db, writer)
+        (env["media"] / "red.png").unlink()
+        counters = scan.rescan_folders(db, writer)
+        assert counters.marked_unavailable == 1
+        conn = db.reader()
+        assert conn.execute(
+            "SELECT COUNT(*) FROM files WHERE available = 0"
+        ).fetchone()[0] == 1
+
+    def test_mime_sniffing(self):
+        assert scan.sniff_mime("x.bin", b"\x89PNG\r\n\x1a\n____") == "image/png"
+        assert scan.sniff_mime("x.bin", b"\xff\xd8\xff\xe0") == "image/jpeg"
+        assert scan.sniff_mime("x.bin", b"%PDF-1.7") == "application/pdf"
+        assert scan.sniff_mime("x.bin", b"RIFF____WEBP") == "image/webp"
+        assert scan.sniff_mime("x.mp4", b"\x00\x00\x00\x20ftypisom") == "video/mp4"
+        assert scan.sniff_mime("doc.txt", b"hello") == "text/plain"
+
+
+class TestExtraction:
+    def _scan(self, env):
+        env["writer"].call(lambda c: store.add_folder(c, str(env["media"])))
+        scan.rescan_folders(env["db"], env["writer"])
+
+    def test_clip_extraction_end_to_end(self, env):
+        self._scan(env)
+        report = extraction.run_extraction_job(
+            db=env["db"], writer=env["writer"], index=env["index"],
+            manager=env["manager"], inference_id="clip/tiny",
+            setter_name="tiny", output_type="clip", batch_size=2,
+        )
+        assert report.processed == 3
+        assert report.input_errors == 0
+        conn = env["db"].reader()
+        assert conn.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0] == 3
+        # Device index got the vectors and quant arm is ready (reconcile ran
+        # as the finishing phase).
+        snap = env["index"].snapshot("tiny")
+        assert snap.size == 3 and snap.quant_ready
+        # Coverage row flipped to ready with a frozen artifact.
+        status = reconcile.coverage_status(env["db"])
+        assert status and status[0]["state"] == "ready"
+
+    def test_rerun_finds_nothing(self, env):
+        self._scan(env)
+        kwargs = dict(
+            db=env["db"], writer=env["writer"], index=env["index"],
+            manager=env["manager"], inference_id="clip/tiny",
+            setter_name="tiny", output_type="clip",
+        )
+        extraction.run_extraction_job(**kwargs)
+        second = extraction.run_extraction_job(**kwargs)
+        assert second.processed == 0
+
+    def test_tagger_extraction(self, env):
+        self._scan(env)
+        report = extraction.run_extraction_job(
+            db=env["db"], writer=env["writer"], index=env["index"],
+            manager=env["manager"], inference_id="tags/tiny-tagger",
+            setter_name="tiny-tagger", output_type="tags",
+        )
+        assert report.processed == 3
+        assert report.summary.tags_dirty
+        conn = env["db"].reader()
+        n_tags = conn.execute("SELECT COUNT(*) FROM tags_items").fetchone()[0]
+        assert n_tags >= 0  # random head may tag 0..n; rows or placeholders exist
+        done = conn.execute(
+            """SELECT COUNT(DISTINCT d.item_id) FROM item_data d
+               JOIN setters s ON s.id = d.setter_id WHERE s.name='tiny-tagger'"""
+        ).fetchone()[0]
+        assert done == 3
+
+    def test_text_embedding_chain(self, env):
+        """items → (manual ocr text) → text-embedding over derived text."""
+        self._scan(env)
+
+        def add_text(conn):
+            sid = store.upsert_setter(conn, "ocr")
+            rows = conn.execute("SELECT id FROM items WHERE type='image/png'").fetchall()
+            for item_id, in rows:
+                did = store.insert_item_data(conn, item_id, sid, "text")
+                store.insert_extracted_text(
+                    conn, did, "words " * 30, confidence=0.8, language_confidence=0.9
+                )
+
+        env["writer"].call(add_text)
+        report = extraction.run_extraction_job(
+            db=env["db"], writer=env["writer"], index=env["index"],
+            manager=env["manager"], inference_id="textembed/tiny-te",
+            setter_name="tiny-te", output_type="text-embedding",
+            target_entity="text", source_setters=("ocr",),
+        )
+        assert report.processed == 3
+        snap = env["index"].snapshot("tiny-te")
+        assert snap.size >= 3
+        # Weights carry source-text confidence product.
+        assert np.allclose(
+            snap.weights[: snap.size], 0.8 * 0.9, atol=1e-6
+        )
+
+    def test_error_slots_ledger(self, env):
+        self._scan(env)
+        # errorslot_impl: fail one input with 'input', one 'transient'.
+        conn = env["db"].reader()
+        items = [r[0] for r in conn.execute("SELECT id FROM items ORDER BY id").fetchall()]
+
+        calls = {"n": 0}
+        real_predict = env["manager"].predict
+
+        def flaky_predict(inference_id, inputs, **kw):
+            out = []
+            for inp in inputs:
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    out.append({"__error__": {"class": "input", "message": "bad media"}})
+                elif calls["n"] == 2:
+                    out.append({"__error__": {"class": "transient", "message": "oom"}})
+                else:
+                    out.append({"namespace": "t", "tags": [("general", {"x": 0.9})],
+                                "mcut": 0.5, "rating_severity": [], "metadata": {},
+                                "metadata_score": 0.0})
+            return out
+
+        env["manager"].predict = flaky_predict
+        try:
+            report = extraction.run_extraction_job(
+                db=env["db"], writer=env["writer"], index=env["index"],
+                manager=env["manager"], inference_id="tags/tiny-tagger",
+                setter_name="flaky", output_type="tags", batch_size=4,
+            )
+        finally:
+            env["manager"].predict = real_predict
+        assert report.input_errors == 1
+        assert report.transient_errors == 1
+        assert report.processed == 1
+        # The input-failed item is excluded from the next work query; the
+        # transient one is retried.
+        remaining = store.count_unprocessed(conn, "flaky", ["image/"])
+        assert remaining == 1
+
+
+class TestQueue:
+    def test_serialized_execution_and_history(self):
+        order = []
+
+        def runner(handle):
+            order.append(handle.params["n"])
+            time.sleep(0.01)
+            return None
+
+        q = JobQueue({JobType.FOLDER_RESCAN: runner})
+        for n in range(4):
+            q.enqueue("dbx", JobType.FOLDER_RESCAN, {"n": n})
+        assert q.wait_idle("dbx", timeout=10)
+        assert order == [0, 1, 2, 3]
+        status = q.status("dbx")
+        assert len(status["history"]) == 4
+        q.shutdown()
+
+    def test_dedupe_pending(self):
+        started = []
+
+        def slow_runner(handle):
+            started.append(handle.job_id)
+            time.sleep(0.05)
+
+        q = JobQueue({JobType.FOLDER_RESCAN: slow_runner})
+        a = q.enqueue("dbx", JobType.FOLDER_RESCAN, {"p": 1})
+        time.sleep(0.02)  # a starts running
+        b = q.enqueue("dbx", JobType.FOLDER_RESCAN, {"p": 1})
+        c = q.enqueue("dbx", JobType.FOLDER_RESCAN, {"p": 1})
+        assert b.job_id == c.job_id  # deduped while pending
+        q.wait_idle("dbx", timeout=10)
+        q.shutdown()
+
+    def test_failure_recorded(self):
+        def bad(handle):
+            raise RuntimeError("kaboom")
+
+        q = JobQueue({JobType.FOLDER_RESCAN: bad})
+        q.enqueue("dbx", JobType.FOLDER_RESCAN)
+        q.wait_idle("dbx", timeout=10)
+        hist = q.status("dbx")["history"]
+        assert hist[0]["state"] == "failed" and "kaboom" in hist[0]["error"]
+        q.shutdown()
+
+    def test_boundary_maintenance_synthesized(self):
+        ran = []
+
+        def data_job(handle):
+            ran.append("data")
+            return ChangeSummary(wrote_data=True, needs_analyze=True)
+
+        def maintenance(handle):
+            ran.append("maintenance")
+            return None
+
+        q = JobQueue({
+            JobType.DATA_EXTRACTION: data_job,
+            JobType.DB_MAINTENANCE: maintenance,
+        })
+        q.enqueue("dbx", JobType.DATA_EXTRACTION, {"a": 1})
+        q.enqueue("dbx", JobType.DATA_EXTRACTION, {"a": 2})
+        q.wait_idle("dbx", timeout=10)
+        # One maintenance pass at the back for the whole burst.
+        assert ran == ["data", "data", "maintenance"]
+        q.shutdown()
+
+
+class TestCron:
+    def test_field_matching(self):
+        t = time.struct_time((2026, 8, 16, 14, 30, 0, 5, 228, 0))
+        assert cron.cron_matches("30 14 * * *", t)
+        assert cron.cron_matches("*/10 * * * *", t)
+        assert cron.cron_matches("* * 16 8 *", t)
+        assert not cron.cron_matches("31 14 * * *", t)
+        assert not cron.cron_matches("30 15 * * *", t)
+        assert cron.cron_matches("25-35 * * * *", t)
+
+    def test_tick_enqueues_and_no_catchup(self, env):
+        db, writer = env["db"], env["writer"]
+        writer.call(
+            lambda c: store.set_config(
+                c, "cron_jobs",
+                [{"schedule": "* * * * *", "job": "folder_rescan", "params": {}}],
+            )
+        )
+        ran = []
+        q = JobQueue({JobType.FOLDER_RESCAN: lambda h: ran.append(1)})
+        sched = cron.CronScheduler(lambda: [db], q)
+        fired = sched.tick(now=1_000_000.0)
+        assert fired == [(db.name, "folder_rescan")]
+        # Same minute → no double fire (and no catch-up of missed minutes).
+        assert sched.tick(now=1_000_001.0) == []
+        q.wait_idle(db.name, 5)
+        q.shutdown()
+
+
+class TestSync:
+    def test_sync_all_rebuilds_index_from_db(self, env):
+        self._seed(env)
+        fresh = VectorIndex(chunk_rows=64)
+        added = index_sync.sync_all(env["db"], fresh)
+        assert added.get("clipper") == 2
+        snap = fresh.snapshot("clipper")
+        assert snap.size == 2
+
+    def test_sync_is_incremental(self, env):
+        self._seed(env)
+        idx = VectorIndex(chunk_rows=64)
+        assert index_sync.sync_space(env["db"], idx, "clipper") == 2
+        assert index_sync.sync_space(env["db"], idx, "clipper") == 0
+
+    @staticmethod
+    def _seed(env):
+        def unit(conn):
+            sid = store.upsert_setter(conn, "clipper")
+            for i in range(2):
+                item = store.upsert_item(conn, f"{i}{i}" * 32, "m" * 32, "image/png")
+                store.upsert_file(conn, item, f"{i}{i}" * 32, f"/x/{i}.png", "2026-01-01")
+                did = store.insert_item_data(conn, item, sid, "clip")
+                store.insert_embedding(
+                    conn, did, np.full(8, i + 1, dtype=np.float32)
+                )
+
+        env["writer"].call(unit)
