@@ -1,0 +1,81 @@
+"""Request policy layer: first-match policies, rulesets, DB pinning.
+
+aiohttp middleware replicating the reference's gateway policy semantics
+(src/policy.rs, docs/architecture.md:84-103): the listener (or Host header)
+selects the first matching policy; its ruleset allows or denies the
+method+path; a pinned ``index_db`` overrides the request's database
+selection (the test-listener pattern: a second endpoint whose policy pins
+throwaway DBs so previews can't touch real data); ``read_only`` policies
+reject mutating methods.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from aiohttp import web
+
+from panoptikon_tpu.config import PolicyConfig
+
+MUTATING = {"POST", "PUT", "DELETE", "PATCH"}
+# Mutation-free POST routes (search is a POST for body ergonomics).
+READONLY_POSTS = {"/api/search/pql"}
+
+
+def _rule_matches(rule: str, method: str, path: str) -> bool:
+    parts = rule.split(None, 1)
+    if len(parts) != 2:
+        return False
+    rule_method, prefix = parts
+    if rule_method != "*" and rule_method.upper() != method:
+        return False
+    return path.startswith(prefix)
+
+
+class PolicyEngine:
+    def __init__(self, policies: list[PolicyConfig]):
+        self.policies = policies
+
+    def select(self, host: Optional[str], listener_policy: Optional[str]) -> Optional[PolicyConfig]:
+        """First match wins: a listener-pinned policy short-circuits;
+        otherwise the first policy whose host list matches (empty = any)."""
+        if listener_policy:
+            for p in self.policies:
+                if p.name == listener_policy:
+                    return p
+        bare_host = (host or "").split(":", 1)[0]
+        for p in self.policies:
+            if not p.hosts or bare_host in p.hosts:
+                return p
+        return None
+
+    def check(self, policy: PolicyConfig, method: str, path: str) -> bool:
+        for rule in policy.deny:
+            if _rule_matches(rule, method, path):
+                return False
+        for rule in policy.allow:
+            if _rule_matches(rule, method, path):
+                if policy.read_only and method in MUTATING and path not in READONLY_POSTS:
+                    return False
+                return True
+        return False
+
+
+def policy_middleware(engine: PolicyEngine, listener_policy: Optional[str] = None):
+    @web.middleware
+    async def middleware(request: web.Request, handler):
+        policy = engine.select(request.headers.get("Host"), listener_policy)
+        if policy is None:
+            # No policies configured → allow (the reference's default
+            # single-listener config behaves this way).
+            if not engine.policies:
+                return await handler(request)
+            raise web.HTTPForbidden(reason="no policy matches this request")
+        if not engine.check(policy, request.method, request.path):
+            raise web.HTTPForbidden(reason=f"denied by policy {policy.name!r}")
+        if policy.index_db is not None:
+            # DB pinning: the policy's database overrides the query param.
+            request["pinned_index_db"] = policy.index_db
+        return await handler(request)
+
+    return middleware

@@ -1,0 +1,894 @@
+"""HTTP serving surface (aiohttp).
+
+The wire-compatible core of the reference's API (SURVEY.md §2a route
+table): PQL search with the epoch-validated span cache, item files/
+thumbnails, bookmarks, job management (queue, folders, quants, cron), and
+the inference surface (/predict, /load, /cache, /metadata, /health).
+
+Blocking work (SQLite, device scoring) runs in worker threads via
+``asyncio.to_thread``; the executor and writer are already thread-safe.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+from aiohttp import web
+
+from panoptikon_tpu.api.search_cache import (
+    EpochSnapshot,
+    SPAN_ROWS,
+    SpanCache,
+    query_cache_key,
+)
+from panoptikon_tpu.db import store
+from panoptikon_tpu.db.connection import Database, DatabaseRegistry
+from panoptikon_tpu.db.epochs import EPOCHS
+from panoptikon_tpu.db.writer import WriterRegistry
+from panoptikon_tpu.index.vector_index import VectorIndex
+from panoptikon_tpu.jobs import index_sync, reconcile, scan
+from panoptikon_tpu.jobs.cron import CronScheduler
+from panoptikon_tpu.jobs.extraction import run_extraction_job
+from panoptikon_tpu.jobs.queue import ChangeSummary, JobQueue, JobType
+from panoptikon_tpu.models.base import PredictionInput, is_error_slot
+from panoptikon_tpu.models.impls import IMPL_INDEX
+from panoptikon_tpu.models.manager import ModelManager
+from panoptikon_tpu.models.registry import Registry
+from panoptikon_tpu.pql import model as pql
+from panoptikon_tpu.pql.executor import Executor
+from panoptikon_tpu.pql.preprocess import EMBED_CACHE
+
+
+@dataclass
+class AppState:
+    data_root: Path
+    registry_dirs: tuple[Optional[Path], Optional[Path]] = (None, None)
+    databases: DatabaseRegistry = None
+    writers: WriterRegistry = None
+    indexes: dict[str, VectorIndex] = field(default_factory=dict)
+    executors: dict[str, Executor] = field(default_factory=dict)
+    manager: ModelManager = None
+    model_registry: Registry = None
+    queue: JobQueue = None
+    cron: CronScheduler = None
+    cache: SpanCache = field(default_factory=SpanCache)
+
+    @classmethod
+    def create(cls, data_root: str | Path, registry_dir=None, user_registry_dir=None):
+        state = cls(data_root=Path(data_root))
+        state.databases = DatabaseRegistry(state.data_root / "databases")
+        state.writers = WriterRegistry()
+        state.model_registry = Registry(registry_dir, user_registry_dir)
+        state.manager = ModelManager(state.model_registry, IMPL_INDEX)
+        state.queue = JobQueue(
+            {
+                JobType.FOLDER_RESCAN: state._run_rescan,
+                JobType.DATA_EXTRACTION: state._run_extraction,
+                JobType.VECTOR_QUANT_RECONCILE: state._run_reconcile,
+                JobType.JOB_DATA_DELETION: state._run_data_deletion,
+                JobType.DB_MAINTENANCE: state._run_maintenance,
+            }
+        )
+        state.cron = CronScheduler(
+            lambda: [state.databases.get(n) for n in state.databases.names()],
+            state.queue,
+        )
+        return state
+
+    # -- per-db accessors ---------------------------------------------------
+
+    def db(self, name: str) -> Database:
+        return self.databases.get(name)
+
+    def index(self, name: str) -> VectorIndex:
+        idx = self.indexes.get(name)
+        if idx is None:
+            idx = VectorIndex()
+            self.indexes[name] = idx
+            index_sync.sync_all(self.db(name), idx)
+        return idx
+
+    def executor(self, name: str) -> Executor:
+        ex = self.executors.get(name)
+        if ex is None:
+            ex = Executor(self.db(name), self.index(name), self.manager)
+            self.executors[name] = ex
+        return ex
+
+    def epochs(self, name: str) -> EpochSnapshot:
+        idx, user = EPOCHS.snapshot(name)
+        return EpochSnapshot(index=idx, user_data=user)
+
+    # -- job runners --------------------------------------------------------
+
+    def _run_rescan(self, handle):
+        db = self.db(handle.db_name)
+        writer = self.writers.get(db)
+        counters = scan.rescan_folders(
+            db, writer, folders=handle.params.get("folders"),
+            cancelled=lambda: handle.cancelled,
+        )
+        handle.result = counters.__dict__
+        summary = ChangeSummary(wrote_data=counters.new_files > 0)
+        return summary
+
+    def _run_extraction(self, handle):
+        db = self.db(handle.db_name)
+        writer = self.writers.get(db)
+        params = handle.params
+        inference_id = params["inference_id"]
+        group = inference_id.split("/", 1)[0]
+        meta = self.model_registry.group_metadata(group)
+        report = run_extraction_job(
+            db=db,
+            writer=writer,
+            index=self.index(handle.db_name),
+            manager=self.manager,
+            inference_id=inference_id,
+            setter_name=params.get("setter_name"),
+            output_type=params.get("output_type") or meta.get("output_type", "clip"),
+            mime_prefixes=tuple(
+                params.get("mime_types") or meta.get("input_mime_types", ["image/"])
+            ),
+            batch_size=int(
+                params.get("batch_size") or meta.get("default_batch_size", 16)
+            ),
+            threshold=params.get("threshold") or meta.get("default_threshold"),
+            target_entity=(
+                "text" if "text" in (meta.get("target_entities") or ["items"]) else "items"
+            ),
+            source_setters=tuple(params.get("source_setters") or ()),
+            cancelled=lambda: handle.cancelled,
+        )
+        handle.result = {
+            "processed": report.processed,
+            "segments": report.segments,
+            "input_errors": report.input_errors,
+            "transient_errors": report.transient_errors,
+        }
+        return report.summary
+
+    def _run_reconcile(self, handle):
+        db = self.db(handle.db_name)
+        report = reconcile.run_reconcile(
+            db, self.writers.get(db), self.index(handle.db_name),
+            cancelled=lambda: handle.cancelled,
+        )
+        handle.result = report.__dict__
+        return None
+
+    def _run_data_deletion(self, handle):
+        db = self.db(handle.db_name)
+        writer = self.writers.get(db)
+        setter = handle.params["setter_name"]
+        deleted = writer.call(lambda c: store.delete_setter_data(c, setter))
+        self.index(handle.db_name).remove_items  # keep device view coherent:
+        try:
+            idx = self.index(handle.db_name)
+            if setter in idx.space_names():
+                idx.compact(setter)
+        except KeyError:
+            pass
+        handle.result = {"deleted": deleted}
+        return ChangeSummary(wrote_data=True, tags_dirty=True, needs_analyze=True)
+
+    def _run_maintenance(self, handle):
+        db = self.db(handle.db_name)
+        writer = self.writers.get(db)
+        summary: ChangeSummary = handle.params.get("summary") or ChangeSummary()
+
+        def unit(conn):
+            if summary.tags_dirty:
+                store.recount_tags(conn)
+            if summary.needs_analyze:
+                conn.execute("ANALYZE")
+            conn.execute("PRAGMA wal_checkpoint(PASSIVE)")
+
+        writer.call(unit)
+        return None
+
+    def shutdown(self) -> None:
+        self.cron.stop()
+        self.queue.shutdown()
+        self.manager.shutdown()
+        self.writers.close_all()
+
+
+def _db_name(request) -> str:
+    # A policy's DB pin overrides the caller's selection (policy.rs DB
+    # pinning — the test-listener isolation pattern).
+    pinned = request.get("pinned_index_db")
+    if pinned:
+        return pinned
+    return request.query.get("index_db", "default")
+
+
+def _json_error(status: int, message: str):
+    return web.json_response({"error": message}, status=status)
+
+
+# ---------------------------------------------------------------------------
+# Handlers
+# ---------------------------------------------------------------------------
+
+
+async def search_pql(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    try:
+        payload = await request.json()
+    except Exception:
+        return _json_error(400, "invalid JSON body")
+
+    def run():
+        query = pql.PqlQuery.from_json(payload)
+        seed, synthesized = query.resolve_seed()
+        use_cache = query.cache and not synthesized
+        cache_payload = dict(payload)
+        if seed is not None:
+            cache_payload["seed"] = seed
+        key = query_cache_key(cache_payload) if use_cache else None
+        epochs = state.epochs(name)
+        ex = state.executor(name)
+        count = None
+        rows = None
+        outcome = "bypass"
+        if use_cache:
+            outcome = "miss"
+            if query.count:
+                count = state.cache.lookup_count(key, epochs)
+            if query.results:
+                offset = (query.page - 1) * query.page_size
+                rows = state.cache.lookup_rows(key, offset, query.page_size, epochs)
+            if (not query.count or count is not None) and (
+                not query.results or rows is not None
+            ):
+                outcome = "hit"
+        if outcome != "hit":
+            # Prefetch amortization (model.rs prefetch_rows): execute once
+            # with a span-aligned expanded window and cache every full span.
+            prefetch = max(query.page_size, min(int(query.prefetch_rows), 10_000))
+            offset = (query.page - 1) * query.page_size
+            aligned = (offset // SPAN_ROWS) * SPAN_ROWS
+            span_budget = (offset - aligned) + prefetch
+            # Round up to whole spans so cached spans are always full-width.
+            span_budget = ((span_budget + SPAN_ROWS - 1) // SPAN_ROWS) * SPAN_ROWS
+            exec_query = pql.PqlQuery.from_json(payload)
+            exec_query.seed = seed
+            exec_query.page = 1
+            exec_query.page_size = aligned + span_budget
+            result = ex.execute(exec_query)
+            all_rows = result.results[aligned:]
+            window = all_rows[offset - aligned : offset - aligned + query.page_size]
+            if query.count:
+                count = result.count
+            rows = window if query.results else []
+            if use_cache:
+                terminal = (
+                    result.count is not None
+                    and aligned + len(all_rows) >= result.count
+                )
+                state.cache.insert_rows(key, aligned, all_rows, epochs, terminal)
+                if result.count is not None:
+                    state.cache.insert_count(key, result.count, epochs)
+        return {
+            "count": count,
+            "results": rows if query.results else [],
+            "seed": seed,
+            "cache": outcome,
+        }
+
+    try:
+        out = await asyncio.to_thread(run)
+    except pql.PqlError as exc:
+        return _json_error(400, str(exc))
+    return web.json_response(out)
+
+
+async def search_stats(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+
+    def run():
+        conn = state.db(name).reader()
+        setters = conn.execute(
+            """SELECT s.name, d.data_type, COUNT(*) FROM setters s
+               JOIN item_data d ON d.setter_id = s.id
+               GROUP BY s.name, d.data_type"""
+        ).fetchall()
+        files = conn.execute("SELECT COUNT(*) FROM files WHERE available=1").fetchone()[0]
+        items = conn.execute("SELECT COUNT(*) FROM items").fetchone()[0]
+        return {
+            "files": files,
+            "items": items,
+            "setters": [
+                {"name": s, "output_type": t, "count": c} for s, t, c in setters
+            ],
+            "spaces": state.index(name).stats(),
+        }
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+async def cache_stats(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    return web.json_response(state.cache.stats())
+
+
+async def cache_clear(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    state.cache.clear()
+    return web.json_response({"ok": True})
+
+
+async def cache_resize(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    body = await request.json()
+    state.cache.resize(int(body["byte_budget"]))
+    return web.json_response(state.cache.stats())
+
+
+async def embed_cache_stats(request: web.Request) -> web.Response:
+    return web.json_response(EMBED_CACHE.stats())
+
+
+async def item_file(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    sha = request.match_info["sha256"]
+
+    def run():
+        conn = state.db(name).reader()
+        row = conn.execute(
+            """SELECT f.path, i.type FROM files f JOIN items i ON i.id=f.item_id
+               WHERE f.sha256 = ? AND f.available = 1 LIMIT 1""",
+            (sha,),
+        ).fetchone()
+        return row
+
+    row = await asyncio.to_thread(run)
+    if row is None:
+        return _json_error(404, "item not found")
+    path, mime = row
+    if not Path(path).exists():
+        return _json_error(404, "file missing on disk")
+    return web.FileResponse(path, headers={"Content-Type": mime})
+
+
+async def item_thumbnail(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    sha = request.match_info["sha256"]
+
+    def run():
+        conn = state.db(name).reader()
+        return conn.execute(
+            "SELECT thumbnail FROM storage.thumbnails WHERE item_sha256=? ORDER BY idx LIMIT 1",
+            (sha,),
+        ).fetchone()
+
+    row = await asyncio.to_thread(run)
+    if row is None:
+        return _json_error(404, "no thumbnail")
+    return web.Response(body=row[0], content_type="image/jpeg")
+
+
+async def item_metadata(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    sha = request.match_info["sha256"]
+
+    def run():
+        conn = state.db(name).reader()
+        conn.row_factory = None
+        item = conn.execute("SELECT * FROM items WHERE sha256=?", (sha,)).fetchone()
+        if item is None:
+            return None
+        cols = [d[0] for d in conn.execute("SELECT * FROM items LIMIT 0").description]
+        meta = dict(zip(cols, item))
+        item_id = meta["id"]
+        meta["files"] = [
+            {"path": p, "available": bool(a)}
+            for p, a in conn.execute(
+                "SELECT path, available FROM files WHERE item_id=?", (item_id,)
+            ).fetchall()
+        ]
+        meta["text"] = [
+            {"setter": s, "text": t, "language": lang, "confidence": c}
+            for s, t, lang, c in conn.execute(
+                """SELECT st.name, t.text, t.language, t.confidence
+                   FROM extracted_text t JOIN item_data d ON d.id = t.id
+                   JOIN setters st ON st.id = d.setter_id
+                   WHERE d.item_id = ?""",
+                (item_id,),
+            ).fetchall()
+        ]
+        meta["tags"] = [
+            {"namespace": ns, "name": n, "confidence": c}
+            for ns, n, c in conn.execute(
+                """SELECT tg.namespace, tg.name, MAX(ti.confidence)
+                   FROM tags_items ti JOIN tags tg ON tg.id = ti.tag_id
+                   WHERE ti.item_id = ? GROUP BY tg.namespace, tg.name""",
+                (item_id,),
+            ).fetchall()
+        ]
+        return meta
+
+    meta = await asyncio.to_thread(run)
+    if meta is None:
+        return _json_error(404, "item not found")
+    return web.json_response(meta)
+
+
+async def tags_top(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    limit = int(request.query.get("limit", 100))
+
+    def run():
+        conn = state.db(name).reader()
+        return [
+            {"namespace": ns, "name": n, "count": c}
+            for ns, n, c in conn.execute(
+                "SELECT namespace, name, item_count FROM tags ORDER BY item_count DESC LIMIT ?",
+                (limit,),
+            ).fetchall()
+        ]
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+async def tags_autocomplete(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    prefix = request.query.get("q", "")
+    limit = int(request.query.get("limit", 25))
+
+    def run():
+        conn = state.db(name).reader()
+        return [
+            {"namespace": ns, "name": n, "count": c}
+            for ns, n, c in conn.execute(
+                """SELECT namespace, name, item_count FROM tags
+                   WHERE name LIKE ? ORDER BY item_count DESC LIMIT ?""",
+                (prefix + "%", limit),
+            ).fetchall()
+        ]
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+# -- bookmarks ---------------------------------------------------------------
+
+
+async def bookmarks_list(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    user = request.match_info.get("user", "user")
+    namespace = request.query.get("namespace")
+
+    def run():
+        conn = state.db(name).reader()
+        sql = "SELECT namespace, sha256, time_added, metadata FROM user_data.bookmarks WHERE user IN (?, '*')"
+        params = [user]
+        if namespace:
+            sql += " AND namespace = ?"
+            params.append(namespace)
+        return [
+            {"namespace": ns, "sha256": sha, "time_added": t,
+             "metadata": json.loads(m) if m else None}
+            for ns, sha, t, m in conn.execute(sql, params).fetchall()
+        ]
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+async def bookmarks_put(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    user = request.match_info["user"]
+    namespace = request.match_info["namespace"]
+    sha = request.match_info["sha256"]
+    body = await request.json() if request.can_read_body else {}
+
+    def run():
+        conn = state.db(name).user_data_write_connection()
+        try:
+            with conn:
+                conn.execute(
+                    """INSERT INTO bookmarks (user, namespace, sha256, time_added, metadata)
+                       VALUES (?,?,?,?,?)
+                       ON CONFLICT(user, namespace, sha256) DO UPDATE SET
+                         metadata=excluded.metadata""",
+                    (user, namespace, sha, store.now_iso(),
+                     json.dumps(body.get("metadata")) if body.get("metadata") else None),
+                )
+        finally:
+            conn.close()
+        EPOCHS.bump_user_data(name)
+
+    await asyncio.to_thread(run)
+    return web.json_response({"ok": True})
+
+
+async def bookmarks_delete(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    user = request.match_info["user"]
+    namespace = request.match_info["namespace"]
+    sha = request.match_info["sha256"]
+
+    def run():
+        conn = state.db(name).user_data_write_connection()
+        try:
+            with conn:
+                cur = conn.execute(
+                    "DELETE FROM bookmarks WHERE user=? AND namespace=? AND sha256=?",
+                    (user, namespace, sha),
+                )
+                return cur.rowcount
+        finally:
+            conn.close()
+
+    deleted = await asyncio.to_thread(run)
+    if deleted:
+        EPOCHS.bump_user_data(name)
+    return web.json_response({"deleted": bool(deleted)})
+
+
+# -- jobs --------------------------------------------------------------------
+
+
+async def jobs_status(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    return web.json_response(state.queue.status(_db_name(request)))
+
+
+async def jobs_cancel(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    job_id = int(request.match_info["job_id"])
+    ok = state.queue.cancel(_db_name(request), job_id)
+    return web.json_response({"cancelled": ok})
+
+
+async def jobs_enqueue_extraction(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    body = await request.json()
+    if "inference_id" not in body:
+        return _json_error(400, "inference_id required")
+    handle = state.queue.enqueue(
+        _db_name(request), JobType.DATA_EXTRACTION, body
+    )
+    return web.json_response({"job_id": handle.job_id})
+
+
+async def jobs_delete_setter_data(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    body = await request.json()
+    handle = state.queue.enqueue(
+        _db_name(request), JobType.JOB_DATA_DELETION,
+        {"setter_name": body["setter_name"]},
+    )
+    return web.json_response({"job_id": handle.job_id})
+
+
+async def folders_get(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+
+    def run():
+        return [
+            {"path": p, "included": inc}
+            for p, inc in store.list_folders(state.db(name).reader())
+        ]
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+async def folders_put(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    body = await request.json()
+
+    def run():
+        db = state.db(name)
+        writer = state.writers.get(db)
+
+        def unit(conn):
+            for path in body.get("included", []):
+                store.add_folder(conn, path, True)
+            for path in body.get("excluded", []):
+                store.add_folder(conn, path, False)
+
+        writer.call(unit)
+
+    await asyncio.to_thread(run)
+    if body.get("rescan", True):
+        state.queue.enqueue(name, JobType.FOLDER_RESCAN)
+    return web.json_response({"ok": True})
+
+
+async def folders_rescan(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    handle = state.queue.enqueue(_db_name(request), JobType.FOLDER_RESCAN)
+    return web.json_response({"job_id": handle.job_id})
+
+
+async def quants_status(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    return web.json_response(
+        await asyncio.to_thread(reconcile.coverage_status, state.db(name))
+    )
+
+
+async def quants_reconcile(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    handle = state.queue.enqueue(_db_name(request), JobType.VECTOR_QUANT_RECONCILE)
+    return web.json_response({"job_id": handle.job_id})
+
+
+async def cron_get(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+
+    def run():
+        return store.get_config(state.db(name).reader(), "cron_jobs", [])
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+async def cron_put(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    body = await request.json()
+
+    def run():
+        db = state.db(name)
+        state.writers.get(db).call(lambda c: store.set_config(c, "cron_jobs", body))
+
+    await asyncio.to_thread(run)
+    return web.json_response({"ok": True})
+
+
+async def db_list(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    return web.json_response({"databases": state.databases.names() or ["default"]})
+
+
+# -- inference surface -------------------------------------------------------
+
+
+async def inferio_predict(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    group = request.match_info["group"]
+    inference_id = request.match_info["inference_id"]
+    cache_key = request.query.get("cache_key", "default")
+    lru_size = int(request.query.get("lru_size", 1))
+    ttl = float(request.query.get("ttl_seconds", 3600))
+
+    inputs: list[PredictionInput] = []
+    if request.content_type.startswith("multipart/"):
+        data_items: list = []
+        files: dict[int, bytes] = {}
+        reader = await request.multipart()
+        async for part in reader:
+            if part.name == "data":
+                payload = json.loads(await part.text())
+                data_items = payload.get("inputs", payload) if isinstance(payload, dict) else payload
+            elif part.name and part.name.isdigit():
+                files[int(part.name)] = await part.read()
+        for i, data in enumerate(data_items):
+            inputs.append(PredictionInput(data=data, file=files.get(i)))
+    else:
+        body = await request.json()
+        for entry in body.get("inputs", []):
+            file_bytes = None
+            if isinstance(entry, dict) and "file_b64" in entry:
+                file_bytes = base64.b64decode(entry.pop("file_b64"))
+            inputs.append(PredictionInput(data=entry, file=file_bytes))
+
+    def run():
+        return state.manager.predict(
+            f"{group}/{inference_id}", inputs,
+            cache_key=cache_key, lru_size=lru_size, ttl_seconds=ttl,
+        )
+
+    try:
+        outputs = await asyncio.to_thread(run)
+    except Exception as exc:
+        return _json_error(500, str(exc))
+    encoded = []
+    for out in outputs:
+        if isinstance(out, bytes):
+            encoded.append(
+                {"__type__": "base64", "content": base64.b64encode(out).decode()}
+            )
+        else:
+            encoded.append(out)
+    return web.json_response({"outputs": encoded})
+
+
+async def inferio_load(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    group = request.match_info["group"]
+    inference_id = request.match_info["inference_id"]
+    cache_key = request.query.get("cache_key", "default")
+    lru_size = int(request.query.get("lru_size", 1))
+    ttl = float(request.query.get("ttl_seconds", 3600))
+
+    def run():
+        state.manager.load_model(
+            f"{group}/{inference_id}", cache_key=cache_key,
+            lru_size=lru_size, ttl_seconds=ttl,
+        )
+
+    try:
+        await asyncio.to_thread(run)
+    except Exception as exc:
+        return _json_error(500, str(exc))
+    return web.json_response({"ok": True})
+
+
+async def inferio_unload(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    group = request.match_info["group"]
+    inference_id = request.match_info["inference_id"]
+    cache_key = request.query.get("cache_key")
+    gone = state.manager.unload_model(f"{group}/{inference_id}", cache_key)
+    return web.json_response({"unloaded": gone})
+
+
+async def inferio_metadata(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    try:
+        return web.json_response(await asyncio.to_thread(state.model_registry.metadata))
+    except Exception as exc:
+        return _json_error(500, str(exc))
+
+
+async def inferio_cache_list(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    return web.json_response(state.manager.loaded_models())
+
+
+async def inferio_cache_clear(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    cache_key = request.match_info["cache_key"]
+    state.manager.clear_cache(cache_key)
+    return web.json_response({"ok": True})
+
+
+async def health(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    report = state.manager.health()
+    try:
+        state.model_registry.load()
+        report["registry_ok"] = True
+    except Exception:
+        report["registry_ok"] = False
+    return web.json_response(report)
+
+
+def build_app(
+    state: AppState,
+    policies=None,
+    listener_policy: str | None = None,
+) -> web.Application:
+    middlewares = []
+    if policies:
+        from panoptikon_tpu.api.policy import PolicyEngine, policy_middleware
+
+        middlewares.append(
+            policy_middleware(PolicyEngine(policies), listener_policy)
+        )
+    app = web.Application(
+        client_max_size=16 * 1024 * 1024, middlewares=middlewares
+    )
+    app["state"] = state
+    app.add_routes(
+        [
+            web.post("/api/search/pql", search_pql),
+            web.get("/api/search/stats", search_stats),
+            web.get("/api/search/cache", cache_stats),
+            web.put("/api/search/cache", cache_resize),
+            web.delete("/api/search/cache", cache_clear),
+            web.get("/api/search/embeddings/cache", embed_cache_stats),
+            web.get("/api/search/tags/top", tags_top),
+            web.get("/api/search/tags", tags_autocomplete),
+            web.get("/api/items/{sha256}/file", item_file),
+            web.get("/api/items/{sha256}/thumbnail", item_thumbnail),
+            web.get("/api/items/{sha256}", item_metadata),
+            web.get("/api/bookmarks/{user}", bookmarks_list),
+            web.put("/api/bookmarks/{user}/{namespace}/{sha256}", bookmarks_put),
+            web.delete("/api/bookmarks/{user}/{namespace}/{sha256}", bookmarks_delete),
+            web.get("/api/jobs/queue", jobs_status),
+            web.delete("/api/jobs/queue/{job_id}", jobs_cancel),
+            web.post("/api/jobs/data/extraction", jobs_enqueue_extraction),
+            web.delete("/api/jobs/data", jobs_delete_setter_data),
+            web.get("/api/jobs/folders", folders_get),
+            web.put("/api/jobs/folders", folders_put),
+            web.post("/api/jobs/folders/rescan", folders_rescan),
+            web.get("/api/jobs/quants", quants_status),
+            web.post("/api/jobs/quants/reconcile", quants_reconcile),
+            web.get("/api/jobs/cron", cron_get),
+            web.put("/api/jobs/cron", cron_put),
+            web.get("/api/db", db_list),
+            web.post("/predict/{group}/{inference_id}", inferio_predict),
+            web.put("/load/{group}/{inference_id}", inferio_load),
+            web.delete("/load/{group}/{inference_id}", inferio_unload),
+            web.get("/metadata", inferio_metadata),
+            web.get("/cache", inferio_cache_list),
+            web.delete("/cache/{cache_key}", inferio_cache_clear),
+            web.get("/health", health),
+        ]
+    )
+    return app
+
+
+async def serve_all(settings, state: AppState) -> list[web.AppRunner]:
+    """Bind ALL configured listeners before serving any (main.rs:637-646),
+    each with its policy-pinned app."""
+    runners = []
+    for listener in settings.listeners:
+        app = build_app(state, settings.policies, listener.policy)
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, listener.host, listener.port)
+        await site.start()
+        runners.append(runner)
+    return runners
+
+
+def main() -> None:
+    import argparse
+
+    from panoptikon_tpu.config import Settings
+
+    parser = argparse.ArgumentParser(description="panoptikon_tpu server")
+    parser.add_argument("--config", default=None, help="server TOML path")
+    parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--host", default=None)
+    parser.add_argument("--data-root", default=None)
+    parser.add_argument("--registry-dir", default=None)
+    args = parser.parse_args()
+
+    settings = Settings.load(args.config)
+    if args.data_root:
+        settings.data_root = args.data_root
+    if args.port or args.host:
+        settings.listeners[0].port = args.port or settings.listeners[0].port
+        settings.listeners[0].host = args.host or settings.listeners[0].host
+    registry_dir = args.registry_dir or settings.inference.registry_dir
+    state = AppState.create(
+        settings.data_root, registry_dir, settings.inference.user_registry_dir
+    )
+    state.cache.resize(settings.search.cache_bytes)
+    state.cron.start()
+
+    async def run():
+        runners = await serve_all(settings, state)
+        for listener in settings.listeners:
+            print(f"listening on http://{listener.host}:{listener.port}")
+        try:
+            while True:
+                await asyncio.sleep(3600)
+        finally:
+            for runner in runners:
+                await runner.cleanup()
+
+    try:
+        asyncio.run(run())
+    except KeyboardInterrupt:
+        pass
+    finally:
+        state.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Server settings: layered typed configuration.
+
+The reference's ``Settings`` (src/config.rs) reduced to the surfaces this
+framework serves: listeners/endpoints, data root, search, jobs, inference
+and policy sections, loaded from TOML with ``${VAR}`` templating applied to
+every string (architecture.md:52-66) after a ``.env`` auto-load. Layering:
+defaults → TOML file → environment templating; per-DB runtime state lives
+in the databases themselves (db.store system_config), not here.
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional
+
+from panoptikon_tpu.utils.env_template import load_dotenv, resolve_tree
+
+
+@dataclass
+class ListenerConfig:
+    host: str = "127.0.0.1"
+    port: int = 6342
+    policy: Optional[str] = None  # name of the policy pinned to this listener
+
+
+@dataclass
+class PolicyConfig:
+    """First-match request policy (reference policy.rs): optional host
+    match, a ruleset of allowed method+path prefixes, and DB pinning."""
+
+    name: str = "default"
+    hosts: list[str] = field(default_factory=list)  # empty = any host
+    allow: list[str] = field(default_factory=lambda: ["* /"])  # "METHOD /prefix"
+    deny: list[str] = field(default_factory=list)
+    index_db: Optional[str] = None  # pin requests to this database
+    read_only: bool = False
+
+
+@dataclass
+class SearchConfig:
+    cache_bytes: int = 256 * 1024 * 1024
+    embedding_cache_entries: int = 256
+    prefetch_rows_cap: int = 10_000
+
+
+@dataclass
+class JobsConfig:
+    loader_concurrency: int = 4
+    default_batch_size: int = 16
+    scan_thumbnails: bool = True
+
+
+@dataclass
+class InferenceConfig:
+    registry_dir: Optional[str] = None
+    user_registry_dir: Optional[str] = None
+    default_ttl_seconds: float = 3600.0
+    # Federation upstreams (jobs/inference_pool.rs): [{url, weight}].
+    upstreams: list[dict] = field(default_factory=list)
+
+
+@dataclass
+class LoggingConfig:
+    level: str = "info"
+    file: Optional[str] = None
+
+
+@dataclass
+class Settings:
+    data_root: str = "./data"
+    listeners: list[ListenerConfig] = field(
+        default_factory=lambda: [ListenerConfig()]
+    )
+    policies: list[PolicyConfig] = field(default_factory=list)
+    search: SearchConfig = field(default_factory=SearchConfig)
+    jobs: JobsConfig = field(default_factory=JobsConfig)
+    inference: InferenceConfig = field(default_factory=InferenceConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+
+    @classmethod
+    def load(cls, path: str | Path | None = None, root: str | Path = ".") -> "Settings":
+        load_dotenv(Path(root) / ".env")
+        raw: dict[str, Any] = {}
+        if path is not None and Path(path).is_file():
+            raw = tomllib.loads(Path(path).read_text())
+        raw = resolve_tree(raw)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> "Settings":
+        s = cls()
+        if "data_root" in raw:
+            s.data_root = str(raw["data_root"])
+        if "listeners" in raw:
+            s.listeners = [
+                ListenerConfig(
+                    host=l.get("host", "127.0.0.1"),
+                    port=int(l.get("port", 6342)),
+                    policy=l.get("policy"),
+                )
+                for l in raw["listeners"]
+            ]
+        if "policies" in raw:
+            s.policies = [
+                PolicyConfig(
+                    name=p.get("name", f"policy{i}"),
+                    hosts=list(p.get("hosts", [])),
+                    allow=list(p.get("allow", ["* /"])),
+                    deny=list(p.get("deny", [])),
+                    index_db=p.get("index_db"),
+                    read_only=bool(p.get("read_only", False)),
+                )
+                for i, p in enumerate(raw["policies"])
+            ]
+        search = raw.get("search", {})
+        s.search = SearchConfig(
+            cache_bytes=int(search.get("cache_bytes", s.search.cache_bytes)),
+            embedding_cache_entries=int(
+                search.get("embedding_cache_entries", s.search.embedding_cache_entries)
+            ),
+            prefetch_rows_cap=int(
+                search.get("prefetch_rows_cap", s.search.prefetch_rows_cap)
+            ),
+        )
+        jobs = raw.get("jobs", {})
+        s.jobs = JobsConfig(
+            loader_concurrency=int(jobs.get("loader_concurrency", 4)),
+            default_batch_size=int(jobs.get("default_batch_size", 16)),
+            scan_thumbnails=bool(jobs.get("scan_thumbnails", True)),
+        )
+        inf = raw.get("inference", {})
+        s.inference = InferenceConfig(
+            registry_dir=inf.get("registry_dir"),
+            user_registry_dir=inf.get("user_registry_dir"),
+            default_ttl_seconds=float(inf.get("default_ttl_seconds", 3600.0)),
+            upstreams=list(inf.get("upstreams", [])),
+        )
+        logging = raw.get("logging", {})
+        s.logging = LoggingConfig(
+            level=logging.get("level", "info"), file=logging.get("file")
+        )
+        return s

@@ -88,7 +88,9 @@ def run_extraction_job(
     ``'text'`` feeds previously extracted text rows (text-embedding models,
     whose work query is the derived-data one — HasUnprocessedData).
     """
-    setter = setter_name or inference_id.rsplit("/", 1)[-1]
+    # Setter identity IS the full inference id ("group/name") — the same
+    # naming the reference records, and what PQL's `model` field resolves.
+    setter = setter_name or inference_id
     report = ExtractionReport(setter=setter)
     conn = db.reader()
 

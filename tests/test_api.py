@@ -1,0 +1,209 @@
+"""HTTP API tests: drive the real aiohttp app end-to-end (the reference's
+http.rs pattern — real router, ephemeral port, fixture models)."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from panoptikon_tpu.api.server import AppState, build_app
+from panoptikon_tpu.db import store
+
+REG_TOML = """
+[group.clip]
+config.impl_class = "clip"
+config.model_arch = "test-tiny"
+[group.clip.metadata]
+name = "CLIP"
+output_type = "clip"
+input_mime_types = ["image/"]
+default_batch_size = 4
+[group.clip.inference_ids.tiny]
+metadata.description = "tiny clip"
+
+[group.fixtures]
+config.impl_class = "echo_impl"
+[group.fixtures.inference_ids.echo]
+"""
+
+
+def make_png(path, color, size=(40, 40)):
+    from PIL import Image
+
+    Image.new("RGB", size, color).save(path)
+
+
+@pytest.fixture
+def client_env(tmp_path):
+    media = tmp_path / "media"
+    media.mkdir()
+    for i, color in enumerate([(255, 0, 0), (0, 255, 0), (0, 0, 255)]):
+        make_png(media / f"img{i}.png", color)
+    reg = tmp_path / "registry"
+    reg.mkdir()
+    (reg / "00.toml").write_text(REG_TOML)
+    state = AppState.create(tmp_path / "data", reg)
+    app = build_app(state)
+
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+
+    def call(method, path, **kwargs):
+        async def do():
+            resp = await client.request(method, path, **kwargs)
+            body = await resp.json() if resp.content_type == "application/json" else await resp.read()
+            return resp.status, body
+
+        return loop.run_until_complete(do())
+
+    yield {"call": call, "state": state, "media": media, "tmp": tmp_path}
+    loop.run_until_complete(client.close())
+    state.shutdown()
+    loop.close()
+
+
+def wait_jobs(state, db="default"):
+    assert state.queue.wait_idle(db, timeout=120)
+
+
+class TestLifecycle:
+    def test_full_flow(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+
+        # Health + metadata surfaces.
+        status, body = call("GET", "/health")
+        assert status == 200 and body["registry_ok"]
+        status, meta = call("GET", "/metadata")
+        assert "clip" in meta and meta["clip"]["group_metadata"]["name"] == "CLIP"
+
+        # Register a folder → rescan job.
+        status, body = call(
+            "PUT", "/api/jobs/folders",
+            json={"included": [str(client_env["media"])]},
+        )
+        assert status == 200
+        wait_jobs(state)
+        status, stats = call("GET", "/api/search/stats")
+        assert stats["files"] == 3
+
+        # Run CLIP extraction.
+        status, body = call(
+            "POST", "/api/jobs/data/extraction",
+            json={"inference_id": "clip/tiny"},
+        )
+        assert status == 200
+        wait_jobs(state)
+        status, jobs = call("GET", "/api/jobs/queue")
+        states = [h["state"] for h in jobs["history"]]
+        assert "failed" not in states, jobs["history"]
+
+        # Quant coverage went ready via the finishing phase.
+        status, quants = call("GET", "/api/jobs/quants")
+        assert quants and quants[0]["state"] == "ready"
+
+        # Semantic search through the API using a server-side embed.
+        status, res = call(
+            "POST", "/api/search/pql",
+            json={
+                "query": {
+                    "image_embeddings": {"query": "a red image", "model": "clip/tiny"}
+                },
+                "page_size": 3,
+            },
+        )
+        assert status == 200, res
+        assert res["count"] == 3 and len(res["results"]) == 3
+
+        # Item surfaces.
+        sha = res["results"][0]["sha256"]
+        status, meta = call("GET", f"/api/items/{sha}")
+        assert status == 200 and meta["sha256"] == sha
+        status, thumb = call("GET", f"/api/items/{sha}/thumbnail")
+        assert status == 200 and thumb[:3] == b"\xff\xd8\xff"
+        status, blob = call("GET", f"/api/items/{sha}/file")
+        assert status == 200 and bytes(blob[:8]) == b"\x89PNG\r\n\x1a\n"
+
+    def test_search_cache_hit_and_epoch_invalidation(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders", json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+        q = {"page_size": 2, "order_by": [{"order_by": "file_id"}]}
+        s1, r1 = call("POST", "/api/search/pql", json=q)
+        assert r1["cache"] == "miss"
+        s2, r2 = call("POST", "/api/search/pql", json=q)
+        assert r2["cache"] == "hit"
+        assert r1["results"] == r2["results"]
+        # A write bumps the epoch → miss again.
+        db = state.db("default")
+        state.writers.get(db).call(
+            lambda c: store.upsert_item(c, "f" * 64, "0" * 32, "image/png")
+        )
+        s3, r3 = call("POST", "/api/search/pql", json=q)
+        assert r3["cache"] == "miss"
+
+    def test_cache_bypass_flag(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders", json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+        q = {"page_size": 2, "cache": False}
+        _, r1 = call("POST", "/api/search/pql", json=q)
+        _, r2 = call("POST", "/api/search/pql", json=q)
+        assert r1["cache"] == "bypass" and r2["cache"] == "bypass"
+
+    def test_predict_endpoint_json(self, client_env):
+        call = client_env["call"]
+        status, body = call(
+            "POST", "/predict/fixtures/echo",
+            json={"inputs": [{"x": 1}, {"x": 2}]},
+        )
+        assert status == 200
+        assert body["outputs"][0]["echo"] == {"x": 1}
+
+    def test_model_cache_surfaces(self, client_env):
+        call = client_env["call"]
+        status, _ = call("PUT", "/load/fixtures/echo?cache_key=k1")
+        assert status == 200
+        status, loaded = call("GET", "/cache")
+        assert "fixtures/echo" in loaded
+        status, _ = call("DELETE", "/cache/k1")
+        status, loaded = call("GET", "/cache")
+        assert "fixtures/echo" not in loaded
+
+    def test_bookmarks_flow(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders", json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+        _, stats = call("POST", "/api/search/pql", json={"page_size": 1})
+        sha = stats["results"][0]["sha256"]
+        status, _ = call("PUT", f"/api/bookmarks/user/favorites/{sha}", json={})
+        assert status == 200
+        _, lst = call("GET", "/api/bookmarks/user")
+        assert len(lst) == 1 and lst[0]["sha256"] == sha
+        # PQL sees it.
+        _, res = call(
+            "POST", "/api/search/pql",
+            json={"query": {"in_bookmarks": {"namespaces": ["favorites"]}},
+                  "page_size": 10},
+        )
+        assert res["count"] == 1
+        status, body = call("DELETE", f"/api/bookmarks/user/favorites/{sha}")
+        assert body["deleted"]
+
+    def test_invalid_pql_is_400(self, client_env):
+        call = client_env["call"]
+        status, body = call(
+            "POST", "/api/search/pql",
+            json={"query": {"match": {"eq": {"bogus_column": 1}}}},
+        )
+        assert status == 400 and "bogus_column" in body["error"]
+
+    def test_cron_config_roundtrip(self, client_env):
+        call = client_env["call"]
+        jobs = [{"schedule": "0 3 * * *", "job": "folder_rescan", "params": {}}]
+        status, _ = call("PUT", "/api/jobs/cron", json=jobs)
+        assert status == 200
+        _, got = call("GET", "/api/jobs/cron")
+        assert got == jobs
