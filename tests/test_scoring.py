@@ -127,6 +127,61 @@ class TestStreamingTopk:
         np.testing.assert_array_equal(np.asarray(idx)[0], [0, 1, 2, 3])
 
 
+class TestRescoredPath:
+    def test_rescored_matches_exact_membership(self, corpus, queries):
+        scale = codec.scale_from_absmax(codec.corpus_absmax(corpus))
+        codes = codec.quantize_int8(corpus, scale)
+        q_codes = codec.compute_query_quant(queries, scale)
+        n = corpus.shape[0]
+        dist, idx, valid = scoring.int8_topk_rescored(
+            codes,
+            np.asarray(scoring.row_sumsq(codes)),
+            np.ones(n, bool),
+            corpus,
+            q_codes,
+            queries,
+            k=10,
+            oversample=8,
+            distance="cosine",
+            scale=scale,
+        )
+        _, e_idx, _ = exact.exact_search(
+            corpus, np.ones(n, bool), np.arange(n, dtype=np.int32), queries,
+            num_groups=n, k=10, distance="cosine",
+        )
+        # Rescoring re-ranks candidates at full precision: near-perfect
+        # agreement with exact on a 512-vector corpus.
+        for qi in range(queries.shape[0]):
+            overlap = len(set(np.asarray(idx)[qi]) & set(np.asarray(e_idx)[qi]))
+            assert overlap == 10
+        # Values are true f32 distances (rescored), not code-space.
+        ref = 1.0 - corpus @ queries[0] / (
+            np.linalg.norm(corpus, axis=1) * np.linalg.norm(queries[0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist)[0], np.sort(ref)[:10], atol=1e-4
+        )
+
+    def test_rescored_padding_masked(self, corpus, queries):
+        n = corpus.shape[0]
+        scale = codec.scale_from_absmax(codec.corpus_absmax(corpus))
+        codes = codec.quantize_int8(corpus, scale)
+        valid = np.ones(n, bool)
+        valid[100:] = False
+        _, idx, _ = scoring.int8_topk_rescored(
+            codes,
+            np.asarray(scoring.row_sumsq(codes)),
+            valid,
+            corpus,
+            codec.compute_query_quant(queries[:1], scale),
+            queries[:1],
+            k=10,
+            distance="cosine",
+            scale=scale,
+        )
+        assert (np.asarray(idx)[0] < 100).all()
+
+
 class TestStreamingGrouped:
     @pytest.mark.parametrize("agg", ["min", "max", "avg"])
     def test_matches_exact_aggregation(self, corpus, queries, agg):
