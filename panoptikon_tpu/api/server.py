@@ -541,6 +541,188 @@ async def bookmarks_delete(request: web.Request) -> web.Response:
     return web.json_response({"deleted": bool(deleted)})
 
 
+# -- pinboards ---------------------------------------------------------------
+
+
+async def pinboards_list(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    user = request.match_info["user"]
+
+    def run():
+        conn = state.db(name).reader()
+        return [
+            {"id": pid, "name": bname, "head_version_id": head,
+             "time_added": ta, "time_updated": tu}
+            for pid, bname, head, ta, tu in conn.execute(
+                """SELECT id, name, head_version_id, time_added, time_updated
+                   FROM user_data.pinboards WHERE user = ?
+                   ORDER BY time_updated DESC""",
+                (user,),
+            ).fetchall()
+        ]
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+async def pinboards_create(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    user = request.match_info["user"]
+    body = await request.json()
+
+    def run():
+        conn = state.db(name).user_data_write_connection()
+        try:
+            with conn:
+                now = store.now_iso()
+                return int(
+                    conn.execute(
+                        """INSERT INTO pinboards (user, name, time_added, time_updated)
+                           VALUES (?,?,?,?) RETURNING id""",
+                        (user, body.get("name"), now, now),
+                    ).fetchone()[0]
+                )
+        finally:
+            conn.close()
+
+    pid = await asyncio.to_thread(run)
+    EPOCHS.bump_user_data(name)
+    return web.json_response({"id": pid})
+
+
+async def pinboards_save_version(request: web.Request) -> web.Response:
+    """Append an immutable content snapshot and move the head — the
+    reference's append-only version history (user_data pinboards
+    migration)."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    pid = int(request.match_info["pinboard_id"])
+    body = await request.json()
+    layout = body.get("layout")
+    if not isinstance(layout, (list, dict)):
+        return _json_error(400, "layout must be a JSON array/object")
+
+    def run():
+        conn = state.db(name).user_data_write_connection()
+        try:
+            with conn:
+                exists = conn.execute(
+                    "SELECT 1 FROM pinboards WHERE id=?", (pid,)
+                ).fetchone()
+                if not exists:
+                    return None
+                preview = None
+                if body.get("preview_b64"):
+                    preview = base64.b64decode(body["preview_b64"])
+                vid = int(
+                    conn.execute(
+                        """INSERT INTO pinboard_versions
+                           (pinboard_id, layout, name_at_save, preview,
+                            preview_w, preview_h, screenful_h, time_added)
+                           VALUES (?,?,?,?,?,?,?,?) RETURNING id""",
+                        (pid, json.dumps(layout), body.get("name"), preview,
+                         body.get("preview_w"), body.get("preview_h"),
+                         body.get("screenful_h"), store.now_iso()),
+                    ).fetchone()[0]
+                )
+                for sha in set(body.get("items", [])):
+                    conn.execute(
+                        "INSERT OR IGNORE INTO pinboard_version_items "
+                        "(version_id, sha256) VALUES (?,?)",
+                        (vid, sha),
+                    )
+                conn.execute(
+                    """UPDATE pinboards SET head_version_id=?, time_updated=?,
+                       name=COALESCE(?, name) WHERE id=?""",
+                    (vid, store.now_iso(), body.get("name"), pid),
+                )
+                return vid
+        finally:
+            conn.close()
+
+    vid = await asyncio.to_thread(run)
+    if vid is None:
+        return _json_error(404, "pinboard not found")
+    EPOCHS.bump_user_data(name)
+    return web.json_response({"version_id": vid})
+
+
+async def pinboards_get(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    pid = int(request.match_info["pinboard_id"])
+
+    def run():
+        conn = state.db(name).reader()
+        row = conn.execute(
+            """SELECT p.id, p.user, p.name, p.head_version_id, v.layout,
+                      p.time_added, p.time_updated
+               FROM user_data.pinboards p
+               LEFT JOIN user_data.pinboard_versions v ON v.id = p.head_version_id
+               WHERE p.id = ?""",
+            (pid,),
+        ).fetchone()
+        if row is None:
+            return None
+        versions = [
+            {"version_id": v, "time_added": t}
+            for v, t in conn.execute(
+                "SELECT id, time_added FROM user_data.pinboard_versions "
+                "WHERE pinboard_id=? ORDER BY id DESC",
+                (pid,),
+            ).fetchall()
+        ]
+        items = [
+            r[0]
+            for r in conn.execute(
+                "SELECT sha256 FROM user_data.pinboard_version_items WHERE version_id=?",
+                (row[3],),
+            ).fetchall()
+        ] if row[3] else []
+        return {
+            "id": row[0], "user": row[1], "name": row[2],
+            "head_version_id": row[3],
+            "layout": json.loads(row[4]) if row[4] else None,
+            "items": items, "versions": versions,
+            "time_added": row[5], "time_updated": row[6],
+        }
+
+    board = await asyncio.to_thread(run)
+    if board is None:
+        return _json_error(404, "pinboard not found")
+    return web.json_response(board)
+
+
+async def pinboards_delete(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    pid = int(request.match_info["pinboard_id"])
+
+    def run():
+        conn = state.db(name).user_data_write_connection()
+        try:
+            with conn:
+                conn.execute(
+                    "DELETE FROM pinboard_version_items WHERE version_id IN "
+                    "(SELECT id FROM pinboard_versions WHERE pinboard_id=?)",
+                    (pid,),
+                )
+                conn.execute(
+                    "DELETE FROM pinboard_versions WHERE pinboard_id=?", (pid,)
+                )
+                return conn.execute(
+                    "DELETE FROM pinboards WHERE id=?", (pid,)
+                ).rowcount
+        finally:
+            conn.close()
+
+    deleted = await asyncio.to_thread(run)
+    if deleted:
+        EPOCHS.bump_user_data(name)
+    return web.json_response({"deleted": bool(deleted)})
+
+
 # -- jobs --------------------------------------------------------------------
 
 
@@ -807,6 +989,11 @@ def build_app(
             web.get("/api/bookmarks/{user}", bookmarks_list),
             web.put("/api/bookmarks/{user}/{namespace}/{sha256}", bookmarks_put),
             web.delete("/api/bookmarks/{user}/{namespace}/{sha256}", bookmarks_delete),
+            web.get("/api/pinboards/{user}", pinboards_list),
+            web.post("/api/pinboards/{user}", pinboards_create),
+            web.get("/api/pinboards/{user}/{pinboard_id}", pinboards_get),
+            web.post("/api/pinboards/{user}/{pinboard_id}/versions", pinboards_save_version),
+            web.delete("/api/pinboards/{user}/{pinboard_id}", pinboards_delete),
             web.get("/api/jobs/queue", jobs_status),
             web.delete("/api/jobs/queue/{job_id}", jobs_cancel),
             web.post("/api/jobs/data/extraction", jobs_enqueue_extraction),

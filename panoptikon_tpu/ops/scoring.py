@@ -38,6 +38,27 @@ Distance = Literal["l2", "cosine"]
 Aggregation = Literal["min", "max", "avg"]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "distance"))
+def exact_oneshot(corpus, row_valid, queries, *, k: int, distance: Distance = "cosine"):
+    """One-shot exact fp32 top-k (ground truth; HIGHEST matmul precision).
+
+    Materializes (Q, N) — use only when that fits; the streaming scorer
+    covers larger shapes.
+    """
+    corpus = corpus.astype(jnp.float32)
+    queries = queries.astype(jnp.float32)
+    dots = jax.lax.dot_general(
+        queries, corpus,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dist = _distance_epilogue(dots, row_sumsq(corpus), row_sumsq(queries), distance, 1.0)
+    dist = jnp.where(row_valid[None, :], dist, INF)
+    neg, idx = jax.lax.top_k(-dist, k)
+    return -neg, idx, jnp.isfinite(-neg)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "oversample", "distance", "rescore")
 )

