@@ -143,6 +143,8 @@ class AppState:
                 "text" if "text" in (meta.get("target_entities") or ["items"]) else "items"
             ),
             source_setters=tuple(params.get("source_setters") or ()),
+            input_handler=(meta.get("input_spec") or {}).get("handler"),
+            input_handler_opts=(meta.get("input_spec") or {}).get("opts"),
             cancelled=lambda: handle.cancelled,
         )
         handle.result = {
@@ -238,6 +240,7 @@ async def search_pql(request: web.Request) -> web.Response:
         count = None
         rows = None
         outcome = "bypass"
+        metrics = {"compile": 0.0, "execute": 0.0}
         if use_cache:
             outcome = "miss"
             if query.count:
@@ -263,6 +266,10 @@ async def search_pql(request: web.Request) -> web.Response:
             exec_query.page = 1
             exec_query.page_size = aligned + span_budget
             result = ex.execute(exec_query)
+            metrics = {
+                "compile": round(result.metrics.compile_s, 6),
+                "execute": round(result.metrics.execute_s, 6),
+            }
             all_rows = result.results[aligned:]
             window = all_rows[offset - aligned : offset - aligned + query.page_size]
             if query.count:
@@ -276,11 +283,14 @@ async def search_pql(request: web.Request) -> web.Response:
                 state.cache.insert_rows(key, aligned, all_rows, epochs, terminal)
                 if result.count is not None:
                     state.cache.insert_count(key, result.count, epochs)
+        # Per-request SearchMetrics ride every response (the reference's
+        # metrics hover card — api/search.rs:130-131).
         return {
             "count": count,
             "results": rows if query.results else [],
             "seed": seed,
             "cache": outcome,
+            "metrics": metrics,
         }
 
     try:

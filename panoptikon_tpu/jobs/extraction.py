@@ -80,6 +80,8 @@ def run_extraction_job(
     threshold: Optional[float] = None,
     target_entity: str = "items",
     source_setters: tuple[str, ...] = (),
+    input_handler: Optional[str] = None,
+    input_handler_opts: Optional[dict] = None,
     cancelled=lambda: False,
 ) -> ExtractionReport:
     """Run one extraction pass for a model over all unprocessed items.
@@ -129,10 +131,13 @@ def run_extraction_job(
                 break
             chunk = work[chunk_start : chunk_start + batch_size]
             t0 = time.perf_counter()
-            inputs, loadable = [], []
+            inputs, loadable, spans = [], [], []
             for row in chunk:
-                payload = _load_payload(conn, db, row, target_entity, threshold)
-                if payload is None:
+                payloads = _load_payloads(
+                    conn, db, row, target_entity, threshold,
+                    input_handler, input_handler_opts,
+                )
+                if not payloads:
                     writer.call(
                         lambda c, r=row: store.record_extraction_error(
                             c, r[0], setter, stage="load",
@@ -141,7 +146,8 @@ def run_extraction_job(
                     )
                     report.input_errors += 1
                     continue
-                inputs.append(payload)
+                spans.append((len(inputs), len(payloads)))
+                inputs.extend(payloads)
                 loadable.append(row)
             report.data_load_time += time.perf_counter() - t0
             if not inputs:
@@ -162,24 +168,41 @@ def run_extraction_job(
                         )
             report.inference_time += time.perf_counter() - t0
 
-            for row, output in zip(loadable, outputs):
+            for row, (start, count) in zip(loadable, spans):
                 item_id = row[0]
-                if is_error_slot(output):
-                    cls, msg = parse_error_slot(output)
-                    if cls == "input":
-                        writer.call(
-                            lambda c, i=item_id, m=msg: store.record_extraction_error(
-                                c, i, setter, stage="inference",
-                                error_class="input", message=m,
-                            )
-                        )
-                        report.input_errors += 1
+                item_outputs = outputs[start : start + count]
+                # Per-unit error slots: one `transient` fails the whole item
+                # softly; `input` slots among survivors are settled verdicts
+                # on those units only (protocol doc:99-126).
+                kept = []
+                input_fail_msg = None
+                transient = False
+                for out in item_outputs:
+                    if is_error_slot(out):
+                        cls, msg = parse_error_slot(out)
+                        if cls == "transient":
+                            transient = True
+                        else:
+                            input_fail_msg = msg
                     else:
-                        report.transient_errors += 1
+                        kept.append(out)
+                if transient:
+                    report.transient_errors += 1
                     continue
+                if not kept:
+                    writer.call(
+                        lambda c, i=item_id, m=input_fail_msg or "all units failed":
+                        store.record_extraction_error(
+                            c, i, setter, stage="inference",
+                            error_class="input", message=m,
+                        )
+                    )
+                    report.input_errors += 1
+                    continue
+                merged = _merge_outputs(output_type, kept)
                 _write_output(
                     writer, index, output_type, setter, setter_id, job_id,
-                    item_id, row, output, report, pending_vectors,
+                    item_id, row, merged, report, pending_vectors,
                 )
                 report.processed += 1
         report.summary.wrote_data = True
@@ -240,25 +263,68 @@ def _unprocessed_text(conn, setter: str, source_setters, after: int):
     return [(int(r[1]), int(r[0]), int(r[1]), r[2], r[3], r[4]) for r in rows]
 
 
-def _load_payload(conn, db: Database, row, target_entity: str, threshold):
+def _load_payloads(
+    conn, db: Database, row, target_entity: str, threshold,
+    input_handler, input_handler_opts,
+) -> list[PredictionInput]:
     if target_entity == "text":
         _cursor, _item, _src, text, _conf, _lconf = row
-        return PredictionInput(data={"text": text})
+        return [PredictionInput(data={"text": text})]
     item_id, sha, mime = row
     file_row = conn.execute(
         "SELECT path FROM files WHERE item_id = ? AND available = 1 LIMIT 1",
         (item_id,),
     ).fetchone()
     if file_row is None:
-        return None
+        return []
     try:
         with open(file_row[0], "rb") as f:
-            data: dict = {}
-            if threshold is not None:
-                data["threshold"] = threshold
-            return PredictionInput(data=data, file=f.read())
+            payload = f.read()
     except OSError:
-        return None
+        return []
+    data: dict = {}
+    if threshold is not None:
+        data["threshold"] = threshold
+    if input_handler == "image_frames":
+        from panoptikon_tpu.jobs.input_handlers import prepare_image_frames
+
+        opts = input_handler_opts or {}
+        frames = prepare_image_frames(
+            conn, item_id, sha, payload,
+            max_frames=int(opts.get("max_frames", 4)),
+            slice_frames=bool(opts.get("slice_frames", False)),
+            slice_settings=opts.get("slice_settings"),
+        )
+        return [PredictionInput(data=dict(data), file=fr) for fr in frames]
+    return [PredictionInput(data=data, file=payload)]
+
+
+def _merge_outputs(output_type: str, outputs: list):
+    """Aggregate one item's per-unit outputs (frames/slices)."""
+    if len(outputs) == 1:
+        return outputs[0]
+    if output_type in ("clip", "text-embedding"):
+        mats = [npy.parse_npy_matrix(o) for o in outputs]
+        return npy.serialize_npy(np.concatenate(mats, axis=0))
+    if output_type == "tags":
+        merged = dict(outputs[0])
+        tag_sections: dict[str, dict] = {}
+        for out in outputs:
+            for sub_ns, tag_map in out.get("tags", []):
+                dst = tag_sections.setdefault(sub_ns, {})
+                for name, conf in tag_map.items():
+                    dst[name] = max(dst.get(name, 0.0), float(conf))
+        merged["tags"] = [(ns, tags) for ns, tags in tag_sections.items()]
+        return merged
+    if output_type == "text":
+        texts = []
+        for out in outputs:
+            body = out if isinstance(out, dict) else {"text": str(out)}
+            if body.get("text"):
+                texts.append(body["text"])
+        first = outputs[0] if isinstance(outputs[0], dict) else {}
+        return {**first, "text": "\n".join(texts)}
+    return outputs[0]
 
 
 def _write_output(

@@ -226,6 +226,26 @@ def encode_image(params: Params, cfg: ClipConfig, images, normalize: bool = True
     return feats
 
 
+def encode_image_tokens(params: Params, cfg: ClipConfig, images):
+    """Full patch-token features (B, 1+N, vision_width) — the conditioning
+    sequence for captioner/VLM decoders (cross-attention memory)."""
+    v = params["visual"]
+    b = images.shape[0]
+    p = cfg.patch_size
+    g = cfg.grid
+    x = images.astype(jnp.bfloat16)
+    x = x.reshape(b, g, p, g, p, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, p * p * 3)
+    x = x @ v["patch_w"].astype(x.dtype)
+    cls = jnp.broadcast_to(v["class_emb"].astype(x.dtype), (b, 1, cfg.vision_width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + v["pos_emb"].astype(x.dtype)[None]
+    x = _layernorm(x, v["ln_pre"])
+    for blk in v["blocks"]:
+        x = _block(x, blk, cfg.vision_heads, causal=False)
+    return x.astype(jnp.float32)
+
+
 def encode_text(params: Params, cfg: ClipConfig, token_ids, normalize: bool = True):
     """token_ids: (B, ctx) int32, EOT at argmax position (CLIP convention) →
     (B, embed_dim) f32 features."""

@@ -524,6 +524,207 @@ class ClapImpl(InferenceModel):
         return outputs
 
 
+class CaptionerImpl(InferenceModel):
+    """VLM captioner family (reference impl/florence2.py / md_captioner.py /
+    qwen3_vl.py): image → caption text. Architecture: CLIP vision tokens as
+    cross-attention memory into a Whisper-style text decoder, greedy decode
+    on static shapes."""
+
+    def __init__(
+        self,
+        model_arch: str = "test-tiny",
+        checkpoint: Optional[str] = None,
+        max_tokens: int = 32,
+        prompt: Optional[str] = None,
+        **_: Any,
+    ):
+        from panoptikon_tpu.models import whisper as _w
+
+        self._w = _w
+        self.vision_cfg = clip.CONFIGS.get(model_arch) or clip.CONFIGS["test-tiny"]
+        self.max_tokens = max_tokens
+        self.prompt = prompt
+        n_ctx = 1 + self.vision_cfg.grid**2
+        self.decoder_cfg = _w.WhisperConfig(
+            n_mels=1,
+            n_audio_ctx=n_ctx,
+            n_audio_state=self.vision_cfg.vision_width,
+            n_audio_layers=0,
+            n_audio_heads=1,
+            n_vocab=512,
+            n_text_ctx=max(max_tokens, 16),
+            n_text_state=self.vision_cfg.vision_width,
+            n_text_layers=2,
+            n_text_heads=2,
+            sot=500, eot=501, no_timestamps=503, transcribe=502,
+        )
+        self.vision_params = None
+        self.decoder_params = None
+        self.detokenize = None
+
+    @classmethod
+    def name(cls) -> str:
+        return "captioner"
+
+    def load(self) -> None:
+        if self.vision_params is not None:
+            return
+        self.vision_params = clip.init_params(jax.random.key(7), self.vision_cfg)
+        self.decoder_params = self._w.init_params(jax.random.key(8), self.decoder_cfg)
+
+    def unload(self) -> None:
+        self.vision_params = None
+        self.decoder_params = None
+
+    def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
+        import functools
+
+        self.load()
+        outputs: list[Any] = [None] * len(inputs)
+        images, kept = [], []
+        for i, inp in enumerate(inputs):
+            if inp.file is None:
+                outputs[i] = SlotError("input", "Captioner requires an image file").to_slot()
+                continue
+            try:
+                images.append(decode_image(inp.file, self.vision_cfg.image_size))
+                kept.append(i)
+            except SlotError as err:
+                outputs[i] = err.to_slot()
+        if images:
+            batch = np.stack(images)
+            feats = np.asarray(
+                clip.encode_image_tokens(self.vision_params, self.vision_cfg, batch)
+            )
+            tokens, lengths, logprob = _caption_decode(
+                self.decoder_params, self.decoder_cfg, feats, self.max_tokens
+            )
+            tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            for j, pos in enumerate(kept):
+                toks = tokens[j, 3 : lengths[j]].tolist()
+                text = (
+                    self.detokenize(toks)
+                    if self.detokenize
+                    else " ".join(f"<{t}>" for t in toks)
+                )
+                outputs[pos] = {
+                    "text": text,
+                    "confidence": float(np.exp(np.asarray(logprob)[j])),
+                    "language": "en",
+                    "language_confidence": 1.0,
+                }
+        return outputs
+
+
+def _caption_decode(params, cfg, feats, max_tokens):
+    """Greedy decode against precomputed vision features (bypasses the
+    audio encoder by feeding the cross-attention memory directly)."""
+    import functools
+
+    from panoptikon_tpu.models import whisper as _w
+
+    @functools.partial(jax.jit, static_argnames=("max_tokens",))
+    def run(params, feats, max_tokens):
+        import jax.numpy as jnp
+
+        b = feats.shape[0]
+        prompt = jnp.array([cfg.sot, cfg.transcribe, cfg.no_timestamps], dtype=jnp.int32)
+        tokens = jnp.zeros((b, max_tokens), dtype=jnp.int32)
+        tokens = tokens.at[:, :3].set(prompt[None, :])
+
+        def step(state):
+            tokens, pos, done, lp, count = state
+            logits = _w._decoder_logits(params, cfg, tokens, feats, None)
+            step_logits = logits[:, pos - 1]
+            logp = jax.nn.log_softmax(step_logits, axis=-1)
+            nxt = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+            tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]
+            nxt = jnp.where(done, cfg.eot, nxt)
+            tokens = tokens.at[:, pos].set(nxt)
+            newly = nxt == cfg.eot
+            lp = lp + jnp.where(done | newly, 0.0, tok_lp)
+            count = count + jnp.where(done | newly, 0, 1)
+            return tokens, pos + 1, done | newly, lp, count
+
+        def cond(state):
+            _, pos, done, _, _ = state
+            return (pos < max_tokens) & ~jnp.all(done)
+
+        init = (tokens, jnp.asarray(3), jnp.zeros(b, bool),
+                jnp.zeros(b, jnp.float32), jnp.zeros(b, jnp.int32))
+        tokens, _, _, lp, count = jax.lax.while_loop(cond, step, init)
+        lengths = jnp.sum(
+            jnp.cumprod((tokens != cfg.eot).astype(jnp.int32), axis=1), axis=1
+        )
+        return tokens, lengths, lp / jnp.maximum(count.astype(jnp.float32), 1.0)
+
+    return run(params, feats, max_tokens)
+
+
+class Md5LookupImpl(InferenceModel):
+    """md5-lookup tagger (reference impl/danbooru.py + saucenao/): tags by
+    hash against a local dump (JSON/sqlite: md5 → [[namespace, name,
+    confidence], ...]). Remote lookups are out of scope in a zero-egress
+    build; a missing dump yields transient blocked errors, never verdicts."""
+
+    def __init__(self, dump_path: Optional[str] = None, namespace: str = "danbooru", **_: Any):
+        self.dump_path = dump_path
+        self.namespace = namespace
+        self.table: Optional[dict] = None
+
+    @classmethod
+    def name(cls) -> str:
+        return "md5_lookup"
+
+    def load(self) -> None:
+        if self.table is not None or self.dump_path is None:
+            return
+        import json as _json
+        from pathlib import Path as _Path
+
+        path = _Path(self.dump_path)
+        if path.exists():
+            self.table = _json.loads(path.read_text())
+
+    def unload(self) -> None:
+        self.table = None
+
+    def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
+        self.load()
+        out = []
+        for inp in inputs:
+            md5 = (inp.data or {}).get("md5") if isinstance(inp.data, dict) else None
+            if md5 is None:
+                out.append(SlotError("input", "md5 lookup requires data.md5").to_slot())
+                continue
+            if self.table is None:
+                out.append(
+                    {
+                        "__error__": {
+                            "class": "transient",
+                            "message": "blocked: no tag dump configured (blocker=tag-dump)",
+                        }
+                    }
+                )
+                continue
+            entry = self.table.get(md5)
+            tags: dict[str, float] = {}
+            if entry:
+                for ns, tag_name, conf in entry:
+                    tags[tag_name] = float(conf)
+            out.append(
+                {
+                    "namespace": self.namespace,
+                    "tags": [("general", tags)],
+                    "mcut": 0.0,
+                    "rating_severity": [],
+                    "metadata": {},
+                    "metadata_score": 0.0,
+                }
+            )
+        return out
+
+
 class OcrImpl(InferenceModel):
     """OCR surface (reference impl/ocr.py docTR / eocr.py EasyOCR). The
     detection+recognition backbone is gated on an external engine; when no
@@ -704,6 +905,8 @@ IMPL_INDEX: dict[str, type[InferenceModel]] = {
         TaggerImpl,
         WhisperImpl,
         ClapImpl,
+        CaptionerImpl,
+        Md5LookupImpl,
         OcrImpl,
         EchoImpl,
         BatchSizeImpl,
