@@ -956,6 +956,60 @@ async def inferio_cache_clear(request: web.Request) -> web.Response:
     return web.json_response({"ok": True})
 
 
+async def openapi_doc(request: web.Request) -> web.Response:
+    """Minimal OpenAPI 3.1 document generated from the route table (the
+    reference serves utoipa-generated docs at /openapi.json)."""
+    paths: dict = {}
+    for route in request.app.router.routes():
+        info = route.get_info()
+        path = info.get("path") or info.get("formatter")
+        if not path or path in ("/openapi.json",):
+            continue
+        method = route.method.lower()
+        if method == "head":
+            continue
+        entry = paths.setdefault(
+            path.replace("{", "{").replace("}", "}"), {}
+        )
+        entry[method] = {
+            "summary": (route.handler.__doc__ or route.handler.__name__).split("\n")[0],
+            "responses": {"200": {"description": "OK"}},
+        }
+    doc = {
+        "openapi": "3.1.0",
+        "info": {
+            "title": "panoptikon_tpu",
+            "version": __import__("panoptikon_tpu").__version__,
+        },
+        "paths": paths,
+    }
+    return web.json_response(doc)
+
+
+async def client_config(request: web.Request) -> web.Response:
+    """Capability discovery for clients (reference api/client_config.rs)."""
+    state: AppState = request.app["state"]
+    return web.json_response(
+        {
+            "server": "panoptikon_tpu",
+            "version": __import__("panoptikon_tpu").__version__,
+            "capabilities": {
+                "search_pql": True,
+                "semantic_search": True,
+                "quant_index": True,
+                "bookmarks": True,
+                "pinboards": True,
+                "jobs": True,
+                "cron": True,
+                "continuous_scan": True,
+                "inference": True,
+                "multi_chip": len(__import__("jax").devices()) > 1,
+            },
+            "databases": state.databases.names() or ["default"],
+        }
+    )
+
+
 async def health(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     report = state.manager.health()
@@ -1023,6 +1077,8 @@ def build_app(
             web.get("/cache", inferio_cache_list),
             web.delete("/cache/{cache_key}", inferio_cache_clear),
             web.get("/health", health),
+            web.get("/openapi.json", openapi_doc),
+            web.get("/api/client-config", client_config),
         ]
     )
     return app

@@ -31,6 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 INF = float("inf")  # plain literal — jnp constants would be captured consts
 
 
+OUT_K = 128  # out-block lane width (Mosaic needs 128-aligned lane slices)
+
+
 def _scan_kernel(q_ref, codes_ref, sumsq_ref, valid_ref, qq_ref, out_v, out_i, *, k, tile_n):
     # (Q, D) bf16 × (TILE_N, D) int8→bf16 → (Q, TILE_N) f32 on the MXU.
     codes = codes_ref[:].astype(jnp.bfloat16)
@@ -50,15 +53,28 @@ def _scan_kernel(q_ref, codes_ref, sumsq_ref, valid_ref, qq_ref, out_v, out_i, *
     base = tile * tile_n
     col_ids = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
 
-    # K rounds of extract-min: value + index, then mask the winner column.
-    for j in range(k):
+    # K rounds of extract-min (value + lowest-index tiebreak, then mask the
+    # winner). Results accumulate in registers and land as ONE aligned
+    # (Q, OUT_K) block write — per-column stores would slice lanes at
+    # unaligned widths, which Mosaic rejects.
+    vals, idxs = [], []
+    for _ in range(k):
         row_min = jnp.min(dist, axis=1)  # (Q,)
         is_min = dist == row_min[:, None]
-        # Lowest column index among the minima (deterministic tiebreak).
         min_col = jnp.min(jnp.where(is_min, col_ids, jnp.int32(2**30)), axis=1)
-        out_v[:, j] = row_min
-        out_i[:, j] = min_col + base
+        vals.append(row_min)
+        idxs.append(min_col + base)
         dist = jnp.where(col_ids == min_col[:, None], INF, dist)
+    q_n = dist.shape[0]
+    val_block = jnp.stack(vals, axis=1)  # (Q, k)
+    idx_block = jnp.stack(idxs, axis=1)
+    pad = OUT_K - k
+    out_v[:, :] = jnp.concatenate(
+        [val_block, jnp.full((q_n, pad), INF, jnp.float32)], axis=1
+    )
+    out_i[:, :] = jnp.concatenate(
+        [idx_block, jnp.full((q_n, pad), jnp.int32(2**30), jnp.int32)], axis=1
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
@@ -81,6 +97,7 @@ def pallas_int8_topk(
     q = q_codes.shape[0]
     assert n % tile_n == 0, "corpus must be padded to tile_n"
     tiles = n // tile_n
+    assert k <= OUT_K, f"k must be <= {OUT_K}"
 
     q_bf = q_codes.astype(jnp.bfloat16)
     qq = jnp.sum(
@@ -99,8 +116,8 @@ def pallas_int8_topk(
             pl.BlockSpec((q, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, q, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, OUT_K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, OUT_K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
 
@@ -114,8 +131,8 @@ def pallas_int8_topk(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((tiles, q, k), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, q, k), jnp.int32),
+            jax.ShapeDtypeStruct((tiles, q, OUT_K), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, q, OUT_K), jnp.int32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -128,6 +145,8 @@ def pallas_int8_topk(
     # Merge: (tiles, Q, K) → (Q, tiles·K) → exact top-k. Candidate order is
     # (tile, rank); lax.top_k's lowest-position preference keeps the global
     # ascending-row tiebreak.
+    part_v = part_v[:, :, :k]
+    part_i = part_i[:, :, :k]
     cand_v = jnp.transpose(part_v, (1, 0, 2)).reshape(q, tiles * k)
     cand_i = jnp.transpose(part_i, (1, 0, 2)).reshape(q, tiles * k)
     neg, sel = jax.lax.top_k(-cand_v, k)
