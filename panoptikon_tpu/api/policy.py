@@ -38,14 +38,17 @@ class PolicyEngine:
 
     def select(self, host: Optional[str], listener_policy: Optional[str]) -> Optional[PolicyConfig]:
         """First match wins: a listener-pinned policy short-circuits;
-        otherwise the first policy whose host list matches (empty = any)."""
+        otherwise the first policy with an explicit matching host. A policy
+        with no host list binds ONLY via listener pinning — otherwise a
+        test-listener policy would capture every listener and lock the
+        whole server down (found driving the real server)."""
         if listener_policy:
             for p in self.policies:
                 if p.name == listener_policy:
                     return p
         bare_host = (host or "").split(":", 1)[0]
         for p in self.policies:
-            if not p.hosts or bare_host in p.hosts:
+            if p.hosts and bare_host in p.hosts:
                 return p
         return None
 
@@ -66,11 +69,10 @@ def policy_middleware(engine: PolicyEngine, listener_policy: Optional[str] = Non
     async def middleware(request: web.Request, handler):
         policy = engine.select(request.headers.get("Host"), listener_policy)
         if policy is None:
-            # No policies configured → allow (the reference's default
-            # single-listener config behaves this way).
-            if not engine.policies:
-                return await handler(request)
-            raise web.HTTPForbidden(reason="no policy matches this request")
+            # No policy claims this listener/host → unrestricted. Policies
+            # are opt-in restrictions bound to listeners or hosts; the
+            # pinned test listener stays locked down either way.
+            return await handler(request)
         if not engine.check(policy, request.method, request.path):
             raise web.HTTPForbidden(reason=f"denied by policy {policy.name!r}")
         if policy.index_db is not None:

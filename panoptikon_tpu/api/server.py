@@ -297,6 +297,13 @@ async def search_pql(request: web.Request) -> web.Response:
         out = await asyncio.to_thread(run)
     except pql.PqlError as exc:
         return _json_error(400, str(exc))
+    except Exception as exc:  # noqa: BLE001 — query-induced failures are 4xx
+        from panoptikon_tpu.models.manager import ModelLoadError
+        from panoptikon_tpu.models.registry import RegistryError
+
+        if isinstance(exc, (RegistryError, ModelLoadError, KeyError, ValueError)):
+            return _json_error(400, str(exc))
+        return _json_error(500, f"search failed: {exc}")
     return web.json_response(out)
 
 

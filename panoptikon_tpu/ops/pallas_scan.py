@@ -1,11 +1,19 @@
 """Pallas fused int8 scan kernel: GEMM + distance epilogue + partial top-k.
 
-Why a kernel: the XLA one-shot path materializes the (Q, N) f32 distance
-matrix to HBM before ``approx_min_k`` reads it back — 2·Q·N·4 bytes of
-traffic that dominates at scan scale (measured ~half the scan time on the
-target chip). This kernel keeps each distance tile in VMEM, reduces it to
-per-tile top-k candidates on the spot, and writes only (tiles, Q, K) —
-thousands of times less HBM traffic.
+Motivation: the XLA one-shot path materializes the (Q, N) f32 distance
+matrix to HBM before ``approx_min_k`` reads it back; this kernel keeps each
+distance tile in VMEM, reduces it to per-tile top-k candidates on the spot,
+and writes only (tiles, Q, K).
+
+Measured outcome on the target chip (1M×512, Q=512, k=10): 37.9 ms vs
+31.6 ms for the XLA ``approx_min_k``+rescore path — XLA's scheduling of the
+large single GEMM beats the per-tile kernel (whose K-round extract-min and
+smaller MXU tiles cost more than the avoided HBM round-trip at this chip's
+33 TFLOPs / 69 GB/s balance). The XLA path is therefore the production
+default (``ops.scoring.int8_topk_rescored``); this kernel remains the
+fused alternative — bit-identical results, and the better candidate on
+hardware where the FLOP:BW ratio tilts further toward bandwidth. tile_n is
+VMEM-bounded: (Q·tile_n·4 + tile_n·D·3 + Q·D·2 + 2·Q·128·8) ≲ 16 MB.
 
 Shape strategy:
 - grid over corpus tiles of ``TILE_N`` rows; queries (≤512) stay resident
@@ -85,7 +93,7 @@ def pallas_int8_topk(
     q_codes,
     *,
     k: int = 10,
-    tile_n: int = 4096,
+    tile_n: int = 2048,
     interpret: bool = False,
 ):
     """Cosine top-k of int8 query codes against int8 corpus codes.

@@ -84,12 +84,13 @@ class TestPolicy:
             ]
         )
 
-    def test_host_match_selects_first(self):
+    def test_host_match_selects_explicit_only(self):
         e = self.engine()
         p = e.select("preview.local:6342", None)
         assert p.name == "testdb"
-        p = e.select("localhost", None)
-        assert p.name == "main"
+        # A hostless policy binds only via listener pinning — it must not
+        # capture arbitrary hosts (that would lock down the main listener).
+        assert e.select("localhost", None) is None
 
     def test_listener_pin_short_circuits(self):
         e = self.engine()
