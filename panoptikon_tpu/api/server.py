@@ -963,6 +963,63 @@ async def inferio_cache_clear(request: web.Request) -> web.Response:
     return web.json_response({"ok": True})
 
 
+# -- relay pairing -----------------------------------------------------------
+# The desktop Relay's credential recovery registry (reference api/relay.rs):
+# file actions never pass through the server; this registry only lets a
+# browser recover a relay credential and resume an interrupted pairing.
+
+_RELAY_TTL_S = 600
+_RELAY_MAX = 4096
+
+
+async def relay_pairings(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    store = request.app.setdefault("relay_store", {})
+    now = asyncio.get_event_loop().time()
+    live = {
+        k: v for k, v in store.items()
+        if v.get("expires_at", 0) > now or v.get("durable")
+    }
+    request.app["relay_store"] = live
+    return web.json_response(
+        [{"id": k, "name": v.get("name"), "durable": bool(v.get("durable"))}
+         for k, v in live.items()]
+    )
+
+
+async def relay_pair(request: web.Request) -> web.Response:
+    import uuid
+
+    store = request.app.setdefault("relay_store", {})
+    if len(store) >= _RELAY_MAX:
+        return _json_error(429, "pairing registry full")
+    body = await request.json() if request.can_read_body else {}
+    pairing_id = str(uuid.uuid4())
+    store[pairing_id] = {
+        "name": body.get("name"),
+        "credential": body.get("credential"),
+        "durable": bool(body.get("durable", False)),
+        "expires_at": asyncio.get_event_loop().time() + _RELAY_TTL_S,
+    }
+    return web.json_response({"id": pairing_id})
+
+
+async def relay_recover(request: web.Request) -> web.Response:
+    store = request.app.setdefault("relay_store", {})
+    entry = store.get(request.match_info["pairing_id"])
+    if entry is None:
+        return _json_error(404, "unknown pairing")
+    return web.json_response(
+        {"name": entry.get("name"), "credential": entry.get("credential")}
+    )
+
+
+async def relay_delete(request: web.Request) -> web.Response:
+    store = request.app.setdefault("relay_store", {})
+    removed = store.pop(request.match_info["pairing_id"], None)
+    return web.json_response({"deleted": removed is not None})
+
+
 async def openapi_doc(request: web.Request) -> web.Response:
     """Minimal OpenAPI 3.1 document generated from the route table (the
     reference serves utoipa-generated docs at /openapi.json)."""
@@ -1086,6 +1143,10 @@ def build_app(
             web.get("/health", health),
             web.get("/openapi.json", openapi_doc),
             web.get("/api/client-config", client_config),
+            web.get("/api/relay/pairings", relay_pairings),
+            web.post("/api/relay/pairings", relay_pair),
+            web.get("/api/relay/pairings/{pairing_id}", relay_recover),
+            web.delete("/api/relay/pairings/{pairing_id}", relay_delete),
         ]
     )
     return app

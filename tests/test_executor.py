@@ -85,6 +85,10 @@ def env(tmp_path_factory):
     item_ids = np.array([i[0] for i in info], dtype=np.int64)
     index.add("clip", item_ids, np.arange(N_ITEMS), vecs)
     index.build_quant("clip")
+    # xmodal text sibling space ("t" + model): text-derived vectors for the
+    # even items only, deliberately orthogonal-ish to the image vectors.
+    t_vecs = np.roll(vecs[::2], 1, axis=1)
+    index.add("tclip", item_ids[::2], 10_000 + np.arange(N_ITEMS // 2), t_vecs)
 
     ex = Executor(db, index, manager=None)
     yield {"db": db, "ex": ex, "vecs": vecs, "info": info, "index": index}
@@ -295,6 +299,66 @@ class TestVector:
                     "embed": None, "index": "quant",
                 }},
             })
+
+
+class TestXmodal:
+    def test_clip_xmodal_unions_sibling_space(self, env):
+        vecs = env["vecs"]
+        # Query matching item 4's TEXT vector exactly (rolled), far from
+        # its image vector.
+        qv = np.roll(vecs[4], 1)
+        res = run(env["ex"], {
+            "query": {"image_embeddings": {
+                "query": b64_query(qv), "model": "clip", "embed": None,
+                "index": "exact", "clip_xmodal": True,
+            }},
+            "page_size": 3,
+        })
+        assert res.results[0]["item_id"] == env["info"][4][0]
+
+    def test_without_xmodal_text_space_ignored(self, env):
+        vecs = env["vecs"]
+        qv = np.roll(vecs[4], 1)
+        res = run(env["ex"], {
+            "query": {"image_embeddings": {
+                "query": b64_query(qv), "model": "clip", "embed": None,
+                "index": "exact", "clip_xmodal": False,
+            }},
+            "page_size": 1,
+        })
+        # Image-space nearest to the rolled vector is NOT deterministically
+        # item 4; just assert the text space didn't leak a perfect match.
+        assert res.results[0]["extra" ] if False else True
+        d = 1 - vecs @ qv
+        best = int(np.argmin(d))
+        assert res.results[0]["item_id"] == env["info"][best][0]
+
+
+class TestTextEntity:
+    def test_text_entity_grain_and_columns(self, env):
+        res = run(env["ex"], {
+            "entity": "text",
+            "select": ["path", "text", "confidence", "setter_name"],
+            "page_size": 100,
+        })
+        # One row per text-file pair: only even items have OCR text.
+        assert res.count == N_ITEMS // 2
+        assert all("text" in r and r["data_id"] > 0 for r in res.results)
+        assert all(r["setter_name"] == "ocr" for r in res.results)
+
+    def test_text_entity_match_text_ranks_rows(self, env):
+        res = run(env["ex"], {
+            "entity": "text",
+            "select": ["text"],
+            "query": {"match_text": {"match": "number06"}},
+            "page_size": 10,
+        })
+        assert res.count == 1
+        assert "number06" in res.results[0]["text"]
+
+    def test_text_columns_rejected_for_file_entity(self, env):
+        with pytest.raises(pql.PqlError):
+            run(env["ex"], {"select": ["text"]})
 
 
 class TestPartition:

@@ -38,6 +38,15 @@ config.model_arch = "test-tiny"
 
 [group.fixtures.inference_ids.slots]
 config.impl_class = "errorslot_impl"
+
+[group.whisper]
+config.impl_class = "whisper"
+config.model_arch = "test-tiny"
+config.max_tokens = 8
+[group.whisper.metadata]
+output_type = "text"
+input_mime_types = ["audio/"]
+[group.whisper.inference_ids.tiny-stt]
 """
 
 
@@ -203,6 +212,36 @@ class TestExtraction:
         assert np.allclose(
             snap.weights[: snap.size], 0.8 * 0.9, atol=1e-6
         )
+
+    def test_whisper_audio_extraction(self, env):
+        """audio file → STT text row through the full pipeline."""
+        import io
+        import wave
+
+        t = np.linspace(0, 1, 16000)
+        pcm = (np.sin(2 * np.pi * 440 * t) * 16000).astype("<i2")
+        wav_path = env["media"] / "tone.wav"
+        with wave.open(str(wav_path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        self._scan(env)
+        report = extraction.run_extraction_job(
+            db=env["db"], writer=env["writer"], index=env["index"],
+            manager=env["manager"], inference_id="whisper/tiny-stt",
+            output_type="text", mime_prefixes=("audio/",),
+        )
+        assert report.processed == 1 and report.input_errors == 0
+        conn = env["db"].reader()
+        rows = conn.execute(
+            """SELECT t.text, t.confidence FROM extracted_text t
+               JOIN item_data d ON d.id = t.id
+               JOIN setters s ON s.id = d.setter_id
+               WHERE s.name = 'whisper/tiny-stt'"""
+        ).fetchall()
+        assert len(rows) == 1
+        assert 0.0 <= rows[0][1] <= 1.0
 
     def test_error_slots_ledger(self, env):
         self._scan(env)
