@@ -1,0 +1,95 @@
+"""Reverse proxy + supervised subprocess tests."""
+
+import asyncio
+import sys
+import time
+
+import pytest
+from aiohttp import web
+from aiohttp.test_utils import TestClient, TestServer
+
+from panoptikon_tpu.api.proxy import LOOP_GUARD_HEADER, make_upstream_handler
+from panoptikon_tpu.jobs.supervisor import Supervised
+
+
+class TestProxy:
+    @pytest.fixture
+    def loop(self):
+        loop = asyncio.new_event_loop()
+        yield loop
+        loop.close()
+
+    def test_forwards_and_guards_loops(self, loop):
+        async def scenario():
+            upstream = web.Application()
+
+            async def hello(request):
+                return web.json_response(
+                    {"path": str(request.rel_url), "hop": request.headers.get(LOOP_GUARD_HEADER)}
+                )
+
+            upstream.router.add_get("/ui/{tail:.*}", hello)
+            up_client = TestClient(TestServer(upstream))
+            await up_client.start_server()
+            base = f"http://127.0.0.1:{up_client.port}"
+
+            front = web.Application()
+            front.router.add_route("*", "/{tail:.*}", make_upstream_handler(base))
+            client = TestClient(TestServer(front))
+            await client.start_server()
+
+            resp = await client.get("/ui/page?x=1")
+            body = await resp.json()
+            assert resp.status == 200
+            assert body["path"] == "/ui/page?x=1"
+            assert body["hop"] == "1"
+
+            # Loop guard: pre-set hop count at the cap → 508.
+            resp = await client.get("/ui/page", headers={LOOP_GUARD_HEADER: "3"})
+            assert resp.status == 508
+
+            await client.close()
+            await up_client.close()
+
+        loop.run_until_complete(scenario())
+
+    def test_unavailable_upstream_is_502(self, loop):
+        async def scenario():
+            front = web.Application()
+            front.router.add_route(
+                "*", "/{tail:.*}", make_upstream_handler("http://127.0.0.1:9")
+            )
+            client = TestClient(TestServer(front))
+            await client.start_server()
+            resp = await client.get("/anything")
+            assert resp.status == 502
+            await client.close()
+
+        loop.run_until_complete(scenario())
+
+
+class TestSupervisor:
+    def test_restarts_crashing_child_then_gives_up(self):
+        sup = Supervised(
+            argv=[sys.executable, "-c", "import sys; sys.exit(3)"], name="crasher"
+        )
+        sup.start()
+        deadline = time.time() + 30
+        while not sup.gave_up and time.time() < deadline:
+            time.sleep(0.2)
+        assert sup.gave_up
+        assert sup.restarts == 3  # the 1/2/4s ladder
+
+    def test_stop_terminates_child(self):
+        sup = Supervised(
+            argv=[sys.executable, "-c", "import time; time.sleep(600)"],
+            name="sleeper",
+        )
+        sup.start()
+        deadline = time.time() + 10
+        while not sup.running and time.time() < deadline:
+            time.sleep(0.1)
+        assert sup.running
+        sup.stop()
+        assert not sup.running
+        assert not sup.gave_up
