@@ -860,6 +860,49 @@ async def db_list(request: web.Request) -> web.Response:
     return web.json_response({"databases": state.databases.names() or ["default"]})
 
 
+async def db_create(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    body = await request.json()
+    name = body.get("name", "")
+    if not name or not name.replace("-", "").replace("_", "").isalnum():
+        return _json_error(400, "database name must be alphanumeric/-/_")
+    await asyncio.to_thread(state.databases.get, name)
+    return web.json_response({"created": name})
+
+
+async def open_file(request: web.Request) -> web.Response:
+    """Host file-manager integration (reference api/open.rs): reveal a file
+    or open its folder on the server's desktop. Gated on a desktop opener
+    being present; never exposed beyond loopback policies by default."""
+    import shutil as _shutil
+    import subprocess
+
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    sha = request.match_info["sha256"]
+    folder = request.query.get("folder", "0") == "1"
+
+    def run():
+        conn = state.db(name).reader()
+        row = conn.execute(
+            "SELECT path FROM files WHERE sha256=? AND available=1 LIMIT 1", (sha,)
+        ).fetchone()
+        return row
+
+    row = await asyncio.to_thread(run)
+    if row is None:
+        return _json_error(404, "item not found")
+    opener = _shutil.which("xdg-open") or _shutil.which("open")
+    if opener is None:
+        return _json_error(501, "no desktop opener on this host (blocker=xdg-open)")
+    target = str(Path(row[0]).parent) if folder else row[0]
+    try:
+        subprocess.Popen([opener, target], start_new_session=True)
+    except OSError as exc:
+        return _json_error(500, str(exc))
+    return web.json_response({"opened": target})
+
+
 # -- inference surface -------------------------------------------------------
 
 
@@ -1134,6 +1177,8 @@ def build_app(
             web.get("/api/jobs/cron", cron_get),
             web.put("/api/jobs/cron", cron_put),
             web.get("/api/db", db_list),
+            web.post("/api/db", db_create),
+            web.post("/api/open/{sha256}", open_file),
             web.post("/predict/{group}/{inference_id}", inferio_predict),
             web.put("/load/{group}/{inference_id}", inferio_load),
             web.delete("/load/{group}/{inference_id}", inferio_unload),
