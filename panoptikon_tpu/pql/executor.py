@@ -160,6 +160,33 @@ class Executor:
         self.manager = manager
         self._base_cache: dict[str, BaseSnapshot] = {}
         self._cache_lock = threading.Lock()
+        # Device-resident copies of space arrays, keyed (space, generation,
+        # arm): without this every query would re-upload the corpus from
+        # host memory (2 GB per query at 1M×512 f32). Generation bumps
+        # invalidate naturally; stale generations are dropped eagerly.
+        self._device_cache: dict[tuple, dict] = {}
+
+    def _device_arrays(self, space: str, snap, use_quant: bool) -> dict:
+        import jax
+
+        key = (space, snap.generation, use_quant)
+        with self._cache_lock:
+            cached = self._device_cache.get(key)
+            if cached is not None:
+                return cached
+        corpus = snap.codes if use_quant else snap.vectors
+        arrays = {
+            "corpus": jax.device_put(corpus),
+            "sumsq": jax.device_put(np.asarray(scoring.row_sumsq(corpus))),
+            "group_ids": jax.device_put(snap.group_ids),
+            "weights": jax.device_put(snap.weights),
+        }
+        with self._cache_lock:
+            # Drop stale generations of this space (both arms).
+            for old in [k for k in self._device_cache if k[0] == space and k[1] != snap.generation]:
+                del self._device_cache[old]
+            self._device_cache[key] = arrays
+        return arrays
 
     # -- base snapshot ------------------------------------------------------
 
@@ -690,20 +717,19 @@ class Executor:
         ):
             allowed = self._src_text_rows(space, src_text)
             row_valid &= np.isin(snap.row_ids, allowed)
-        if quant is not None and snap.quant_ready:
-            corpus = snap.codes
+        use_quant = quant is not None and snap.quant_ready
+        if use_quant:
             q = prep.codec.compute_query_quant(queries, snap.scale)
             scale = float(snap.scale)
         else:
-            corpus = snap.vectors
             q = queries.astype(np.float32)
             scale = 1.0
-        sumsq = np.asarray(scoring.row_sumsq(corpus))
+        dev = self._device_arrays(space, snap, use_quant)
         dist, valid = scoring.grouped_scores(
-            corpus,
-            sumsq,
+            dev["corpus"],
+            dev["sumsq"],
             row_valid,
-            snap.group_ids,
+            dev["group_ids"],
             q,
             num_groups=snap.num_groups,
             distance=distance,
@@ -711,7 +737,7 @@ class Executor:
             scale=scale,
             chunk_rows=min(32768, snap.capacity),
             weighted=weighted,
-            weights=snap.weights,
+            weights=dev["weights"],
         )
         dist = np.asarray(dist)
         valid = np.asarray(valid)
