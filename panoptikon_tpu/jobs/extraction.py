@@ -285,6 +285,18 @@ def _load_payloads(
     data: dict = {}
     if threshold is not None:
         data["threshold"] = threshold
+    if input_handler in ("md5", "md5_image", "sha256_md5_path"):
+        # Hash-only handlers (lookup taggers): no file payload rides along.
+        row_meta = conn.execute(
+            "SELECT md5, sha256 FROM items WHERE id = ?", (item_id,)
+        ).fetchone()
+        if row_meta is None:
+            return []
+        data["md5"] = row_meta[0]
+        if input_handler == "sha256_md5_path":
+            data["sha256"] = row_meta[1]
+            data["path"] = file_row[0]
+        return [PredictionInput(data=data)]
     if input_handler == "image_frames":
         from panoptikon_tpu.jobs.input_handlers import prepare_image_frames
 

@@ -334,6 +334,7 @@ class TestQueue:
 
         def data_job(handle):
             ran.append("data")
+            time.sleep(0.05)  # keep the queue nonempty until both enqueue
             return ChangeSummary(wrote_data=True, needs_analyze=True)
 
         def maintenance(handle):
@@ -409,3 +410,44 @@ class TestSync:
                 )
 
         env["writer"].call(unit)
+
+
+class TestHashHandlers:
+    def test_md5_lookup_extraction(self, env, tmp_path):
+        import json as _json
+
+        self_scan = TestExtraction._scan
+        self_scan(self, env)
+        conn = env["db"].reader()
+        md5s = [r[0] for r in conn.execute("SELECT md5 FROM items").fetchall()]
+        dump = {md5s[0]: [["general", "scenery", 0.8]]}
+        dump_path = tmp_path / "dump.json"
+        dump_path.write_text(_json.dumps(dump))
+        # Register a lookup model pointing at the dump.
+        reg_dir = tmp_path / "reg2"
+        reg_dir.mkdir()
+        (reg_dir / "00.toml").write_text(
+            "[group.tagmatch]\n"
+            "config.impl_class = 'md5_lookup'\n"
+            f"config.dump_path = '{dump_path}'\n"
+            "[group.tagmatch.inference_ids.dump]\n"
+        )
+        from panoptikon_tpu.models.manager import ModelManager
+        from panoptikon_tpu.models.registry import Registry
+        from panoptikon_tpu.models.impls import IMPL_INDEX as IDX
+
+        mgr = ModelManager(Registry(reg_dir), IDX)
+        try:
+            report = extraction.run_extraction_job(
+                db=env["db"], writer=env["writer"], index=env["index"],
+                manager=mgr, inference_id="tagmatch/dump",
+                output_type="tags", mime_prefixes=("image/", "text/"),
+                input_handler="md5",
+            )
+        finally:
+            mgr.shutdown()
+        assert report.processed == 4
+        tagged = conn.execute(
+            """SELECT tg.name FROM tags_items ti JOIN tags tg ON tg.id=ti.tag_id"""
+        ).fetchall()
+        assert ("scenery",) in tagged
