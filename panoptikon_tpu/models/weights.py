@@ -117,6 +117,109 @@ def load_clip_checkpoint(path: str | Path, cfg: ClipConfig) -> dict[str, Any]:
     }
 
 
+def load_whisper_checkpoint(path: str | Path, cfg) -> dict[str, Any]:
+    """HF ``WhisperModel`` state dict → our whisper param tree.
+
+    HF layout: ``model.encoder.*`` / ``model.decoder.*`` with
+    conv1/conv2 (out, in, k), self_attn {q,k,v,out}_proj (k_proj has no
+    bias in Whisper — zero-filled), encoder_attn for cross attention,
+    fc1/fc2 MLPs, embed_tokens/embed_positions.
+    """
+    sd = load_state_dict(path)
+
+    def pfx(name):
+        return name if name in sd else f"model.{name}"
+
+    def lin(prefix, bias=True):
+        w = np.asarray(sd[pfx(f"{prefix}.weight")], np.float32).T
+        if bias and pfx(f"{prefix}.bias") in sd:
+            b = np.asarray(sd[pfx(f"{prefix}.bias")], np.float32)
+        else:
+            b = np.zeros(w.shape[1], np.float32)
+        return w, b
+
+    def ln(prefix):
+        return {
+            "scale": np.asarray(sd[pfx(f"{prefix}.weight")], np.float32),
+            "bias": np.asarray(sd[pfx(f"{prefix}.bias")], np.float32),
+        }
+
+    def self_attn(prefix):
+        qw, qb = lin(f"{prefix}.q_proj")
+        kw, kb = lin(f"{prefix}.k_proj", bias=False)
+        vw, vb = lin(f"{prefix}.v_proj")
+        ow, ob = lin(f"{prefix}.out_proj")
+        return {
+            "qkv_w": np.concatenate([qw, kw, vw], axis=1),
+            "qkv_b": np.concatenate([qb, kb, vb]),
+            "out_w": ow,
+            "out_b": ob,
+        }
+
+    def cross_attn(prefix):
+        qw, qb = lin(f"{prefix}.q_proj")
+        kw, kb = lin(f"{prefix}.k_proj", bias=False)
+        vw, vb = lin(f"{prefix}.v_proj")
+        ow, ob = lin(f"{prefix}.out_proj")
+        return {
+            "q_w": qw,
+            "q_b": qb,
+            "kv_w": np.concatenate([kw, vw], axis=1),
+            "kv_b": np.concatenate([kb, vb]),
+            "out_w": ow,
+            "out_b": ob,
+        }
+
+    def mlp(prefix):
+        fw, fb = lin(f"{prefix}.fc1")
+        pw, pb = lin(f"{prefix}.fc2")
+        return {"fc_w": fw, "fc_b": fb, "proj_w": pw, "proj_b": pb}
+
+    enc_blocks = []
+    for i in range(cfg.n_audio_layers):
+        p = f"encoder.layers.{i}"
+        enc_blocks.append(
+            {
+                "ln_1": ln(f"{p}.self_attn_layer_norm"),
+                "attn": self_attn(f"{p}.self_attn"),
+                "ln_2": ln(f"{p}.final_layer_norm"),
+                "mlp": mlp(p),
+            }
+        )
+    dec_blocks = []
+    for i in range(cfg.n_text_layers):
+        p = f"decoder.layers.{i}"
+        dec_blocks.append(
+            {
+                "ln_1": ln(f"{p}.self_attn_layer_norm"),
+                "attn": self_attn(f"{p}.self_attn"),
+                "ln_cross": ln(f"{p}.encoder_attn_layer_norm"),
+                "cross": cross_attn(f"{p}.encoder_attn"),
+                "ln_2": ln(f"{p}.final_layer_norm"),
+                "mlp": mlp(p),
+            }
+        )
+    # Conv (out, in, k) → (k, in, out) for NWC conv.
+    conv1 = np.asarray(sd[pfx("encoder.conv1.weight")], np.float32).transpose(2, 1, 0)
+    conv2 = np.asarray(sd[pfx("encoder.conv2.weight")], np.float32).transpose(2, 1, 0)
+    return {
+        "encoder": {
+            "conv1_w": conv1,
+            "conv1_b": np.asarray(sd[pfx("encoder.conv1.bias")], np.float32),
+            "conv2_w": conv2,
+            "conv2_b": np.asarray(sd[pfx("encoder.conv2.bias")], np.float32),
+            "blocks": enc_blocks,
+            "ln_post": ln("encoder.layer_norm"),
+        },
+        "decoder": {
+            "token_emb": np.asarray(sd[pfx("decoder.embed_tokens.weight")], np.float32),
+            "pos_emb": np.asarray(sd[pfx("decoder.embed_positions.weight")], np.float32),
+            "blocks": dec_blocks,
+            "ln_post": ln("decoder.layer_norm"),
+        },
+    }
+
+
 def load_text_encoder_checkpoint(path: str | Path, cfg: TextEncoderConfig) -> dict[str, Any]:
     """BERT-style (MiniLM/mpnet) state dict → our text encoder params."""
     sd = load_state_dict(path)

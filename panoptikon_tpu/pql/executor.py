@@ -118,6 +118,7 @@ class OrderEntry:
     priority: int
     rrf: Optional[pql.Rrf]
     select_as: Optional[str] = None
+    orders: bool = True  # select_as-only entries expose the column, no key
     seq: int = 0
 
 
@@ -361,6 +362,7 @@ class Executor:
                     priority=sort.priority,
                     rrf=sort.rrf,
                     select_as=sort.select_as,
+                    orders=sort.order_by,
                 )
             )
         return mask
@@ -375,9 +377,8 @@ class Executor:
         # before args at equal priority, stable by sequence.
         items: list[tuple[int, int, int, Any]] = []
         for e in state.order_list:
-            if e.select_as and not _entry_orders(e, state):
-                continue
-            items.append((e.priority, 0, e.seq, e))
+            if e.orders:
+                items.append((e.priority, 0, e.seq, e))
         for idx, args in enumerate(query.order_by):
             items.append((args.priority, 1, idx, args))
         items.sort(key=lambda t: (-t[0], t[1], t[2]))
@@ -897,10 +898,6 @@ class Executor:
                 f"similar_to target has no embeddings for model {args.model!r}"
             )
         return self._apply_item_scores(el, scored, agg, ctx, base, state)
-
-
-def _entry_orders(entry: OrderEntry, state: EvalState) -> bool:
-    return True  # select_as entries with order_by=False are filtered upstream
 
 
 def _pyval(v):

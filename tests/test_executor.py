@@ -326,9 +326,6 @@ class TestXmodal:
             }},
             "page_size": 1,
         })
-        # Image-space nearest to the rolled vector is NOT deterministically
-        # item 4; just assert the text space didn't leak a perfect match.
-        assert res.results[0]["extra" ] if False else True
         d = 1 - vecs @ qv
         best = int(np.argmin(d))
         assert res.results[0]["item_id"] == env["info"][best][0]
