@@ -35,7 +35,7 @@ from panoptikon_tpu.jobs import index_sync, reconcile, scan
 from panoptikon_tpu.jobs.cron import CronScheduler
 from panoptikon_tpu.jobs.extraction import run_extraction_job
 from panoptikon_tpu.jobs.queue import ChangeSummary, JobQueue, JobType
-from panoptikon_tpu.models.base import PredictionInput, is_error_slot
+from panoptikon_tpu.models.base import PredictionInput
 from panoptikon_tpu.models.impls import IMPL_INDEX
 from panoptikon_tpu.models.manager import ModelManager
 from panoptikon_tpu.models.registry import Registry
@@ -169,13 +169,9 @@ class AppState:
         writer = self.writers.get(db)
         setter = handle.params["setter_name"]
         deleted = writer.call(lambda c: store.delete_setter_data(c, setter))
-        self.index(handle.db_name).remove_items  # keep device view coherent:
-        try:
-            idx = self.index(handle.db_name)
-            if setter in idx.space_names():
-                idx.compact(setter)
-        except KeyError:
-            pass
+        # Keep the device projection coherent: the durable rows are gone,
+        # so the space drops entirely (a later sync rebuilds from scratch).
+        self.index(handle.db_name).drop_space(setter)
         handle.result = {"deleted": deleted}
         return ChangeSummary(wrote_data=True, tags_dirty=True, needs_analyze=True)
 

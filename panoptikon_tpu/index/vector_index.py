@@ -204,6 +204,13 @@ class VectorIndex:
             self._snapshots.pop(space, None)
             return scale
 
+    def drop_space(self, space: str) -> None:
+        """Remove a space entirely (its durable rows were deleted; a later
+        sync_space rebuild starts from scratch)."""
+        with self._lock:
+            self._spaces.pop(space, None)
+            self._snapshots.pop(space, None)
+
     def drop_quant(self, space: str) -> None:
         with self._lock:
             st = self._require(space)

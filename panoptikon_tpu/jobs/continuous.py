@@ -24,7 +24,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Callable, Optional
+from typing import Optional
 
 from panoptikon_tpu.db import store
 from panoptikon_tpu.db.connection import Database
@@ -114,7 +114,6 @@ class FolderSupervisor:
         prev = seed_snapshot(self.db)
         interval = MIN_POLL_S
         pending_since: Optional[float] = None
-        pending_snap = prev
         while not self._stop.wait(interval):
             snap, changed, guard = self.check_once(prev)
             if guard:
@@ -125,7 +124,6 @@ class FolderSupervisor:
             if changed:
                 self.last_change_at = time.time()
                 pending_since = time.time()
-                pending_snap = snap
                 prev = snap
                 interval = MIN_POLL_S
                 continue

@@ -9,8 +9,6 @@ post-extraction top-up are the same code path.
 
 from __future__ import annotations
 
-import numpy as np
-
 from panoptikon_tpu.db import store
 from panoptikon_tpu.db.connection import Database
 from panoptikon_tpu.index.vector_index import VectorIndex

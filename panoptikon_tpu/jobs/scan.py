@@ -21,7 +21,7 @@ import hashlib
 import mimetypes
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Iterable, Optional
 

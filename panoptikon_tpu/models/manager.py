@@ -27,10 +27,10 @@ import threading
 import time
 from collections import OrderedDict
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 from panoptikon_tpu.models.base import InferenceModel, PredictionInput
-from panoptikon_tpu.models.registry import Registry, RegistryError
+from panoptikon_tpu.models.registry import Registry
 
 
 class ModelLoadError(RuntimeError):

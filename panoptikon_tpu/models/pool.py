@@ -11,7 +11,7 @@ multi-chip scaling inside one host rides the mesh, not this pool.
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional, Protocol, Sequence
 
 from panoptikon_tpu.models.base import PredictionInput

@@ -235,6 +235,22 @@ class TestLifecycle:
         status, body = call("DELETE", f"/api/pinboards/user/{pid}")
         assert body["deleted"]
 
+    def test_data_deletion_drops_space(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders", json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+        call("POST", "/api/jobs/data/extraction", json={"inference_id": "clip/tiny"})
+        wait_jobs(state)
+        _, stats = call("GET", "/api/search/stats")
+        assert "clip/tiny" in stats["spaces"]
+        status, body = call(
+            "DELETE", "/api/jobs/data", json={"setter_name": "clip/tiny"}
+        )
+        wait_jobs(state)
+        _, stats = call("GET", "/api/search/stats")
+        assert "clip/tiny" not in stats["spaces"]
+        assert not any(s["name"] == "clip/tiny" for s in stats["setters"])
+
     def test_cron_config_roundtrip(self, client_env):
         call = client_env["call"]
         jobs = [{"schedule": "0 3 * * *", "job": "folder_rescan", "params": {}}]

@@ -1,7 +1,5 @@
 """Continuous scanning supervisor tests."""
 
-import time
-
 import pytest
 
 from panoptikon_tpu.db import store
@@ -11,7 +9,6 @@ from panoptikon_tpu.jobs.continuous import (
     ContinuousManager,
     FolderSupervisor,
     seed_snapshot,
-    take_snapshot,
 )
 from panoptikon_tpu.jobs.queue import JobQueue, JobType
 

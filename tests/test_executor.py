@@ -301,6 +301,26 @@ class TestVector:
             })
 
 
+class TestSelectAsOnly:
+    def test_select_as_without_order_by_exposes_column_only(self, env):
+        vecs = env["vecs"]
+        res = run(env["ex"], {
+            "query": {"and_": [
+                {"image_embeddings": {
+                    "query": b64_query(vecs[5]), "model": "clip",
+                    "embed": None, "index": "exact"},
+                 "order_by": False, "select_as": "d5"},
+            ]},
+            "order_by": [{"order_by": "file_id"}],
+            "page_size": 5,
+        })
+        # Ordering follows file_id (the filter contributes no key)...
+        ids = [r["file_id"] for r in res.results]
+        assert ids == sorted(ids)
+        # ...but the distance column still rides in extra.
+        assert all("d5" in r.get("extra", {}) for r in res.results)
+
+
 class TestXmodal:
     def test_clip_xmodal_unions_sibling_space(self, env):
         vecs = env["vecs"]

@@ -2,7 +2,6 @@
 (zero-egress: shapes + forward-pass validity, not numerics of real models)."""
 
 import numpy as np
-import pytest
 
 from panoptikon_tpu.models import clip, text_embed, weights, whisper
 

@@ -5,7 +5,6 @@ import wave
 
 import jax
 import numpy as np
-import pytest
 
 from panoptikon_tpu.models import whisper
 from panoptikon_tpu.models.base import PredictionInput, is_error_slot
