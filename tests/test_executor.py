@@ -378,6 +378,48 @@ class TestTextEntity:
             run(env["ex"], {"select": ["text"]})
 
 
+class TestWorkFilters:
+    def test_has_data_unprocessed(self, env):
+        # Every item has clip data with no derived rows → the filter sees
+        # all items as having unprocessed 'clip' data for a downstream
+        # setter that has produced nothing yet.
+        res = run(env["ex"], {
+            "query": {"has_data_unprocessed": {
+                "setter_name": "quantizer", "data_types": ["clip"]}},
+            "page_size": 100,
+        })
+        assert res.count == N_ITEMS
+
+    def test_failed_for_empty_ledger(self, env):
+        res = run(env["ex"], {
+            "query": {"failed_for": "clip"},
+            "page_size": 100,
+        })
+        assert res.count == 0
+
+    def test_not_processed_by_composition(self, env):
+        # NOT ProcessedBy(ocr) = the odd items (the extraction work-query
+        # shape built as PQL — extraction.rs:35-39).
+        res = run(env["ex"], {
+            "query": {"not_": {"processed_by": "ocr"}},
+            "page_size": 100,
+        })
+        assert res.count == N_ITEMS - N_ITEMS // 2
+
+
+class TestSimilarToWeighted:
+    def test_similar_to_quant_arm(self, env):
+        target_sha = env["info"][6][1]
+        res = run(env["ex"], {
+            "query": {"similar_to": {
+                "target": target_sha, "model": "clip", "index": "quant",
+                "distance_function": "COSINE",
+            }},
+            "page_size": 3,
+        })
+        assert res.results[0]["item_id"] == env["info"][6][0]
+
+
 class TestPartition:
     def test_partition_by_item(self, env):
         res = run(env["ex"], {
