@@ -27,7 +27,7 @@ def main() -> None:
     from panoptikon_tpu.ops import codec, scoring
 
     n, d, k = 1_000_000, 512, 10
-    q_batch = 2048
+    q_batch = 4096
 
     key = jax.random.key(0)
     kc, kq = jax.random.split(key)
