@@ -82,6 +82,7 @@ def run_extraction_job(
     source_setters: tuple[str, ...] = (),
     input_handler: Optional[str] = None,
     input_handler_opts: Optional[dict] = None,
+    loader_concurrency: int = 4,
     cancelled=lambda: False,
 ) -> ExtractionReport:
     """Run one extraction pass for a model over all unprocessed items.
@@ -132,11 +133,31 @@ def run_extraction_job(
             chunk = work[chunk_start : chunk_start + batch_size]
             t0 = time.perf_counter()
             inputs, loadable, spans = [], [], []
-            for row in chunk:
-                payloads = _load_payloads(
-                    conn, db, row, target_entity, threshold,
-                    input_handler, input_handler_opts,
-                )
+            # Bounded-concurrency loading (the reference's loader_slots
+            # semaphore, extraction.rs:462-478): file reads + decode overlap
+            # while inference output order stays deterministic.
+            if loader_concurrency > 1 and target_entity == "items":
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=loader_concurrency) as pool:
+                    loaded = list(
+                        pool.map(
+                            lambda row: _load_payloads(
+                                db.reader(), db, row, target_entity, threshold,
+                                input_handler, input_handler_opts,
+                            ),
+                            chunk,
+                        )
+                    )
+            else:
+                loaded = [
+                    _load_payloads(
+                        conn, db, row, target_entity, threshold,
+                        input_handler, input_handler_opts,
+                    )
+                    for row in chunk
+                ]
+            for row, payloads in zip(chunk, loaded):
                 if not payloads:
                     writer.call(
                         lambda c, r=row: store.record_extraction_error(
