@@ -303,6 +303,67 @@ async def search_pql(request: web.Request) -> web.Response:
     return web.json_response(out)
 
 
+async def search_pql_build(request: web.Request) -> web.Response:
+    """Compile-only: parse + preprocess the query and return the execution
+    plan summary without running it (reference search_pql_build)."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    try:
+        payload = await request.json()
+    except Exception:
+        return _json_error(400, "invalid JSON body")
+
+    def run():
+        from panoptikon_tpu.pql import preprocess as prep
+
+        query = pql.PqlQuery.from_json(payload)
+        seed, synthesized = query.resolve_seed()
+        prep.preprocess_query(
+            query, manager=state.manager, index=state.index(name)
+        )
+        filters = []
+        for leaf in pql.walk_filters(query.query):
+            entry = {"filter": type(leaf).__name__}
+            for attr in ("image_embeddings", "text_embeddings", "similar_to"):
+                args = getattr(leaf, attr, None)
+                if args is not None:
+                    entry["model"] = args.model
+                    entry["arm"] = "quant" if args._quant else "exact"
+            filters.append(entry)
+        return {
+            "entity": query.entity,
+            "filters": filters,
+            "order_terms": len(query.order_by),
+            "seed": seed,
+            "seed_synthesized": synthesized,
+            "cacheable": query.cache and not synthesized,
+        }
+
+    try:
+        return web.json_response(await asyncio.to_thread(run))
+    except pql.PqlError as exc:
+        return _json_error(400, str(exc))
+
+
+async def accelerator_report(request: web.Request) -> web.Response:
+    """Device inventory (the reference's accelerator report, TPU-shaped)."""
+    import jax
+
+    devices = [
+        {
+            "id": d.id,
+            "kind": d.device_kind,
+            "platform": d.platform,
+            "process": d.process_index,
+        }
+        for d in jax.devices()
+    ]
+    return web.json_response(
+        {"backend": jax.default_backend(), "device_count": len(devices),
+         "devices": devices}
+    )
+
+
 async def search_stats(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     name = _db_name(request)
@@ -1143,7 +1204,9 @@ def build_app(
     app.add_routes(
         [
             web.post("/api/search/pql", search_pql),
+            web.post("/api/search/pql/build", search_pql_build),
             web.get("/api/search/stats", search_stats),
+            web.get("/api/accelerator", accelerator_report),
             web.get("/api/search/cache", cache_stats),
             web.put("/api/search/cache", cache_resize),
             web.delete("/api/search/cache", cache_clear),

@@ -251,6 +251,24 @@ class TestLifecycle:
         assert "clip/tiny" not in stats["spaces"]
         assert not any(s["name"] == "clip/tiny" for s in stats["setters"])
 
+    def test_pql_build_and_accelerator(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders", json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+        call("POST", "/api/jobs/data/extraction", json={"inference_id": "clip/tiny"})
+        wait_jobs(state)
+        status, plan = call(
+            "POST", "/api/search/pql/build",
+            json={"query": {"image_embeddings": {
+                "query": "x", "model": "clip/tiny"}}},
+        )
+        assert status == 200, plan
+        assert plan["filters"][0]["filter"] == "SemanticImageSearch"
+        assert plan["filters"][0]["arm"] == "quant"  # profile is ready
+        assert plan["cacheable"]
+        status, acc = call("GET", "/api/accelerator")
+        assert status == 200 and acc["device_count"] >= 1
+
     def test_cron_config_roundtrip(self, client_env):
         call = client_env["call"]
         jobs = [{"schedule": "0 3 * * *", "job": "folder_rescan", "params": {}}]
