@@ -53,6 +53,7 @@ class ShardedSpace:
     group_ids: jax.Array  # (S·R,) int32 local group slot, sharded
     weights: jax.Array  # (S·R,) f32, sharded
     item_ids: np.ndarray  # (S·groups_per_shard,) int64, host
+    row_perm: np.ndarray  # (S·R,) int64: packed row → snapshot row, -1 pad
     scale: float
     one_row_per_item: bool
     chunk_rows: int
@@ -92,55 +93,91 @@ def build_sharded(
     # are appended in order; a group's rows may be scattered, so collect).
     order = np.argsort(gids, kind="stable")
     sorted_gids = gids[order]
-    boundaries = np.flatnonzero(np.diff(sorted_gids)) + 1
-    group_row_lists = np.split(order, boundaries)
-    unique_groups = sorted_gids[np.concatenate([[0], boundaries])] if size else []
-
-    one_row_per_item = all(len(rows) == 1 for rows in group_row_lists) if size else True
-
-    # Greedy round-robin by row count: keep shards balanced while keeping
-    # each item whole.
-    total_rows = int(valid.sum())
-    target = max(1, -(-total_rows // s))
-    shard_rows: list[list[np.ndarray]] = [[] for _ in range(s)]
-    shard_groups: list[list[int]] = [[] for _ in range(s)]
-    counts = [0] * s
-    cursor = 0
-    for g, rows in zip(unique_groups, group_row_lists):
-        rows = rows[valid[rows]]
-        if len(rows) == 0:
-            continue
-        while cursor < s - 1 and counts[cursor] >= target:
-            cursor += 1
-        shard_rows[cursor].append(rows)
-        shard_groups[cursor].append(int(g))
-        counts[cursor] += len(rows)
-
-    rows_per_shard = _round_up(max(max(counts), 1), chunk_rows)
-    groups_per_shard = max(max((len(g) for g in shard_groups), default=1), 1)
+    one_row_per_item = bool(
+        size == 0 or not np.any(np.diff(sorted_gids) == 0)
+    )
 
     dim = snapshot.dim
     dtype = source.dtype
-    corpus = np.zeros((s, rows_per_shard, dim), dtype=dtype)
-    row_valid = np.zeros((s, rows_per_shard), dtype=bool)
-    local_gid = np.zeros((s, rows_per_shard), dtype=np.int32)
-    weights = np.ones((s, rows_per_shard), dtype=np.float32)
-    item_ids = np.full(s * groups_per_shard, -1, dtype=np.int64)
+    snap_weights = snapshot.weights[:size]
 
-    # ``item_ids`` holds the *snapshot group slot* per packed group; the
-    # host remaps slots → DB item ids after top-k (VectorIndex owns that
-    # table).
-    for si in range(s):
-        at = 0
-        for li, (g, rows) in enumerate(zip(shard_groups[si], shard_rows[si])):
-            n = len(rows)
-            corpus[si, at : at + n] = source[rows]
-            row_valid[si, at : at + n] = True
-            local_gid[si, at : at + n] = li
-            weights[si, at : at + n] = snapshot.weights[:size][rows]
-            item_ids[si * groups_per_shard + li] = g
-            at += n
+    if one_row_per_item:
+        # Vectorized packing: with exactly one row per group the greedy
+        # balance degenerates to contiguous equal splits of the valid rows
+        # in ascending group order — no per-group Python loop (this path
+        # must stay O(#shards) Python work at 1M+ rows).
+        rows_all = order[valid[order]]
+        total = len(rows_all)
+        target = max(1, -(-total // s))
+        counts = [max(0, min(target, total - si * target)) for si in range(s)]
+        rows_per_shard = _round_up(max(max(counts), 1), chunk_rows)
+        groups_per_shard = max(max(counts), 1)
+        corpus = np.zeros((s, rows_per_shard, dim), dtype=dtype)
+        row_valid = np.zeros((s, rows_per_shard), dtype=bool)
+        local_gid = np.zeros((s, rows_per_shard), dtype=np.int32)
+        weights = np.ones((s, rows_per_shard), dtype=np.float32)
+        item_ids = np.full(s * groups_per_shard, -1, dtype=np.int64)
+        row_perm = np.full((s, rows_per_shard), -1, dtype=np.int64)
+        for si in range(s):
+            seg = rows_all[si * target : si * target + counts[si]]
+            n = len(seg)
+            if n == 0:
+                continue
+            corpus[si, :n] = source[seg]
+            row_valid[si, :n] = True
+            local_gid[si, :n] = np.arange(n, dtype=np.int32)
+            weights[si, :n] = snap_weights[seg]
+            item_ids[si * groups_per_shard : si * groups_per_shard + n] = gids[seg]
+            row_perm[si, :n] = seg
+    else:
+        boundaries = np.flatnonzero(np.diff(sorted_gids)) + 1
+        group_row_lists = np.split(order, boundaries)
+        unique_groups = sorted_gids[np.concatenate([[0], boundaries])] if size else []
 
+        # Greedy round-robin by row count: keep shards balanced while
+        # keeping each item whole.
+        total_rows = int(valid.sum())
+        target = max(1, -(-total_rows // s))
+        shard_rows: list[list[np.ndarray]] = [[] for _ in range(s)]
+        shard_groups: list[list[int]] = [[] for _ in range(s)]
+        counts = [0] * s
+        cursor = 0
+        for g, rows in zip(unique_groups, group_row_lists):
+            rows = rows[valid[rows]]
+            if len(rows) == 0:
+                continue
+            while cursor < s - 1 and counts[cursor] >= target:
+                cursor += 1
+            shard_rows[cursor].append(rows)
+            shard_groups[cursor].append(int(g))
+            counts[cursor] += len(rows)
+
+        rows_per_shard = _round_up(max(max(counts), 1), chunk_rows)
+        groups_per_shard = max(max((len(g) for g in shard_groups), default=1), 1)
+
+        corpus = np.zeros((s, rows_per_shard, dim), dtype=dtype)
+        row_valid = np.zeros((s, rows_per_shard), dtype=bool)
+        local_gid = np.zeros((s, rows_per_shard), dtype=np.int32)
+        weights = np.ones((s, rows_per_shard), dtype=np.float32)
+        item_ids = np.full(s * groups_per_shard, -1, dtype=np.int64)
+        row_perm = np.full((s, rows_per_shard), -1, dtype=np.int64)
+
+        # ``item_ids`` holds the *snapshot group slot* per packed group; the
+        # host remaps slots → DB item ids after top-k (VectorIndex owns that
+        # table).
+        for si in range(s):
+            at = 0
+            for li, (g, rows) in enumerate(zip(shard_groups[si], shard_rows[si])):
+                n = len(rows)
+                corpus[si, at : at + n] = source[rows]
+                row_valid[si, at : at + n] = True
+                local_gid[si, at : at + n] = li
+                weights[si, at : at + n] = snap_weights[rows]
+                item_ids[si * groups_per_shard + li] = g
+                row_perm[si, at : at + n] = rows
+                at += n
+
+    row_perm = row_perm.reshape(-1)
     corpus = corpus.reshape(s * rows_per_shard, dim)
     row_valid = row_valid.reshape(-1)
     local_gid = local_gid.reshape(-1)
@@ -162,6 +199,7 @@ def build_sharded(
         group_ids=jax.device_put(local_gid, flat_sharding),
         weights=jax.device_put(weights, flat_sharding),
         item_ids=item_ids,
+        row_perm=row_perm,
         scale=scale,
         one_row_per_item=one_row_per_item,
         chunk_rows=chunk_rows,
@@ -293,3 +331,114 @@ def sharded_search(
         scale=space.scale,
     )
     return top_v, top_i, jnp.isfinite(top_v), grouped
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "distance",
+        "aggregation",
+        "groups_per_shard",
+        "chunk_rows",
+        "weighted",
+    ),
+)
+def _sharded_scores(
+    corpus,
+    sumsq,
+    row_valid,
+    group_ids,
+    weights,
+    queries,
+    *,
+    mesh: Mesh,
+    distance: str,
+    aggregation: str,
+    groups_per_shard: int,
+    chunk_rows: int,
+    weighted: bool,
+    scale: float,
+):
+    rows_spec = P(SHARD_AXIS, None)
+    flat_spec = P(SHARD_AXIS)
+
+    def shard_fn(corpus_s, sumsq_s, valid_s, gids_s, w_s, q):
+        dist, valid, cnt = scoring.grouped_scores(
+            corpus_s,
+            sumsq_s,
+            valid_s,
+            gids_s,
+            q,
+            num_groups=groups_per_shard,
+            distance=distance,
+            aggregation=aggregation,
+            scale=scale,
+            chunk_rows=chunk_rows,
+            weighted=weighted,
+            weights=w_s,
+        )
+        # Full score surface: every shard computes its local groups' scores
+        # and one all_gather over ICI replicates them — (S, Q, G) → (Q, S·G)
+        # in packed global-slot order, which ``ShardedSpace.item_ids`` maps
+        # back to snapshot group slots on the host.
+        all_d = jax.lax.all_gather(dist, SHARD_AXIS, axis=0)
+        all_v = jax.lax.all_gather(valid, SHARD_AXIS, axis=0)
+        all_c = jax.lax.all_gather(cnt, SHARD_AXIS, axis=0)
+        q_n = dist.shape[0]
+        d = jnp.transpose(all_d, (1, 0, 2)).reshape(q_n, -1)
+        v = jnp.transpose(all_v, (1, 0, 2)).reshape(q_n, -1)
+        c = jnp.transpose(all_c, (1, 0, 2)).reshape(q_n, -1)
+        return d, v, c
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(rows_spec, flat_spec, flat_spec, flat_spec, flat_spec, P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(corpus, sumsq, row_valid, group_ids, weights, queries)
+
+
+def sharded_grouped_scores(
+    space: ShardedSpace,
+    queries,
+    *,
+    distance: str = "cosine",
+    aggregation: str = "min",
+    weighted: bool = False,
+    row_valid=None,
+):
+    """Full per-group scores over the mesh: (Q, S·G) dist/valid/count arrays
+    keyed by PACKED global group slot (``space.item_ids`` maps slots back to
+    snapshot group slots).
+
+    This is the PQL composition surface on >1 devices — the sharded
+    replacement for the reference's single-connection SQL scan where rank
+    fusion needs every candidate's score, not a top-k
+    (pql/builder/filters/exact.rs). ``row_valid``, when given, overrides the
+    built-in validity and must be in packed order (use ``space.row_perm`` to
+    permute a snapshot-order mask).
+    """
+    if row_valid is None:
+        rv = space.row_valid
+    else:
+        rv = jax.device_put(
+            np.asarray(row_valid, dtype=bool),
+            NamedSharding(space.mesh, P(SHARD_AXIS)),
+        )
+    return _sharded_scores(
+        space.corpus,
+        space.sumsq,
+        rv,
+        space.group_ids,
+        space.weights,
+        queries,
+        mesh=space.mesh,
+        distance=distance,
+        aggregation=aggregation,
+        groups_per_shard=space.groups_per_shard,
+        chunk_rows=space.chunk_rows,
+        weighted=weighted,
+        scale=space.scale,
+    )

@@ -256,13 +256,19 @@ def grouped_scores(
     weighted: bool = False,
     weights=None,
 ):
-    """Full per-group score arrays: (Q, num_groups) distances + validity.
+    """Full per-group score arrays: (Q, num_groups) distances, validity, counts.
 
     Streams per-group aggregates (MIN/MAX/AVG, or the confidence-weighted
     average ``SUM(d·w)/SUM(w)`` when ``weighted`` — exact.rs:64-80) into
     (Q, num_groups) accumulators. This is the PQL composition surface: rank
     fusion needs every candidate's score, not just top-k. Accumulator HBM
     footprint is Q·M·4 bytes, independent of rows per item.
+
+    The third return is the per-group contributing row count (or weight sum
+    when ``weighted``): multi-space AVG composition needs it to weight each
+    space's mean by its row population, matching the reference's single
+    ``AVG`` over the unioned rows (exact.rs:64-80) instead of a mean of
+    per-space means.
     """
     n = corpus.shape[0]
     num_chunks = n // chunk_rows
@@ -348,7 +354,7 @@ def grouped_scores(
     else:
         group_dist = acc_a / jnp.maximum(acc_b, 1.0)
     group_dist = jnp.where(group_valid, group_dist, INF)
-    return group_dist, group_valid
+    return group_dist, group_valid, acc_b
 
 
 @functools.partial(
@@ -372,7 +378,7 @@ def streaming_grouped_topk(
     weights=None,
 ):
     """Top-k groups per query: :func:`grouped_scores` + masked top-k."""
-    group_dist, group_valid = grouped_scores(
+    group_dist, group_valid, _ = grouped_scores(
         corpus,
         sumsq,
         row_valid,
