@@ -128,6 +128,18 @@ def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
+def detect_outro_from_frames(tail: np.ndarray) -> OutroVerdict:
+    """Decoder-agnostic stage 2: caller supplies the last-7s@30fps tail
+    (any decoder — the scan uses OpenCV via jobs/media.decode_tail_frames,
+    which needs no system ffmpeg)."""
+    if tail is None or len(tail) == 0:
+        return OutroVerdict(KIND_NONE, 0.0, "decode_failed")
+    if not on_background(frame_median(tail[-1])):
+        return OutroVerdict(KIND_NONE, 0.0, "stage1_color")
+    card = np.array([frame_is_card(f) for f in tail], dtype=bool)
+    return verdict_from_tail(card, tail[-1])
+
+
 def detect_outro(path: str) -> Optional[OutroVerdict]:
     """Full two-stage detection; None when ffmpeg is unavailable (the
     caller ledgers a blocked attempt — blocker='ffmpeg')."""

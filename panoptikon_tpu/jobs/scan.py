@@ -1,16 +1,21 @@
 """File scanning: walk folders, hash, identify, register items/files.
 
-The host-side intake pipeline (reference jobs/files.rs, reduced to the
-parts this environment can run — ffmpeg/pdfium/browser renders are gated
-behind availability probes and ledgered as ``blocked`` when missing, per
-the failed-media design):
+The host-side intake pipeline (reference jobs/files.rs):
 
 - walk included folders minus excluded subtrees, skipping hidden/junk
   directories (files.rs:5754-5796);
 - mtime+size unchanged → skip re-hash (the false-change counter tracks
   entries whose mtime changed but whose hash didn't);
 - sha256+md5 in one streaming pass; mime from magic bytes then extension;
-- image dimensions via PIL; thumbnails (storage DB) for image types;
+- per-file work (hash + decode + thumbnail + frames) fans out over a
+  thread pool (files.rs:76-87 ScanOptions.worker_count) — hashlib, PIL
+  and OpenCV all release the GIL; DB writes stay on the writer thread;
+- media intake per type (jobs/media.py): video frame sampling with outro
+  trimming (files.rs:5300 + media_tools/outro.rs), animated-image frames,
+  PDF page renders (files.rs:4484, pdfium-gated), WAV duration, blurhash;
+  frames land in ``storage.frames``, outcomes in ``visual_attempts``;
+- missing host dependencies ledger ``blocked`` and HEAL on a later scan
+  when the dependency appears (files.rs:719 heal_blocked_scan_errors);
 - files table upserted; vanished paths marked unavailable; per-path scan
   errors ledgered with stage + blocker.
 """
@@ -21,13 +26,16 @@ import hashlib
 import mimetypes
 import os
 import time
-from dataclasses import dataclass
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Iterable, Optional
 
 from panoptikon_tpu.db import store
 from panoptikon_tpu.db.connection import Database
 from panoptikon_tpu.db.writer import IndexWriter
+from panoptikon_tpu.jobs import media
+from panoptikon_tpu.jobs import outro as outro_mod
 
 JUNK_DIRS = {
     ".git", ".svn", "__pycache__", "node_modules", ".cache", ".thumbnails",
@@ -129,6 +137,37 @@ class ScanCounters:
     metadata_time: float = 0.0
     hashing_time: float = 0.0
     thumbgen_time: float = 0.0
+    blurhash_time: float = 0.0
+    frames_written: int = 0
+    blocked: int = 0
+    healed: int = 0
+
+
+@dataclass
+class ScanRow:
+    """One path's fully prepared intake result (thread-pool output)."""
+
+    path: str
+    sha256: str = ""
+    md5: str = ""
+    mime: str = ""
+    mtime: str = ""
+    size: int = 0
+    width: Optional[int] = None
+    height: Optional[int] = None
+    duration: Optional[float] = None
+    audio_tracks: Optional[int] = None
+    video_tracks: Optional[int] = None
+    blurhash: Optional[str] = None
+    thumb: Optional[tuple[bytes, int, int]] = None
+    frames: list[tuple[bytes, int, int]] = field(default_factory=list)
+    attempt: Optional[tuple[str, str, Optional[str]]] = None  # kind, outcome, msg
+    status: str = "new"  # new | modified | unchanged | false_change | error
+    error: Optional[tuple[str, str, Optional[str], str]] = None  # stage, class, blocker, msg
+    hashing_time: float = 0.0
+    metadata_time: float = 0.0
+    thumbgen_time: float = 0.0
+    blurhash_time: float = 0.0
 
 
 def iter_files(
@@ -153,12 +192,191 @@ def iter_files(
                 yield str(Path(dirpath) / name)
 
 
+def _video_thumb(frame: tuple[bytes, int, int]) -> Optional[tuple[bytes, int, int]]:
+    try:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(frame[0])) as im:
+            im = im.convert("RGB")
+            im.thumbnail((THUMBNAIL_SIZE, THUMBNAIL_SIZE))
+            buf = io.BytesIO()
+            im.save(buf, format="JPEG", quality=85)
+            return buf.getvalue(), im.width, im.height
+    except Exception:
+        return None
+
+
+def process_path(
+    path: str,
+    prev: Optional[tuple[str, str]],
+    *,
+    make_thumbnails: bool,
+    max_frames: int = media.DEFAULT_MAX_FRAMES,
+    detect_outros: bool = True,
+) -> Optional[ScanRow]:
+    """Hash + identify + media intake for ONE path — thread-pool work unit.
+    Returns None for unchanged files."""
+    row = ScanRow(path=path)
+    try:
+        stat = os.stat(path)
+    except OSError as exc:
+        row.status = "error"
+        row.error = ("stat", "transient", None, str(exc))
+        return row
+    row.mtime = time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(stat.st_mtime))
+    row.size = stat.st_size
+    if prev is not None and prev[0] == row.mtime:
+        row.status = "unchanged"
+        return row
+    try:
+        t0 = time.perf_counter()
+        row.sha256, row.md5, head = hash_file(path)
+        row.hashing_time = time.perf_counter() - t0
+    except OSError as exc:
+        row.status = "error"
+        row.error = ("hash", "transient", None, str(exc))
+        return row
+    if prev is not None:
+        row.status = "false_change" if prev[1] == row.sha256 else "modified"
+    t0 = time.perf_counter()
+    row.mime = sniff_mime(path, head)
+    mime = row.mime
+
+    if mime.startswith("image/"):
+        row.width, row.height = image_meta(path)
+        row.metadata_time = time.perf_counter() - t0
+        # Animated images get sampled frames like videos (image_frames
+        # handler reads storage.frames first).
+        try:
+            with open(path, "rb") as f:
+                payload = f.read()
+            try:
+                row.frames = media.sample_animated_frames(
+                    payload, max_frames=max_frames
+                )
+                row.attempt = ("frames", "ok", None)
+            except media.MediaError:
+                pass  # stills are the normal case
+            t1 = time.perf_counter()
+            row.blurhash = media.blurhash_for_image_bytes(payload)
+            row.blurhash_time = time.perf_counter() - t1
+        except OSError:
+            pass
+        if make_thumbnails:
+            t1 = time.perf_counter()
+            row.thumb = make_thumbnail(path)
+            row.thumbgen_time = time.perf_counter() - t1
+    elif mime.startswith("video/"):
+        try:
+            info = media.probe_video(path)
+            row.width, row.height = info.width, info.height
+            row.duration = info.duration
+            row.video_tracks = 1
+            skip_tail = 0.0
+            if detect_outros:
+                tail = media.decode_tail_frames(
+                    path, seconds=outro_mod.TAIL_S, fps=outro_mod.FPS,
+                    width=outro_mod.W,
+                )
+                if tail is not None:
+                    verdict = outro_mod.detect_outro_from_frames(tail)
+                    if verdict.kind != outro_mod.KIND_NONE:
+                        skip_tail = verdict.length_s
+            row.frames = media.sample_video_frames(
+                path, max_frames=max_frames, skip_tail_s=skip_tail
+            )
+            row.attempt = ("frames", "ok", None)
+            if make_thumbnails and row.frames:
+                t1 = time.perf_counter()
+                row.thumb = _video_thumb(row.frames[0])
+                row.thumbgen_time = time.perf_counter() - t1
+            if row.frames:
+                row.blurhash = media.blurhash_for_image_bytes(row.frames[0][0])
+        except media.MediaError as exc:
+            outcome = "blocked" if exc.blocker else "failed"
+            row.attempt = ("frames", outcome, str(exc))
+            row.error = ("frames", exc.error_class, exc.blocker, str(exc))
+        row.metadata_time = time.perf_counter() - t0
+    elif mime == "application/pdf":
+        try:
+            row.frames = media.render_pdf_pages(path)
+            row.attempt = ("frames", "ok", None)
+            if make_thumbnails and row.frames:
+                row.thumb = _video_thumb(row.frames[0])
+            if row.frames:
+                row.width, row.height = row.frames[0][1], row.frames[0][2]
+        except media.MediaError as exc:
+            outcome = "blocked" if exc.blocker else "failed"
+            row.attempt = ("frames", outcome, str(exc))
+            row.error = ("frames", exc.error_class, exc.blocker, str(exc))
+        row.metadata_time = time.perf_counter() - t0
+    elif mime.startswith("audio/"):
+        row.duration = media.wav_duration(path) if mime == "audio/wav" else None
+        row.audio_tracks = 1
+        row.metadata_time = time.perf_counter() - t0
+    else:
+        row.metadata_time = time.perf_counter() - t0
+    return row
+
+
+def heal_blocked(db: Database, writer: IndexWriter) -> tuple[int, set[str]]:
+    """Clear 'blocked' ledger rows whose missing dependency is now present
+    (files.rs:719): returns (#healed, sha256s to force re-intake)."""
+    caps = media.capabilities()
+    resolved = [name for name, ok in caps.items() if ok]
+    if not resolved:
+        return 0, set()
+    conn = db.reader()
+    qmarks = ",".join("?" * len(resolved))
+    paths = [
+        r[0]
+        for r in conn.execute(
+            f"SELECT path FROM scan_errors WHERE blocker IN ({qmarks})",
+            resolved,
+        ).fetchall()
+    ]
+    if not paths:
+        return 0, set()
+    # Blocked visual attempts heal only for items whose ledgered blocker is
+    # among the now-resolved dependencies (the attempt row itself carries
+    # no blocker; the scan_errors row does).
+    shas = {
+        r[0]
+        for r in conn.execute(
+            f"""SELECT DISTINCT f.sha256 FROM scan_errors e
+                JOIN files f ON f.path = e.path
+                WHERE e.blocker IN ({qmarks})""",
+            resolved,
+        ).fetchall()
+    }
+
+    def unit(c):
+        c.execute(
+            f"DELETE FROM scan_errors WHERE blocker IN ({qmarks})", resolved
+        )
+        if shas:
+            sq = ",".join("?" * len(shas))
+            c.execute(
+                f"""DELETE FROM storage.visual_attempts
+                    WHERE outcome='blocked' AND item_sha256 IN ({sq})""",
+                list(shas),
+            )
+
+    writer.call(unit)
+    return len(paths), shas
+
+
 def rescan_folders(
     db: Database,
     writer: IndexWriter,
     *,
     folders: Optional[list[str]] = None,
     make_thumbnails: bool = True,
+    worker_count: int = 4,
+    max_frames: int = media.DEFAULT_MAX_FRAMES,
+    detect_outros: bool = True,
     cancelled=lambda: False,
 ) -> ScanCounters:
     """Full rescan of the configured (or given) folders."""
@@ -171,25 +389,34 @@ def rescan_folders(
     counters = ScanCounters()
     scan_id = writer.call(lambda c: store.start_file_scan(c, ";".join(included)))
 
+    healed, heal_shas = heal_blocked(db, writer)
+    counters.healed = healed
+
     # Known files under the scanned roots → unchanged-skip + vanish marking.
+    # Items whose blocked intake just healed are dropped from `known` so
+    # the unchanged-mtime skip cannot mask the re-attempt.
     known: dict[str, tuple[str, str]] = {}
     for path, mtime, sha in conn.execute(
         "SELECT path, last_modified, sha256 FROM files WHERE available = 1"
     ).fetchall():
+        if sha in heal_shas:
+            continue
         if any(path.startswith(str(Path(r))) for r in included):
             known[path] = (mtime, sha)
 
     seen: set[str] = set()
-    batch: list[tuple] = []
 
-    def flush(batch_rows):
+    def flush(rows: list[ScanRow]):
         def unit(c):
-            for sha, md5h, mime, path, mtime, size, width, height, thumb in batch_rows:
+            for r in rows:
                 item_id = store.upsert_item(
-                    c, sha, md5h, mime, size=size, width=width, height=height
+                    c, r.sha256, r.md5, r.mime, size=r.size, width=r.width,
+                    height=r.height, duration=r.duration,
+                    audio_tracks=r.audio_tracks, video_tracks=r.video_tracks,
+                    blurhash=r.blurhash,
                 )
-                store.upsert_file(c, item_id, sha, path, mtime, scan_id)
-                if thumb is not None:
+                store.upsert_file(c, item_id, r.sha256, r.path, r.mtime, scan_id)
+                if r.thumb is not None:
                     c.execute(
                         """INSERT INTO storage.thumbnails
                            (item_sha256, idx, item_mime_type, width, height,
@@ -197,63 +424,105 @@ def rescan_folders(
                            ON CONFLICT(item_sha256, idx) DO UPDATE SET
                              thumbnail=excluded.thumbnail, width=excluded.width,
                              height=excluded.height, version=excluded.version""",
-                        (sha, 0, mime, thumb[1], thumb[2], THUMBNAIL_VERSION, thumb[0]),
+                        (r.sha256, 0, r.mime, r.thumb[1], r.thumb[2],
+                         THUMBNAIL_VERSION, r.thumb[0]),
+                    )
+                for idx, (blob, fw, fh) in enumerate(r.frames):
+                    c.execute(
+                        """INSERT INTO storage.frames
+                           (item_sha256, idx, item_mime_type, width, height,
+                            version, frame) VALUES (?,?,?,?,?,?,?)
+                           ON CONFLICT(item_sha256, idx) DO UPDATE SET
+                             frame=excluded.frame, width=excluded.width,
+                             height=excluded.height, version=excluded.version""",
+                        (r.sha256, idx, r.mime, fw, fh,
+                         media.FRAMES_VERSION, blob),
+                    )
+                if r.attempt is not None:
+                    kind, outcome, msg = r.attempt
+                    c.execute(
+                        """INSERT INTO storage.visual_attempts
+                           (item_sha256, kind, version, outcome, message, time)
+                           VALUES (?,?,?,?,?,datetime('now'))
+                           ON CONFLICT(item_sha256, kind) DO UPDATE SET
+                             outcome=excluded.outcome, message=excluded.message,
+                             version=excluded.version, time=excluded.time""",
+                        (r.sha256, kind, media.FRAMES_VERSION, outcome, msg),
+                    )
+                if r.error is not None:
+                    stage, error_class, blocker, msg = r.error
+                    store.record_scan_error(
+                        c, r.path, stage=stage, error_class=error_class,
+                        blocker=blocker, message=msg,
                     )
 
         writer.call(unit)
 
-    for path in iter_files(included, excluded):
-        if cancelled():
-            break
-        seen.add(path)
-        counters.total_available += 1
-        try:
-            stat = os.stat(path)
-            mtime = time.strftime(
-                "%Y-%m-%dT%H:%M:%S", time.gmtime(stat.st_mtime)
-            )
-            prev = known.get(path)
-            if prev is not None and prev[0] == mtime:
-                counters.unchanged_files += 1
-                continue
-            t0 = time.perf_counter()
-            sha, md5h, head = hash_file(path)
-            counters.hashing_time += time.perf_counter() - t0
-            if prev is not None:
-                if prev[1] == sha:
-                    counters.false_changes += 1
-                else:
-                    counters.modified_files += 1
-            else:
-                counters.new_files += 1
-            t0 = time.perf_counter()
-            mime = sniff_mime(path, head)
-            width = height = None
-            thumb = None
-            if mime.startswith("image/"):
-                width, height = image_meta(path)
-                counters.metadata_time += time.perf_counter() - t0
-                if make_thumbnails:
-                    t1 = time.perf_counter()
-                    thumb = make_thumbnail(path)
-                    counters.thumbgen_time += time.perf_counter() - t1
-            else:
-                counters.metadata_time += time.perf_counter() - t0
-            if prev is None:
-                counters.new_items += 1
-            batch.append(
-                (sha, md5h, mime, path, mtime, stat.st_size, width, height, thumb)
-            )
-            if len(batch) >= 64:
-                flush(batch)
-                batch = []
-        except OSError as exc:
+    def handle(row: Optional[ScanRow]):
+        if row is None:
+            return None
+        counters.hashing_time += row.hashing_time
+        counters.metadata_time += row.metadata_time
+        counters.thumbgen_time += row.thumbgen_time
+        counters.blurhash_time += row.blurhash_time
+        if row.status == "unchanged":
+            counters.unchanged_files += 1
+            return None
+        if row.status == "error" and not row.sha256:
             counters.errors += 1
             writer.call(
-                lambda c, p=path, e=str(exc): store.record_scan_error(
-                    c, p, stage="stat", error_class="transient", message=e
+                lambda c, r=row: store.record_scan_error(
+                    c, r.path, stage=r.error[0], error_class=r.error[1],
+                    blocker=r.error[2], message=r.error[3],
                 )
             )
+            return None
+        if row.status == "new":
+            counters.new_files += 1
+            counters.new_items += 1
+        elif row.status == "modified":
+            counters.modified_files += 1
+        elif row.status == "false_change":
+            counters.false_changes += 1
+        if row.error is not None:
+            counters.errors += 1
+            if row.error[2]:
+                counters.blocked += 1
+        counters.frames_written += len(row.frames)
+        return row
+
+    batch: list[ScanRow] = []
+    pool = ThreadPoolExecutor(max_workers=max(1, worker_count))
+    try:
+        pending: list = []
+        WINDOW = 64
+        for path in iter_files(included, excluded):
+            if cancelled():
+                break
+            seen.add(path)
+            counters.total_available += 1
+            pending.append(
+                pool.submit(
+                    process_path, path, known.get(path),
+                    make_thumbnails=make_thumbnails, max_frames=max_frames,
+                    detect_outros=detect_outros,
+                )
+            )
+            if len(pending) >= WINDOW:
+                for fut in pending:
+                    row = handle(fut.result())
+                    if row is not None:
+                        batch.append(row)
+                pending = []
+                if len(batch) >= 64:
+                    flush(batch)
+                    batch = []
+        for fut in pending:
+            row = handle(fut.result())
+            if row is not None:
+                batch.append(row)
+    finally:
+        pool.shutdown(wait=True)
     if batch:
         flush(batch)
 

@@ -111,10 +111,13 @@ def int8_topk_rescored(
         neg, sel = jax.lax.top_k(-cand_v, k)
         top_i = jnp.take_along_axis(cand_i, sel, axis=1)
         return -neg, top_i, jnp.isfinite(-neg)
-    cand_rows = corpus_f32[cand_i]  # (Q, kk, D) gather
+    # (Q, kk, D) gather; upcast once — the rescore corpus may be stored
+    # bf16 (memory parity: int8 codes + bf16 rescore rows = 3 B/dim, still
+    # under the 4 B/dim fp32-exact baseline) and all math runs f32.
+    cand_rows = corpus_f32[cand_i].astype(jnp.float32)
     qf = q_f32.astype(jnp.float32)
     cdots = jnp.einsum(
-        "qd,qkd->qk", qf, cand_rows.astype(jnp.float32),
+        "qd,qkd->qk", qf, cand_rows,
         preferred_element_type=jnp.float32,
     )
     if distance == "cosine":

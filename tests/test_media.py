@@ -1,0 +1,266 @@
+"""Media intake pipeline: video frames, animated images, PDFs (gated),
+audio PCM, blurhash, heal-blocked — and the end-to-end mp4 → frames →
+CLIP-extraction integration VERDICT r1 #5 asked for.
+
+Reference anchors: jobs/files.rs:5300 (video sampling), :4484 (PDF render),
+:719 (heal_blocked_scan_errors), docs/failed-media-retry-design.md.
+"""
+
+import wave
+
+import numpy as np
+import pytest
+
+from panoptikon_tpu.db import store
+from panoptikon_tpu.db.connection import Database
+from panoptikon_tpu.db.writer import IndexWriter
+from panoptikon_tpu.index.vector_index import VectorIndex
+from panoptikon_tpu.jobs import extraction, media, scan
+from panoptikon_tpu.models.impls import IMPL_INDEX
+from panoptikon_tpu.models.manager import ModelManager
+from panoptikon_tpu.models.registry import Registry
+
+cv2 = pytest.importorskip("cv2")
+
+REG_TOML = """
+[group.clip]
+config.impl_class = "clip"
+config.model_arch = "test-tiny"
+[group.clip.metadata]
+output_type = "clip"
+input_mime_types = ["image/", "video/"]
+input_spec.handler = "image_frames"
+input_spec.opts.max_frames = 4
+[group.clip.inference_ids.tiny]
+"""
+
+
+def make_mp4(path, *, frames=30, size=(64, 48), color=(200, 40, 40)):
+    w = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10, size
+    )
+    assert w.isOpened()
+    img = np.zeros((size[1], size[0], 3), np.uint8)
+    img[:] = color[::-1]  # BGR
+    for i in range(frames):
+        f = img.copy()
+        f[:, : (i * size[0] // frames)] = 255  # moving wipe → distinct frames
+        w.write(f)
+    w.release()
+
+
+def make_gif(path, n=6):
+    from PIL import Image
+
+    imgs = [
+        Image.new("RGB", (32, 32), (i * 40 % 256, 0, 0)) for i in range(n)
+    ]
+    imgs[0].save(path, save_all=True, append_images=imgs[1:], duration=100)
+
+
+def make_wav(path, seconds=0.5, rate=16000):
+    t = np.arange(int(seconds * rate)) / rate
+    pcm = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+
+
+@pytest.fixture
+def env(tmp_path):
+    mediadir = tmp_path / "media"
+    mediadir.mkdir()
+    make_mp4(mediadir / "clip.mp4")
+    make_gif(mediadir / "anim.gif")
+    make_wav(mediadir / "tone.wav")
+    (mediadir / "doc.pdf").write_bytes(b"%PDF-1.4 fake body")
+    from PIL import Image
+
+    Image.new("RGB", (40, 40), (0, 200, 0)).save(mediadir / "still.png")
+
+    db = Database(tmp_path / "data", "media")
+    writer = IndexWriter(db)
+    writer.call(lambda c: store.add_folder(c, str(mediadir)))
+    yield {"db": db, "writer": writer, "media": mediadir, "tmp": tmp_path}
+    writer.close()
+
+
+class TestMediaPrimitives:
+    def test_probe_and_sample_video(self, env):
+        info = media.probe_video(str(env["media"] / "clip.mp4"))
+        assert (info.width, info.height) == (64, 48)
+        assert info.frame_count == 30 and info.duration == pytest.approx(3.0)
+        frames = media.sample_video_frames(
+            str(env["media"] / "clip.mp4"), max_frames=4
+        )
+        assert len(frames) == 4
+        for blob, w, h in frames:
+            assert blob[:3] == b"\xff\xd8\xff" and (w, h) == (64, 48)
+        # Frames are distinct (the wipe moves).
+        assert len({f[0] for f in frames}) == 4
+
+    def test_animated_frames(self, env):
+        payload = (env["media"] / "anim.gif").read_bytes()
+        frames = media.sample_animated_frames(payload, max_frames=3)
+        assert 1 < len(frames) <= 3
+
+    def test_still_image_not_animated(self, env):
+        payload = (env["media"] / "still.png").read_bytes()
+        with pytest.raises(media.MediaError):
+            media.sample_animated_frames(payload)
+
+    def test_wav_pcm_and_duration(self, env):
+        pcm, rate = media.extract_audio_pcm(
+            str(env["media"] / "tone.wav"), "audio/wav"
+        )
+        assert rate == 16000 and pcm.dtype == np.float32
+        assert abs(len(pcm) / rate - 0.5) < 0.01
+        assert media.wav_duration(str(env["media"] / "tone.wav")) == pytest.approx(0.5)
+
+    def test_pdf_blocked_without_renderer(self, env):
+        if media.pdf_renderer_available():
+            pytest.skip("pdf renderer present")
+        with pytest.raises(media.MediaError) as ei:
+            media.render_pdf_pages(str(env["media"] / "doc.pdf"))
+        assert ei.value.blocker == "pdfium"
+
+    def test_blurhash_format_and_stability(self):
+        rgb = np.zeros((32, 32, 3), np.uint8)
+        rgb[:, :16] = (255, 0, 0)
+        h1 = media.blurhash_encode(rgb)
+        h2 = media.blurhash_encode(rgb)
+        assert h1 == h2
+        # 4x3 components: 1 + 1 + 4 + (12-1)*2 = 28 chars
+        assert len(h1) == 28
+        assert all(c in media._B83 for c in h1)
+
+    def test_blurhash_dc_encodes_average_color(self):
+        flat = np.full((16, 16, 3), 128, np.uint8)
+        h = media.blurhash_encode(flat)
+        # DC (chars 2..6) is the base83-encoded sRGB average color.
+        dc = 0
+        for c in h[2:6]:
+            dc = dc * 83 + media._B83.index(c)
+        r, g, b = (dc >> 16) & 255, (dc >> 8) & 255, dc & 255
+        assert abs(r - 128) <= 1 and abs(g - 128) <= 1 and abs(b - 128) <= 1
+
+
+class TestScanIntake:
+    def test_video_scan_stores_frames_and_metadata(self, env):
+        counters = scan.rescan_folders(env["db"], env["writer"])
+        assert counters.frames_written >= 4
+        conn = env["db"].reader()
+        n_frames = conn.execute(
+            "SELECT COUNT(*) FROM storage.frames"
+        ).fetchone()[0]
+        assert n_frames >= 4 + 2  # video frames + gif frames
+        dur, vtracks = conn.execute(
+            "SELECT duration, video_tracks FROM items WHERE type='video/mp4'"
+        ).fetchone()
+        assert dur == pytest.approx(3.0) and vtracks == 1
+        # Video gets a thumbnail from its first frame.
+        sha = conn.execute(
+            "SELECT sha256 FROM items WHERE type='video/mp4'"
+        ).fetchone()[0]
+        assert conn.execute(
+            "SELECT COUNT(*) FROM storage.thumbnails WHERE item_sha256=?",
+            (sha,),
+        ).fetchone()[0] == 1
+        # visual_attempts: ok for the video, blocked for the PDF.
+        outcomes = dict(conn.execute(
+            "SELECT item_sha256, outcome FROM storage.visual_attempts"
+        ).fetchall())
+        assert outcomes[sha] == "ok"
+        pdf_sha = conn.execute(
+            "SELECT sha256 FROM items WHERE type='application/pdf'"
+        ).fetchone()[0]
+        if not media.pdf_renderer_available():
+            assert outcomes[pdf_sha] == "blocked"
+            err = conn.execute(
+                "SELECT blocker FROM scan_errors WHERE path LIKE '%doc.pdf'"
+            ).fetchone()
+            assert err and err[0] == "pdfium"
+        # WAV duration + audio_tracks.
+        dur_a = conn.execute(
+            "SELECT duration, audio_tracks FROM items WHERE type='audio/wav'"
+        ).fetchone()
+        assert dur_a[0] == pytest.approx(0.5) and dur_a[1] == 1
+        # Stills get a blurhash.
+        bh = conn.execute(
+            "SELECT blurhash FROM items WHERE type='image/png'"
+        ).fetchone()[0]
+        assert bh and len(bh) == 28
+
+    def test_video_clip_extraction_end_to_end(self, env, tmp_path):
+        """VERDICT #5 Done-criterion: mp4 scan → frames stored → CLIP
+        extraction produces embeddings for the video item."""
+        scan.rescan_folders(env["db"], env["writer"])
+        reg_dir = tmp_path / "reg"
+        reg_dir.mkdir()
+        (reg_dir / "00.toml").write_text(REG_TOML)
+        manager = ModelManager(Registry(reg_dir), IMPL_INDEX)
+        index = VectorIndex(chunk_rows=64)
+        try:
+            report = extraction.run_extraction_job(
+                db=env["db"], writer=env["writer"], index=index,
+                manager=manager, inference_id="clip/tiny",
+                setter_name="tiny", output_type="clip", batch_size=2,
+                mime_prefixes=("video/", "image/"),
+                input_handler="image_frames",
+            )
+            assert report.processed >= 3  # mp4 + gif + png
+            conn = env["db"].reader()
+            video_embeds = conn.execute(
+                """SELECT COUNT(*) FROM embeddings e
+                   JOIN item_data d ON d.id = e.id
+                   JOIN items i ON i.id = d.item_id
+                   WHERE i.type = 'video/mp4'"""
+            ).fetchone()[0]
+            # One embedding per sampled frame.
+            assert video_embeds == 4
+        finally:
+            manager.shutdown()
+
+    def test_heal_blocked_clears_resolved_ledgers(self, env):
+        scan.rescan_folders(env["db"], env["writer"])
+        conn = env["db"].reader()
+        # Simulate a previously blocked video (as if cv2 had been missing):
+        sha = conn.execute(
+            "SELECT sha256 FROM items WHERE type='video/mp4'"
+        ).fetchone()[0]
+        path = conn.execute(
+            "SELECT path FROM files WHERE sha256=?", (sha,)
+        ).fetchone()[0]
+
+        def unit(c):
+            store.record_scan_error(
+                c, path, stage="frames", error_class="input",
+                blocker="video-decoder", message="no decoder",
+            )
+            c.execute(
+                """INSERT INTO storage.visual_attempts
+                   (item_sha256, kind, version, outcome, message, time)
+                   VALUES (?,?,?,?,?,datetime('now'))
+                   ON CONFLICT(item_sha256, kind) DO UPDATE SET
+                     outcome=excluded.outcome""",
+                (sha, "frames", 1, "blocked", "no decoder"),
+            )
+            c.execute("DELETE FROM storage.frames WHERE item_sha256=?", (sha,))
+
+        env["writer"].call(unit)
+        counters = scan.rescan_folders(env["db"], env["writer"])
+        assert counters.healed >= 1
+        conn = env["db"].reader()
+        # Re-intake happened: frames back, attempt flipped to ok.
+        assert conn.execute(
+            "SELECT COUNT(*) FROM storage.frames WHERE item_sha256=?", (sha,)
+        ).fetchone()[0] == 4
+        assert conn.execute(
+            "SELECT outcome FROM storage.visual_attempts WHERE item_sha256=?",
+            (sha,),
+        ).fetchone()[0] == "ok"
+        assert conn.execute(
+            "SELECT COUNT(*) FROM scan_errors WHERE blocker='video-decoder'"
+        ).fetchone()[0] == 0
