@@ -970,6 +970,8 @@ async def inferio_predict(request: web.Request) -> web.Response:
     cache_key = request.query.get("cache_key", "default")
     lru_size = int(request.query.get("lru_size", 1))
     ttl = float(request.query.get("ttl_seconds", 3600))
+    max_batch = request.query.get("max_batch")
+    max_batch = int(max_batch) if max_batch else None
 
     inputs: list[PredictionInput] = []
     if request.content_type.startswith("multipart/"):
@@ -996,6 +998,7 @@ async def inferio_predict(request: web.Request) -> web.Response:
         return state.manager.predict(
             f"{group}/{inference_id}", inputs,
             cache_key=cache_key, lru_size=lru_size, ttl_seconds=ttl,
+            max_batch=max_batch,
         )
 
     try:
@@ -1020,11 +1023,12 @@ async def inferio_load(request: web.Request) -> web.Response:
     cache_key = request.query.get("cache_key", "default")
     lru_size = int(request.query.get("lru_size", 1))
     ttl = float(request.query.get("ttl_seconds", 3600))
+    prewarm = request.query.get("prewarm", "").lower() in ("1", "true", "yes")
 
     def run():
         state.manager.load_model(
             f"{group}/{inference_id}", cache_key=cache_key,
-            lru_size=lru_size, ttl_seconds=ttl,
+            lru_size=lru_size, ttl_seconds=ttl, prewarm=prewarm,
         )
 
     try:

@@ -175,7 +175,11 @@ def run_extraction_job(
                 continue
             t0 = time.perf_counter()
             try:
-                outputs = manager.predict(inference_id, inputs)
+                # The job's batch_size rides the request as the dispatch
+                # window cap (reference design §6: max_batch on the wire).
+                outputs = manager.predict(
+                    inference_id, inputs, max_batch=max(batch_size, len(inputs))
+                )
             except Exception as exc:
                 # Merged-batch failure → per-request fallback
                 # (dispatch.rs:28-35).

@@ -124,6 +124,20 @@ class ClipImpl(InferenceModel):
     def unload(self) -> None:
         self.params = None
 
+    def prepare(self) -> None:
+        """Prewarm: compile every bucket shape so the first real predict
+        pays no jit stall (reference inferio/prewarm.rs made TPU-native —
+        the warm thing is the jit cache)."""
+        self.load()
+        for bucket in self.batch_ladder:
+            images = np.zeros(
+                (bucket, self.cfg.image_size, self.cfg.image_size, 3),
+                dtype=np.float32,
+            )
+            clip.embed_images_jit(self.params, self.cfg, images)
+            ids = np.zeros((bucket, self.cfg.text_ctx), dtype=np.int32)
+            clip.embed_texts_jit(self.params, self.cfg, ids)
+
     def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
         self.load()
         outputs: list[Any] = [None] * len(inputs)
@@ -206,6 +220,15 @@ class TextEmbedImpl(InferenceModel):
 
     def unload(self) -> None:
         self.params = None
+
+    def prepare(self) -> None:
+        """Prewarm the (length × batch) bucket grid's jit cache."""
+        self.load()
+        for length in self.length_ladder:
+            for bucket in self.batch_ladder:
+                ids = np.zeros((bucket, length), dtype=np.int32)
+                mask = np.ones((bucket, length), dtype=np.float32)
+                text_embed.encode_jit(self.params, self.cfg, ids, mask)
 
     def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
         self.load()

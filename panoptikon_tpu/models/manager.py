@@ -17,8 +17,17 @@ process-per-model workers with jit-cache-resident model objects:
   overlapping predicts through different keys cannot unpin each other.
 - Failed loads never leave phantom ids; ``lru_size <= 0`` refuses the
   load (the fixed Python leaks, manager.rs:39-55).
-- Merged-batch failure falls back to per-request predicts
-  (dispatch.rs:28-35) at the batching layer (``predict_batched``).
+- **Cross-request dispatch batching** (dispatch.rs:264 ``run_dispatcher``):
+  concurrent predicts for one model enqueue into a per-model FIFO; whoever
+  holds the model lock drains a WINDOW — up to the effective cap = max
+  over explicit ``max_batch`` in the window, else the registry's
+  ``default_batch_size`` — as ONE merged predict, split back per request.
+  Merged-batch failure falls back to per-request predicts
+  (dispatch.rs:28-35).
+- **Prewarm**: ``load_model(prewarm=True)`` invokes the impl's optional
+  ``prepare()`` after load — the TPU-native warm thing is the jit cache
+  (the reference warms worker processes, inferio/prewarm.rs; here the
+  bucket shapes compile ahead of the first caller).
 """
 
 from __future__ import annotations
@@ -27,10 +36,12 @@ import threading
 import time
 from collections import OrderedDict
 from dataclasses import dataclass, field
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 from panoptikon_tpu.models.base import InferenceModel, PredictionInput
 from panoptikon_tpu.models.registry import Registry
+
+DEFAULT_BATCH = 16
 
 
 class ModelLoadError(RuntimeError):
@@ -38,11 +49,25 @@ class ModelLoadError(RuntimeError):
 
 
 @dataclass
+class _Request:
+    """One caller's slice of a dispatch window."""
+
+    inputs: Sequence[PredictionInput]
+    max_batch: Optional[int]
+    done: threading.Event = field(default_factory=threading.Event)
+    outputs: Optional[list] = None
+    error: Optional[BaseException] = None
+
+
+@dataclass
 class _LoadedModel:
     model: InferenceModel
     impl_class: str
+    default_batch: int = DEFAULT_BATCH
     predict_pins: int = 0
     lock: threading.Lock = field(default_factory=threading.Lock)
+    queue: list = field(default_factory=list)
+    qlock: threading.Lock = field(default_factory=threading.Lock)
 
 
 class ModelManager:
@@ -64,6 +89,7 @@ class ModelManager:
         cache_key: str = "default",
         lru_size: int = 1,
         ttl_seconds: float = 3600.0,
+        prewarm: bool = False,
     ) -> None:
         if lru_size <= 0:
             raise ModelLoadError("lru_size must be positive")
@@ -82,13 +108,24 @@ class ModelManager:
                 try:
                     model = impl_cls(**resolved.spawn_kwargs())
                     model.load()
+                    if prewarm and hasattr(model, "prepare"):
+                        # Compile the bucket shapes before the first caller
+                        # (the reference's prewarm pool made jit-native).
+                        model.prepare()
                 except Exception as exc:
                     raise ModelLoadError(
                         f"failed to load {inference_id}: {exc}"
                     ) from exc
+                default_batch = int(
+                    resolved.metadata.get("default_batch_size")
+                    or self.registry.group_metadata(group).get("default_batch_size")
+                    or DEFAULT_BATCH
+                )
                 with self._state:
                     self._models[inference_id] = _LoadedModel(
-                        model=model, impl_class=resolved.impl_class
+                        model=model,
+                        impl_class=resolved.impl_class,
+                        default_batch=default_batch,
                     )
             with self._state:
                 expiry = (
@@ -111,6 +148,7 @@ class ModelManager:
     def predict(
         self, inference_id: str, inputs: Sequence[PredictionInput],
         *, cache_key: str = "default", lru_size: int = 1, ttl_seconds: float = 3600.0,
+        max_batch: Optional[int] = None,
     ) -> list[Any]:
         with self._state:
             entry = self._models.get(inference_id)
@@ -123,16 +161,22 @@ class ModelManager:
                 entry = self._models[inference_id]
         with self._state:
             entry.predict_pins += 1
+        req = _Request(inputs=inputs, max_batch=max_batch)
+        with entry.qlock:
+            entry.queue.append(req)
         try:
-            # One outstanding predict per model (the reference enforces this
-            # with &mut self on the worker).
-            with entry.lock:
-                outputs = list(entry.model.predict(inputs))
-            if len(outputs) != len(inputs):
-                raise RuntimeError(
-                    f"{inference_id}: {len(outputs)} outputs for {len(inputs)} inputs"
-                )
-            return outputs
+            # Dispatch loop (dispatch.rs:264): whoever holds the model lock
+            # drains FIFO windows as merged predicts; a caller whose request
+            # was served by another thread's window just returns. One
+            # outstanding model call at a time (the reference's &mut self).
+            while not req.done.is_set():
+                with entry.lock:
+                    if req.done.is_set():
+                        break
+                    self._drain_window(inference_id, entry)
+            if req.error is not None:
+                raise req.error
+            return req.outputs
         finally:
             with self._state:
                 entry.predict_pins -= 1
@@ -144,6 +188,62 @@ class ModelManager:
                         if ttl_seconds >= 0
                         else float("inf")
                     )
+
+    def _drain_window(self, inference_id: str, entry: _LoadedModel) -> None:
+        """Pop one FIFO window and run it as a single merged predict.
+
+        Effective cap = max over explicit ``max_batch`` in the window, else
+        the registry's ``default_batch_size`` (dispatch.rs:12-22). A merged
+        failure falls back to per-request predicts so one bad payload can't
+        poison its window-mates (dispatch.rs:28-35).
+        """
+        with entry.qlock:
+            if not entry.queue:
+                return
+            window: list[_Request] = []
+            cap = 0
+            total = 0
+            for req in entry.queue:
+                explicit = req.max_batch or entry.default_batch
+                new_cap = max(cap, explicit)
+                if window and total + len(req.inputs) > new_cap:
+                    break
+                window.append(req)
+                total += len(req.inputs)
+                cap = new_cap
+            del entry.queue[: len(window)]
+        merged: list[PredictionInput] = []
+        for req in window:
+            merged.extend(req.inputs)
+        try:
+            outputs = list(entry.model.predict(merged))
+            if len(outputs) != len(merged):
+                raise RuntimeError(
+                    f"{inference_id}: {len(outputs)} outputs for {len(merged)} inputs"
+                )
+            at = 0
+            for req in window:
+                req.outputs = outputs[at : at + len(req.inputs)]
+                at += len(req.inputs)
+                req.done.set()
+        except Exception as exc:
+            if len(window) == 1:
+                window[0].error = exc
+                window[0].done.set()
+                return
+            # Merged failure → per-request fallback.
+            for req in window:
+                try:
+                    outputs = list(entry.model.predict(list(req.inputs)))
+                    if len(outputs) != len(req.inputs):
+                        raise RuntimeError(
+                            f"{inference_id}: {len(outputs)} outputs for "
+                            f"{len(req.inputs)} inputs"
+                        )
+                    req.outputs = outputs
+                except Exception as exc:
+                    req.error = exc
+                req.done.set()
 
     def unload_model(self, inference_id: str, cache_key: str | None = None) -> bool:
         with self._state:

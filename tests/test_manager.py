@@ -178,3 +178,164 @@ class TestManager:
             parse_error_slot({"__error__": {"class": "bogus", "message": "x"}})
         with pytest.raises(ValueError):
             parse_error_slot({"__error__": "not-an-object"})
+
+
+BATCH_TOML = """
+[group.fixtures.inference_ids.batchsize]
+config.impl_class = "batchsize_impl"
+[group.fixtures.inference_ids.failbatch]
+config.impl_class = "failbatch_impl"
+"""
+
+
+class TestDispatchBatching:
+    """Cross-request window batching (dispatch.rs:264) + prewarm."""
+
+    @pytest.fixture
+    def bmanager(self, tmp_path):
+        builtin = tmp_path / "b"
+        builtin.mkdir()
+        (builtin / "00.toml").write_text(BUILTIN + BATCH_TOML)
+        m = ModelManager(Registry(builtin), IMPL_INDEX)
+        yield m
+        m.shutdown()
+
+    def test_concurrent_predicts_merge_into_one_window(self, bmanager):
+        import threading
+
+        bmanager.load_model("fixtures/batchsize")
+        entry = bmanager._models["fixtures/batchsize"]
+        results: list = [None] * 6
+        # Hold the model lock so every caller enqueues first; releasing it
+        # lets one dispatcher drain the whole window as a merged batch.
+        entry.lock.acquire()
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(
+                    i,
+                    bmanager.predict(
+                        "fixtures/batchsize",
+                        [PredictionInput(data=i)],
+                        max_batch=8,
+                    ),
+                )
+            )
+            for i in range(6)
+        ]
+        for t in threads:
+            t.start()
+        # Wait until all six are queued.
+        for _ in range(200):
+            with entry.qlock:
+                if len(entry.queue) == 6:
+                    break
+            time.sleep(0.005)
+        entry.lock.release()
+        for t in threads:
+            t.join(timeout=10)
+        observed = {r[0]["observed_batch"] for r in results}
+        assert observed == {6}, f"window did not merge: {observed}"
+
+    def test_window_respects_cap(self, bmanager):
+        import threading
+
+        bmanager.load_model("fixtures/batchsize")
+        entry = bmanager._models["fixtures/batchsize"]
+        results: list = [None] * 6
+        entry.lock.acquire()
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(
+                    i,
+                    bmanager.predict(
+                        "fixtures/batchsize",
+                        [PredictionInput(data=i)],
+                        max_batch=3,
+                    ),
+                )
+            )
+            for i in range(6)
+        ]
+        for t in threads:
+            t.start()
+        for _ in range(200):
+            with entry.qlock:
+                if len(entry.queue) == 6:
+                    break
+            time.sleep(0.005)
+        entry.lock.release()
+        for t in threads:
+            t.join(timeout=10)
+        observed = [r[0]["observed_batch"] for r in results]
+        assert max(observed) <= 3 and sum(observed) >= 6
+
+    def test_merged_failure_falls_back_per_request(self, bmanager):
+        import threading
+
+        bmanager.load_model("fixtures/failbatch")
+        entry = bmanager._models["fixtures/failbatch"]
+        results: list = [None] * 4
+        entry.lock.acquire()
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(
+                    i,
+                    bmanager.predict(
+                        "fixtures/failbatch",
+                        [PredictionInput(data=i)],
+                        max_batch=8,
+                    ),
+                )
+            )
+            for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for _ in range(200):
+            with entry.qlock:
+                if len(entry.queue) == 4:
+                    break
+            time.sleep(0.005)
+        entry.lock.release()
+        for t in threads:
+            t.join(timeout=10)
+        assert all(r == [{"ok": True}] for r in results)
+
+    def test_prewarm_calls_prepare(self, tmp_path):
+        calls = []
+
+        class PrepImpl:
+            def __init__(self, **_):
+                pass
+
+            @classmethod
+            def name(cls):
+                return "prep_impl"
+
+            def load(self):
+                calls.append("load")
+
+            def prepare(self):
+                calls.append("prepare")
+
+            def predict(self, inputs):
+                return [{"ok": True} for _ in inputs]
+
+            def unload(self):
+                pass
+
+        builtin = tmp_path / "p"
+        builtin.mkdir()
+        (builtin / "00.toml").write_text(
+            "[group.g.inference_ids.m]\nconfig.impl_class = 'prep_impl'\n"
+        )
+        idx = dict(IMPL_INDEX)
+        idx["prep_impl"] = PrepImpl
+        m = ModelManager(Registry(builtin), idx)
+        try:
+            m.load_model("g/m", prewarm=True)
+            assert calls == ["load", "prepare"]
+            m.load_model("g/m")  # idempotent, no re-prepare
+            assert calls == ["load", "prepare"]
+        finally:
+            m.shutdown()
