@@ -57,18 +57,42 @@ class AppState:
     queue: JobQueue = None
     cron: CronScheduler = None
     cache: SpanCache = field(default_factory=SpanCache)
+    pool: "InferencePool" = None
+    continuous: "ContinuousManager" = None
 
     @classmethod
-    def create(cls, data_root: str | Path, registry_dir=None, user_registry_dir=None):
+    def create(
+        cls, data_root: str | Path, registry_dir=None, user_registry_dir=None,
+        inference_upstreams: Optional[list[dict]] = None,
+    ):
+        from panoptikon_tpu.jobs.continuous import ContinuousManager
+        from panoptikon_tpu.models.pool import InferencePool
+
         state = cls(data_root=Path(data_root))
         state.databases = DatabaseRegistry(state.data_root / "databases")
         state.writers = WriterRegistry()
         state.model_registry = Registry(registry_dir, user_registry_dir)
         state.manager = ModelManager(state.model_registry, IMPL_INDEX)
+        # Federation (jobs/inference_pool.rs): the local manager is one
+        # upstream; [[inference.upstreams]] adds remote HTTP servers with
+        # smooth-WRR weights + failover. Every job/query inference routes
+        # through the pool (degenerates to the local manager when alone).
+        state.pool = InferencePool()
+        state.pool.add(state.manager, weight=1, name="local")
+        for up in inference_upstreams or []:
+            from panoptikon_tpu.models.http_backend import HttpInferenceBackend
+
+            state.pool.add(
+                HttpInferenceBackend(up["url"]),
+                weight=int(up.get("weight", 1)),
+                name=up.get("name", up["url"]),
+            )
         state.queue = JobQueue(
             {
                 JobType.FOLDER_RESCAN: state._run_rescan,
+                JobType.FOLDER_UPDATE: state._run_folder_update,
                 JobType.DATA_EXTRACTION: state._run_extraction,
+                JobType.DATA_DELETION: state._run_orphan_deletion,
                 JobType.VECTOR_QUANT_RECONCILE: state._run_reconcile,
                 JobType.JOB_DATA_DELETION: state._run_data_deletion,
                 JobType.DB_MAINTENANCE: state._run_maintenance,
@@ -78,7 +102,18 @@ class AppState:
             lambda: [state.databases.get(n) for n in state.databases.names()],
             state.queue,
         )
+        state.continuous = ContinuousManager(state.queue)
         return state
+
+    def reconsider_continuous(self) -> None:
+        """(Re)start or stop per-DB continuous-scan supervisors from each
+        DB's ``continuous_scan`` config (reference main.rs:447
+        ensure_continuous_supervisor)."""
+        for name in self.databases.names():
+            try:
+                self.continuous.ensure(self.db(name))
+            except Exception:
+                pass
 
     # -- per-db accessors ---------------------------------------------------
 
@@ -96,7 +131,8 @@ class AppState:
     def executor(self, name: str) -> Executor:
         ex = self.executors.get(name)
         if ex is None:
-            ex = Executor(self.db(name), self.index(name), self.manager)
+            # Query embeds ride the federation pool (local-first WRR).
+            ex = Executor(self.db(name), self.index(name), self.pool)
             self.executors[name] = ex
         return ex
 
@@ -117,6 +153,88 @@ class AppState:
         summary = ChangeSummary(wrote_data=counters.new_files > 0)
         return summary
 
+    def _run_folder_update(self, handle):
+        """FolderUpdate (files.rs:259 run_folder_update): apply a folder
+        configuration change — add/remove included/excluded roots — then
+        rescan, marking files under removed roots unavailable."""
+        db = self.db(handle.db_name)
+        writer = self.writers.get(db)
+        params = handle.params
+        removed = [str(p) for p in params.get("remove", [])]
+
+        def unit(conn):
+            for path in params.get("included", []):
+                store.add_folder(conn, path, True)
+            for path in params.get("excluded", []):
+                store.add_folder(conn, path, False)
+            for path in removed:
+                conn.execute("DELETE FROM folders WHERE path = ?", (path,))
+
+        writer.call(unit)
+        if removed:
+            conn = db.reader()
+            orphaned = [
+                r[0]
+                for r in conn.execute(
+                    "SELECT path FROM files WHERE available = 1"
+                ).fetchall()
+                if any(r[0].startswith(root) for root in removed)
+            ]
+            if orphaned:
+                writer.call(lambda c: store.mark_files_unavailable(c, orphaned))
+        counters = scan.rescan_folders(
+            db, writer, cancelled=lambda: handle.cancelled
+        )
+        handle.result = counters.__dict__
+        return ChangeSummary(wrote_data=True)
+
+    def _run_orphan_deletion(self, handle):
+        """DataDeletion: drop items with no available file plus their
+        derived data (the reference's data-deletion job class)."""
+        db = self.db(handle.db_name)
+        writer = self.writers.get(db)
+
+        def unit(conn):
+            rows = conn.execute(
+                """SELECT i.id FROM items i
+                   WHERE NOT EXISTS (
+                     SELECT 1 FROM files f
+                     WHERE f.item_id = i.id AND f.available = 1)"""
+            ).fetchall()
+            item_ids = [r[0] for r in rows]
+            for item_id in item_ids:
+                conn.execute(
+                    """DELETE FROM embeddings WHERE id IN
+                       (SELECT id FROM item_data WHERE item_id = ?)""",
+                    (item_id,),
+                )
+                conn.execute(
+                    """DELETE FROM extracted_text WHERE id IN
+                       (SELECT id FROM item_data WHERE item_id = ?)""",
+                    (item_id,),
+                )
+                conn.execute(
+                    "DELETE FROM tags_items WHERE item_id = ?", (item_id,)
+                )
+                conn.execute(
+                    "DELETE FROM item_data WHERE item_id = ?", (item_id,)
+                )
+                conn.execute("DELETE FROM files WHERE item_id = ?", (item_id,))
+                conn.execute("DELETE FROM items WHERE id = ?", (item_id,))
+            return len(item_ids)
+
+        deleted = writer.call(unit)
+        # The device index may hold rows for deleted items; a full re-sync
+        # on next access keeps it coherent (data-is-the-checkpoint).
+        if deleted:
+            self.indexes.pop(handle.db_name, None)
+            self.executors.pop(handle.db_name, None)
+        handle.result = {"deleted_items": deleted}
+        return ChangeSummary(
+            wrote_data=deleted > 0, tags_dirty=deleted > 0,
+            needs_analyze=deleted > 0,
+        )
+
     def _run_extraction(self, handle):
         db = self.db(handle.db_name)
         writer = self.writers.get(db)
@@ -128,7 +246,7 @@ class AppState:
             db=db,
             writer=writer,
             index=self.index(handle.db_name),
-            manager=self.manager,
+            manager=self.pool,
             inference_id=inference_id,
             setter_name=params.get("setter_name"),
             output_type=params.get("output_type") or meta.get("output_type", "clip"),
@@ -191,6 +309,8 @@ class AppState:
         return None
 
     def shutdown(self) -> None:
+        if self.continuous is not None:
+            self.continuous.stop_all()
         self.cron.stop()
         self.queue.shutdown()
         self.manager.shutdown()
@@ -1155,7 +1275,11 @@ async def openapi_doc(request: web.Request) -> web.Response:
 
 
 async def client_config(request: web.Request) -> web.Response:
-    """Capability discovery for clients (reference api/client_config.rs)."""
+    """Capability discovery for clients (reference api/client_config.rs).
+    Every capability advertised here is backed by a reachable surface —
+    media capabilities report the host's actual decode ladder."""
+    from panoptikon_tpu.jobs import media
+
     state: AppState = request.app["state"]
     return web.json_response(
         {
@@ -1169,13 +1293,49 @@ async def client_config(request: web.Request) -> web.Response:
                 "pinboards": True,
                 "jobs": True,
                 "cron": True,
-                "continuous_scan": True,
+                "continuous_scan": state.continuous is not None,
                 "inference": True,
+                "inference_federation": len(state.pool.stats()) > 1,
                 "multi_chip": len(__import__("jax").devices()) > 1,
+                "media": media.capabilities(),
             },
+            "continuous_active": sorted(state.continuous.status().keys())
+            if state.continuous is not None
+            else [],
             "databases": state.databases.names() or ["default"],
         }
     )
+
+
+async def continuous_status(request: web.Request) -> web.Response:
+    """Per-DB continuous-scan supervisor status (reference continuous
+    status endpoint, jobs API)."""
+    state: AppState = request.app["state"]
+    state.reconsider_continuous()
+    return web.json_response(state.continuous.status())
+
+
+async def pool_stats(request: web.Request) -> web.Response:
+    """Inference federation upstream health/weights."""
+    state: AppState = request.app["state"]
+    return web.json_response({"upstreams": state.pool.stats()})
+
+
+async def folders_update(request: web.Request) -> web.Response:
+    """Enqueue a FolderUpdate job: config delta + rescan + orphan marking."""
+    state: AppState = request.app["state"]
+    body = await request.json()
+    handle = state.queue.enqueue(
+        _db_name(request), JobType.FOLDER_UPDATE, params=body
+    )
+    return web.json_response({"job_id": handle.job_id})
+
+
+async def data_deletion(request: web.Request) -> web.Response:
+    """Enqueue orphaned-item deletion (items with no available file)."""
+    state: AppState = request.app["state"]
+    handle = state.queue.enqueue(_db_name(request), JobType.DATA_DELETION)
+    return web.json_response({"job_id": handle.job_id})
 
 
 async def health(request: web.Request) -> web.Response:
@@ -1235,6 +1395,10 @@ def build_app(
             web.get("/api/jobs/folders", folders_get),
             web.put("/api/jobs/folders", folders_put),
             web.post("/api/jobs/folders/rescan", folders_rescan),
+            web.post("/api/jobs/folders/update", folders_update),
+            web.post("/api/jobs/data/deletion", data_deletion),
+            web.get("/api/jobs/continuous", continuous_status),
+            web.get("/api/inference/pool", pool_stats),
             web.get("/api/jobs/quants", quants_status),
             web.post("/api/jobs/quants/reconcile", quants_reconcile),
             web.get("/api/jobs/cron", cron_get),
@@ -1262,10 +1426,17 @@ def build_app(
 
 async def serve_all(settings, state: AppState) -> list[web.AppRunner]:
     """Bind ALL configured listeners before serving any (main.rs:637-646),
-    each with its policy-pinned app."""
+    each with its policy-pinned app. When [upstreams].ui is configured, a
+    catch-all reverse proxy mounts AFTER the API routes (proxy.rs)."""
     runners = []
     for listener in settings.listeners:
         app = build_app(state, settings.policies, listener.policy)
+        if settings.ui_upstream:
+            from panoptikon_tpu.api.proxy import make_upstream_handler
+
+            app.router.add_route(
+                "*", "/{tail:.*}", make_upstream_handler(settings.ui_upstream)
+            )
         runner = web.AppRunner(app)
         await runner.setup()
         site = web.TCPSite(runner, listener.host, listener.port)
@@ -1295,10 +1466,12 @@ def main() -> None:
         settings.listeners[0].host = args.host or settings.listeners[0].host
     registry_dir = args.registry_dir or settings.inference.registry_dir
     state = AppState.create(
-        settings.data_root, registry_dir, settings.inference.user_registry_dir
+        settings.data_root, registry_dir, settings.inference.user_registry_dir,
+        inference_upstreams=settings.inference.upstreams,
     )
     state.cache.resize(settings.search.cache_bytes)
     state.cron.start()
+    state.reconsider_continuous()
 
     async def run():
         runners = await serve_all(settings, state)
@@ -1306,7 +1479,10 @@ def main() -> None:
             print(f"listening on http://{listener.host}:{listener.port}")
         try:
             while True:
-                await asyncio.sleep(3600)
+                # Periodic supervisor reconciliation: picks up per-DB
+                # continuous_scan config changes (main.rs:447 analog).
+                await asyncio.sleep(30)
+                await asyncio.to_thread(state.reconsider_continuous)
         finally:
             for runner in runners:
                 await runner.cleanup()

@@ -78,6 +78,9 @@ class Settings:
     jobs: JobsConfig = field(default_factory=JobsConfig)
     inference: InferenceConfig = field(default_factory=InferenceConfig)
     logging: LoggingConfig = field(default_factory=LoggingConfig)
+    # [upstreams].ui — a UI server (e.g. Next.js) fronted by the reverse
+    # proxy: any path the API doesn't claim forwards there (proxy.rs).
+    ui_upstream: str | None = None
 
     @classmethod
     def load(cls, path: str | Path | None = None, root: str | Path = ".") -> "Settings":
@@ -141,4 +144,6 @@ class Settings:
         s.logging = LoggingConfig(
             level=logging.get("level", "info"), file=logging.get("file")
         )
+        upstreams = raw.get("upstreams", {})
+        s.ui_upstream = upstreams.get("ui")
         return s

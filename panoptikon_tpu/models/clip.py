@@ -49,6 +49,14 @@ class ClipConfig:
     text_heads: int = 8
     embed_dim: int = 512
     mlp_ratio: int = 4
+    # "bf16" runs every matmul in bf16 (the MXU default). "int8" runs the
+    # block linears (qkv/out/fc/proj) with dynamic per-token activation
+    # scales × per-output-channel weight scales on the int8 MXU path —
+    # the v5e doubles int8 MACs over bf16, and the embed-throughput target
+    # (≥1,000 ViT-L/14 img/s, BASELINE.md) exceeds this chip's measured
+    # bf16 roofline, so int8 is the only route there. Attention and
+    # layernorms stay bf16/f32.
+    matmul_precision: str = "bf16"
 
     @property
     def grid(self) -> int:
@@ -176,9 +184,42 @@ def _layernorm(x, p):
     return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
-def _attention(x, p, heads: int, causal: bool):
+def _linear(x, w, b, precision: str):
+    """Block linear: bf16 MXU matmul, or the dynamic-int8 path.
+
+    int8: per-token activation scale (absmax/127, symmetric) × per-output-
+    channel weight scale, int8×int8→int32 on the MXU (2× the bf16 MAC rate
+    on v5e), dequant fused into the epilogue. The standard dynamic-PTQ
+    recipe for ViT inference; fidelity is measured by the bf16-vs-int8
+    cosine test in tests/test_models.py and the bench's recall gate.
+    """
+    if precision != "int8":
+        y = x @ w.astype(x.dtype)
+        if b is not None:
+            y = y + b.astype(x.dtype)
+        return y
+    x32 = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-12)
+    xq = jnp.round(x32 / sx).astype(jnp.int8)
+    w32 = w.astype(jnp.float32)
+    sw = jnp.max(jnp.abs(w32), axis=0, keepdims=True) / 127.0
+    sw = jnp.maximum(sw, 1e-12)
+    wq = jnp.round(w32 / sw).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, wq,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * sx * sw
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _attention(x, p, heads: int, causal: bool, precision: str = "bf16"):
     b, n, w = x.shape
-    qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
+    qkv = _linear(x, p["qkv_w"], p["qkv_b"], precision)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     head_dim = w // heads
     q = q.reshape(b, n, heads, head_dim)
@@ -187,15 +228,15 @@ def _attention(x, p, heads: int, causal: bool):
     # XLA's fused attention path; f32 softmax internally.
     out = jax.nn.dot_product_attention(q, k, v, is_causal=causal)
     out = out.reshape(b, n, w)
-    return out @ p["out_w"].astype(x.dtype) + p["out_b"].astype(x.dtype)
+    return _linear(out, p["out_w"], p["out_b"], precision)
 
 
-def _block(x, p, heads: int, causal: bool):
-    x = x + _attention(_layernorm(x, p["ln_1"]), p["attn"], heads, causal)
+def _block(x, p, heads: int, causal: bool, precision: str = "bf16"):
+    x = x + _attention(_layernorm(x, p["ln_1"]), p["attn"], heads, causal, precision)
     h = _layernorm(x, p["ln_2"])
-    h = h @ p["mlp"]["fc_w"].astype(x.dtype) + p["mlp"]["fc_b"].astype(x.dtype)
+    h = _linear(h, p["mlp"]["fc_w"], p["mlp"]["fc_b"], precision)
     h = jax.nn.gelu(h, approximate=True)
-    h = h @ p["mlp"]["proj_w"].astype(x.dtype) + p["mlp"]["proj_b"].astype(x.dtype)
+    h = _linear(h, p["mlp"]["proj_w"], p["mlp"]["proj_b"], precision)
     return x + h
 
 
@@ -216,7 +257,8 @@ def encode_image(params: Params, cfg: ClipConfig, images, normalize: bool = True
     x = x + v["pos_emb"].astype(x.dtype)[None]
     x = _layernorm(x, v["ln_pre"])
     for blk in v["blocks"]:
-        x = _block(x, blk, cfg.vision_heads, causal=False)
+        x = _block(x, blk, cfg.vision_heads, causal=False,
+                   precision=cfg.matmul_precision)
     x = _layernorm(x[:, 0], v["ln_post"])
     feats = (x @ v["proj"].astype(x.dtype)).astype(jnp.float32)
     if normalize:
@@ -242,7 +284,8 @@ def encode_image_tokens(params: Params, cfg: ClipConfig, images):
     x = x + v["pos_emb"].astype(x.dtype)[None]
     x = _layernorm(x, v["ln_pre"])
     for blk in v["blocks"]:
-        x = _block(x, blk, cfg.vision_heads, causal=False)
+        x = _block(x, blk, cfg.vision_heads, causal=False,
+                   precision=cfg.matmul_precision)
     return x.astype(jnp.float32)
 
 
@@ -253,7 +296,8 @@ def encode_text(params: Params, cfg: ClipConfig, token_ids, normalize: bool = Tr
     x = t["token_emb"][token_ids].astype(jnp.bfloat16)
     x = x + t["pos_emb"].astype(x.dtype)[None]
     for blk in t["blocks"]:
-        x = _block(x, blk, cfg.text_heads, causal=True)
+        x = _block(x, blk, cfg.text_heads, causal=True,
+                   precision=cfg.matmul_precision)
     x = _layernorm(x, t["ln_final"])
     eot = jnp.argmax(token_ids, axis=-1)
     x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]

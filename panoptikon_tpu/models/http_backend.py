@@ -1,0 +1,118 @@
+"""HTTP inference backend — the federation client.
+
+The reference's ``InferenceApiClient`` (src/inferio_client.rs) lets one
+instance run inference on another's ``/predict`` surface; the job-level
+``InferencePool`` (jobs/inference_pool.rs:10-66) spreads work over
+``[[inference.upstreams]]`` with smooth weighted round-robin + failover.
+This is that client for ``models.pool.InferencePool``: a synchronous
+urllib transport speaking this server's own wire format (JSON inputs with
+``file_b64`` payloads, base64 ``__type__`` envelopes on binary outputs).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+from typing import Any, Optional, Sequence
+
+from panoptikon_tpu.models.base import PredictionInput
+
+
+class HttpBackendError(RuntimeError):
+    pass
+
+
+class HttpInferenceBackend:
+    """InferenceBackend over a remote panoptikon_tpu (or wire-compatible
+    reference) server."""
+
+    def __init__(self, base_url: str, *, timeout: float = 120.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    # -- transport ----------------------------------------------------------
+
+    def _request(
+        self, method: str, path: str, *, params: Optional[dict] = None,
+        body: Optional[dict] = None,
+    ) -> dict:
+        url = self.base_url + path
+        if params:
+            clean = {k: v for k, v in params.items() if v is not None}
+            if clean:
+                url += "?" + urllib.parse.urlencode(clean)
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(
+            url, data=data, method=method,
+            headers={"content-type": "application/json"} if data else {},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                payload = resp.read()
+        except urllib.error.HTTPError as exc:
+            detail = exc.read().decode(errors="replace")[:300]
+            raise HttpBackendError(
+                f"{method} {path} -> {exc.code}: {detail}"
+            ) from exc
+        except Exception as exc:
+            raise HttpBackendError(f"{method} {path} failed: {exc}") from exc
+        return json.loads(payload) if payload else {}
+
+    # -- InferenceBackend protocol -------------------------------------------
+
+    def predict(
+        self, inference_id: str, inputs: Sequence[PredictionInput], **kw
+    ) -> list[Any]:
+        group, _, name = inference_id.partition("/")
+        body_inputs = []
+        for inp in inputs:
+            entry: Any = inp.data if inp.data is not None else {}
+            if inp.file is not None:
+                if not isinstance(entry, dict):
+                    entry = {"data": entry}
+                entry = dict(entry)
+                entry["file_b64"] = base64.b64encode(inp.file).decode()
+            body_inputs.append(entry)
+        out = self._request(
+            "POST", f"/predict/{group}/{name}",
+            params={
+                "cache_key": kw.get("cache_key"),
+                "lru_size": kw.get("lru_size"),
+                "ttl_seconds": kw.get("ttl_seconds"),
+                "max_batch": kw.get("max_batch"),
+            },
+            body={"inputs": body_inputs},
+        )
+        outputs = []
+        for slot in out.get("outputs", []):
+            if isinstance(slot, dict) and slot.get("__type__") == "base64":
+                outputs.append(base64.b64decode(slot["content"]))
+            else:
+                outputs.append(slot)
+        return outputs
+
+    def load_model(self, inference_id: str, **kw) -> None:
+        group, _, name = inference_id.partition("/")
+        self._request(
+            "PUT", f"/load/{group}/{name}",
+            params={
+                "cache_key": kw.get("cache_key"),
+                "lru_size": kw.get("lru_size"),
+                "ttl_seconds": kw.get("ttl_seconds"),
+                "prewarm": "true" if kw.get("prewarm") else None,
+            },
+        )
+
+    def unload_model(self, inference_id: str, cache_key: Optional[str] = None) -> bool:
+        group, _, name = inference_id.partition("/")
+        out = self._request(
+            "DELETE", f"/load/{group}/{name}",
+            params={"cache_key": cache_key},
+        )
+        return bool(out.get("unloaded", True))
+
+    def health(self) -> dict:
+        return self._request("GET", "/health")
