@@ -117,6 +117,73 @@ def load_clip_checkpoint(path: str | Path, cfg: ClipConfig) -> dict[str, Any]:
     }
 
 
+def save_clip_checkpoint(params, cfg: ClipConfig, path: str | Path) -> None:
+    """Our CLIP param tree → an HF ``CLIPModel`` state dict on disk
+    (torch ``.bin``) — the export inverse of :func:`load_clip_checkpoint`,
+    round-trip tested. Lets finetuned towers interoperate with the HF/
+    OpenCLIP ecosystem and gives the test suite a REAL checkpoint format
+    to prove the load path end-to-end."""
+    import torch
+
+    sd: dict[str, np.ndarray] = {}
+
+    def put_linear(prefix: str, w: np.ndarray, b: np.ndarray) -> None:
+        sd[f"{prefix}.weight"] = np.asarray(w, np.float32).T
+        sd[f"{prefix}.bias"] = np.asarray(b, np.float32)
+
+    def put_ln(prefix: str, p) -> None:
+        sd[f"{prefix}.weight"] = np.asarray(p["scale"], np.float32)
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"], np.float32)
+
+    def put_block(prefix: str, blk) -> None:
+        qkv_w = np.asarray(blk["attn"]["qkv_w"], np.float32)
+        qkv_b = np.asarray(blk["attn"]["qkv_b"], np.float32)
+        w3 = np.split(qkv_w, 3, axis=1)
+        b3 = np.split(qkv_b, 3)
+        for name, w, b in zip(("q_proj", "k_proj", "v_proj"), w3, b3):
+            put_linear(f"{prefix}.self_attn.{name}", w, b)
+        put_linear(f"{prefix}.self_attn.out_proj",
+                   blk["attn"]["out_w"], blk["attn"]["out_b"])
+        put_ln(f"{prefix}.layer_norm1", blk["ln_1"])
+        put_ln(f"{prefix}.layer_norm2", blk["ln_2"])
+        put_linear(f"{prefix}.mlp.fc1", blk["mlp"]["fc_w"], blk["mlp"]["fc_b"])
+        put_linear(f"{prefix}.mlp.fc2", blk["mlp"]["proj_w"], blk["mlp"]["proj_b"])
+
+    v = params["visual"]
+    patch_w = np.asarray(v["patch_w"], np.float32)
+    p = cfg.patch_size
+    out_ch = patch_w.shape[1]
+    sd["vision_model.embeddings.patch_embedding.weight"] = (
+        patch_w.reshape(p, p, 3, out_ch).transpose(3, 2, 0, 1)
+    )
+    sd["vision_model.embeddings.class_embedding"] = np.asarray(
+        v["class_emb"], np.float32
+    )
+    sd["vision_model.embeddings.position_embedding.weight"] = np.asarray(
+        v["pos_emb"], np.float32
+    )
+    put_ln("vision_model.pre_layrnorm", v["ln_pre"])
+    for i, blk in enumerate(v["blocks"]):
+        put_block(f"vision_model.encoder.layers.{i}", blk)
+    put_ln("vision_model.post_layernorm", v["ln_post"])
+    sd["visual_projection.weight"] = np.asarray(v["proj"], np.float32).T
+
+    t = params["text"]
+    sd["text_model.embeddings.token_embedding.weight"] = np.asarray(
+        t["token_emb"], np.float32
+    )
+    sd["text_model.embeddings.position_embedding.weight"] = np.asarray(
+        t["pos_emb"], np.float32
+    )
+    for i, blk in enumerate(t["blocks"]):
+        put_block(f"text_model.encoder.layers.{i}", blk)
+    put_ln("text_model.final_layer_norm", t["ln_final"])
+    sd["text_projection.weight"] = np.asarray(t["proj"], np.float32).T
+    sd["logit_scale"] = np.asarray(params["logit_scale"], np.float32)
+
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, str(path))
+
+
 def load_whisper_checkpoint(path: str | Path, cfg) -> dict[str, Any]:
     """HF ``WhisperModel`` state dict → our whisper param tree.
 
