@@ -97,15 +97,24 @@ class ClipImpl(InferenceModel):
         tokenizer_path: Optional[str] = None,
         context_length: Optional[int] = None,
         batch_cap: int = 64,
+        precision: str = "bf16",
         **_: Any,
     ):
+        import dataclasses
+
         self.arch = model_arch
         self.cfg = clip.CONFIGS.get(model_arch) or clip.CONFIGS["ViT-B-32"]
+        if precision != self.cfg.matmul_precision:
+            self.cfg = dataclasses.replace(self.cfg, matmul_precision=precision)
         self.checkpoint = checkpoint
         self.context_length = context_length or self.cfg.text_ctx
         self.batch_ladder = batching.bucket_ladder(batch_cap)
         self.tokenize = load_tokenizer(tokenizer_path, self.cfg.text_vocab)
         self.params = None
+        # Calibrated per-tensor activation scales for the static int8 image
+        # path; lazily derived from the FIRST real image batch (one extra
+        # bf16 pass), then frozen — standard PTQ calibration.
+        self._act_scales = None
 
     @classmethod
     def name(cls) -> str:
@@ -123,6 +132,7 @@ class ClipImpl(InferenceModel):
 
     def unload(self) -> None:
         self.params = None
+        self._act_scales = None
 
     def prepare(self) -> None:
         """Prewarm: compile every bucket shape so the first real predict
@@ -162,7 +172,18 @@ class ClipImpl(InferenceModel):
             batch = np.stack(images)
             bucket = batching.bucket_for(len(images), self.batch_ladder)
             padded, valid = batching.pad_batch(batch, bucket)
-            feats = np.asarray(clip.embed_images_jit(self.params, self.cfg, padded))
+            if self.cfg.matmul_precision == "int8":
+                if self._act_scales is None:
+                    self._act_scales = clip.calibrate_image_scales(
+                        self.params, self.cfg, padded
+                    )
+                feats = np.asarray(clip.embed_images_scaled_jit(
+                    self.params, self.cfg, padded, self._act_scales
+                ))
+            else:
+                feats = np.asarray(
+                    clip.embed_images_jit(self.params, self.cfg, padded)
+                )
             for pos, j in zip(image_pos, range(len(images))):
                 outputs[pos] = npy.serialize_npy(feats[j])
         if texts:
@@ -470,30 +491,28 @@ class WhisperImpl(InferenceModel):
 
 class ClapImpl(InferenceModel):
     """CLAP-class audio embeddings (reference impl/clap.py): audio file →
-    normalized embedding npy. The audio tower is a transformer over log-mel
-    patches (HTSAT-shaped)."""
+    normalized embedding npy.
+
+    The audio tower is a REAL AST-style transformer over log-mel patches
+    (models/audio.py): patch-embed → bidirectional attention trunk → mean
+    pool → projection. The audio content passes through attention — the
+    round-1 placeholder (zero-id text encoder + additive patch energy) did
+    not. HF ASTModel checkpoints load via audio.load_ast_checkpoint."""
 
     def __init__(
         self,
         model_arch: str = "test-tiny",
         checkpoint: Optional[str] = None,
-        embed_dim: int = 32,
+        batch_cap: int = 16,
         **_: Any,
     ):
-        from panoptikon_tpu.models import text_embed as _te
+        from panoptikon_tpu.models import audio as _audio
 
-        cfgs = {
-            "test-tiny": _te.TextEncoderConfig(
-                vocab=4, ctx=64, width=32, layers=2, heads=2, embed_dim=embed_dim
-            ),
-            "clap-base": _te.TextEncoderConfig(
-                vocab=4, ctx=256, width=512, layers=8, heads=8, embed_dim=512
-            ),
-        }
-        self._te = _te
-        self.cfg = cfgs.get(model_arch) or cfgs["test-tiny"]
+        self._audio = _audio
+        self.cfg = _audio.CONFIGS.get(model_arch) or _audio.CONFIGS["test-tiny"]
+        self.checkpoint = checkpoint
+        self.batch_ladder = batching.bucket_ladder(batch_cap)
         self.params = None
-        self.patch_proj = None
 
     @classmethod
     def name(cls) -> str:
@@ -502,48 +521,45 @@ class ClapImpl(InferenceModel):
     def load(self) -> None:
         if self.params is not None:
             return
-        self.params = self._te.init_params(jax.random.key(5), self.cfg)
-        from panoptikon_tpu.models.whisper import N_MELS
-
-        self.patch_proj = np.asarray(
-            jax.random.normal(jax.random.key(6), (N_MELS * 4, self.cfg.width))
-        ) * (N_MELS * 4) ** -0.5
+        if self.checkpoint:
+            self.params = self._audio.load_ast_checkpoint(self.checkpoint, self.cfg)
+        else:
+            self.params = self._audio.init_params(jax.random.key(5), self.cfg)
 
     def unload(self) -> None:
         self.params = None
-        self.patch_proj = None
+
+    def prepare(self) -> None:
+        self.load()
+        for bucket in self.batch_ladder:
+            mels = np.zeros(
+                (bucket, self.cfg.n_mels, self.cfg.time_frames), np.float32
+            )
+            self._audio.embed_audio_jit(self.params, self.cfg, mels)
 
     def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
-        from panoptikon_tpu.models.whisper import log_mel_spectrogram
-
         self.load()
         outputs: list[Any] = [None] * len(inputs)
+        mels, kept = [], []
         for i, inp in enumerate(inputs):
             if inp.file is None:
                 outputs[i] = SlotError("input", "CLAP requires an audio file").to_slot()
                 continue
             try:
                 pcm = decode_wav(inp.file)
+                mels.append(self._audio.prepare_mels(pcm, self.cfg))
+                kept.append(i)
             except SlotError as err:
                 outputs[i] = err.to_slot()
-                continue
-            mel = log_mel_spectrogram(pcm)  # (80, 3000)
-            # 4-frame patches → (750, 320) tokens, truncated to ctx.
-            patches = mel.T.reshape(-1, 4 * mel.shape[0])[: self.cfg.ctx]
-            tokens = patches @ self.patch_proj  # (T, width)
-            # Feed as pre-embedded sequence through the encoder blocks by
-            # building mean-pooled features directly.
-            ids = np.zeros((1, self.cfg.ctx), dtype=np.int32)
-            mask = np.zeros((1, self.cfg.ctx), dtype=np.int32)
-            mask[0, : len(tokens)] = 1
+        if mels:
+            batch = np.stack(mels)
+            bucket = batching.bucket_for(len(mels), self.batch_ladder)
+            padded, _ = batching.pad_batch(batch, bucket)
             feats = np.asarray(
-                self._te.encode_jit(self.params, self.cfg, ids, mask, normalize=False)
-            )[0]
-            # Mix in audio patch energy so the embedding reflects content
-            # even without trained weights-level fidelity.
-            pooled = feats + tokens.mean(axis=0)[: self.cfg.embed_dim]
-            pooled = pooled / max(np.linalg.norm(pooled), 1e-8)
-            outputs[i] = npy.serialize_npy(pooled.astype(np.float32))
+                self._audio.embed_audio_jit(self.params, self.cfg, padded)
+            )
+            for j, pos in enumerate(kept):
+                outputs[pos] = npy.serialize_npy(feats[j])
         return outputs
 
 
@@ -749,40 +765,110 @@ class Md5LookupImpl(InferenceModel):
 
 
 class OcrImpl(InferenceModel):
-    """OCR surface (reference impl/ocr.py docTR / eocr.py EasyOCR). The
-    detection+recognition backbone is gated on an external engine; when no
-    engine is configured the impl reports a typed ``blocked``-style input
-    error naming the missing dependency, matching the reference's blocker
-    ledger semantics (missing host dep)."""
+    """OCR (reference impl/ocr.py docTR / eocr.py EasyOCR): image →
+    ``{"text", "confidence", "language"}``.
 
-    def __init__(self, engine: Optional[str] = None, **_: Any):
-        self.engine = engine
+    Real recognition stack (models/ocr.py): projection-profile line
+    segmentation on the host, then a CTC transformer recognizer over
+    fixed-height line strips — the EasyOCR/CRNN formulation with the
+    recurrent trunk replaced by attention. Trainable (optax.ctc_loss);
+    the test suite trains the tiny config to read rendered text."""
+
+    def __init__(
+        self,
+        model_arch: str = "crnn-base",
+        checkpoint: Optional[str] = None,
+        batch_cap: int = 16,
+        min_confidence: float = 0.0,
+        **_: Any,
+    ):
+        from panoptikon_tpu.models import ocr as _ocr
+
+        self._ocr = _ocr
+        self.cfg = _ocr.CONFIGS.get(model_arch) or _ocr.CONFIGS["crnn-base"]
+        self.checkpoint = checkpoint
+        self.batch_ladder = batching.bucket_ladder(batch_cap)
+        self.min_confidence = min_confidence
+        self.params = None
 
     @classmethod
     def name(cls) -> str:
         return "ocr"
 
     def load(self) -> None:
-        pass
+        if self.params is not None:
+            return
+        if self.checkpoint:
+            import pickle
+
+            with open(self.checkpoint, "rb") as f:
+                raw = pickle.load(f)
+            self.params = jax.tree.map(jnp_asarray, raw)
+        else:
+            self.params = self._ocr.init_params(jax.random.key(11), self.cfg)
 
     def unload(self) -> None:
-        pass
+        self.params = None
+
+    def prepare(self) -> None:
+        self.load()
+        for bucket in self.batch_ladder:
+            strips = np.zeros(
+                (bucket, self.cfg.height, self.cfg.max_width), np.float32
+            )
+            self._ocr.recognize_jit(self.params, self.cfg, strips)
 
     def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
-        out = []
-        for inp in inputs:
-            if self.engine is None:
-                out.append(
-                    {
-                        "__error__": {
-                            "class": "transient",
-                            "message": "blocked: no OCR engine configured (blocker=ocr-engine)",
-                        }
-                    }
-                )
-            else:
-                out.append({"text": "", "confidence": 0.0})
-        return out
+        from PIL import Image
+
+        self.load()
+        outputs: list[Any] = [None] * len(inputs)
+        strips, owners = [], []
+        metas: list[dict] = []
+        for i, inp in enumerate(inputs):
+            if inp.file is None:
+                outputs[i] = SlotError("input", "OCR requires an image file").to_slot()
+                continue
+            try:
+                with Image.open(io.BytesIO(inp.file)) as im:
+                    gray = np.asarray(im.convert("L"))
+            except Exception as exc:
+                outputs[i] = SlotError("input", f"Undecodable image: {exc}").to_slot()
+                continue
+            boxes = self._ocr.segment_lines(gray)
+            metas.append({"pos": i, "lines": len(boxes)})
+            for box in boxes:
+                strips.append(self._ocr.prepare_strip(gray, box, self.cfg))
+                owners.append(i)
+            if not boxes:
+                outputs[i] = {"text": "", "confidence": 0.0, "language": None}
+        if strips:
+            batch = np.stack(strips)
+            bucket = batching.bucket_for(len(strips), self.batch_ladder)
+            padded, _ = batching.pad_batch(batch, bucket)
+            ids, conf = self._ocr.recognize_jit(self.params, self.cfg, padded)
+            ids = np.asarray(ids)[: len(strips)]
+            conf = np.asarray(conf)[: len(strips)]
+            per_image: dict[int, list[tuple[str, float]]] = {}
+            for j, owner in enumerate(owners):
+                text = self._ocr.ctc_collapse(ids[j], self.cfg.charset)
+                per_image.setdefault(owner, []).append((text, float(conf[j])))
+            for owner, lines in per_image.items():
+                kept = [
+                    (t, c) for t, c in lines if c >= self.min_confidence and t
+                ]
+                outputs[owner] = {
+                    "text": "\n".join(t for t, _ in kept),
+                    "confidence": float(np.mean([c for _, c in kept])) if kept else 0.0,
+                    "language": None,
+                }
+        return outputs
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
 
 
 # ---------------------------------------------------------------------------

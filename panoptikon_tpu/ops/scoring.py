@@ -148,6 +148,22 @@ def row_sumsq(corpus) -> jax.Array:
     return jnp.sum(corpus * corpus, axis=-1)
 
 
+def row_sumsq_chunked(corpus, chunk_rows: int = 250_000) -> jax.Array:
+    """Host-driver row_sumsq for multi-GB corpora: the widened square
+    (int8→int32 or bf16→f32) materializes 2×4 B/element when XLA declines
+    to fuse it into the reduce — 20 GiB at 5M×512. Chunking bounds the
+    transient to one slice."""
+    n = corpus.shape[0]
+    if n <= chunk_rows:
+        return row_sumsq(corpus)
+    fn = jax.jit(row_sumsq)
+    parts = [
+        fn(jax.lax.slice_in_dim(corpus, i, min(i + chunk_rows, n)))
+        for i in range(0, n, chunk_rows)
+    ]
+    return jnp.concatenate(parts)
+
+
 def _chunk_dots(queries, chunk):
     """(Q, D) × (C, D)ᵀ on the MXU. int8 inputs accumulate in int32."""
     if chunk.dtype == jnp.int8:
