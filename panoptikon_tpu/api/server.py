@@ -1245,8 +1245,11 @@ async def relay_delete(request: web.Request) -> web.Response:
 
 
 async def openapi_doc(request: web.Request) -> web.Response:
-    """Minimal OpenAPI 3.1 document generated from the route table (the
-    reference serves utoipa-generated docs at /openapi.json)."""
+    """OpenAPI 3.1 document: paths from the route table, component schemas
+    derived from the PQL dataclasses (the reference serves utoipa-generated
+    docs at /openapi.json — here the dataclasses ARE the wire types)."""
+    from panoptikon_tpu.utils.schema_gen import collect_schemas
+
     paths: dict = {}
     for route in request.app.router.routes():
         info = route.get_info()
@@ -1259,10 +1262,26 @@ async def openapi_doc(request: web.Request) -> web.Response:
         entry = paths.setdefault(
             path.replace("{", "{").replace("}", "}"), {}
         )
-        entry[method] = {
+        op = {
             "summary": (route.handler.__doc__ or route.handler.__name__).split("\n")[0],
             "responses": {"200": {"description": "OK"}},
         }
+        if path == "/api/search/pql" and method == "post":
+            op["requestBody"] = {
+                "content": {
+                    "application/json": {
+                        "schema": {"$ref": "#/components/schemas/PqlQuery"}
+                    }
+                }
+            }
+        entry[method] = op
+    schemas = collect_schemas([
+        pql.PqlQuery, pql.SortableOptions, pql.Rrf, pql.MatchFilter,
+        pql.MatchPath, pql.MatchText, pql.MatchTags, pql.InBookmarks,
+        pql.InPinboard, pql.SemanticTextSearch, pql.SemanticImageSearch,
+        pql.SimilarTo, pql.ProcessedBy, pql.HasUnprocessedData,
+        pql.FailedFor,
+    ])
     doc = {
         "openapi": "3.1.0",
         "info": {
@@ -1270,8 +1289,52 @@ async def openapi_doc(request: web.Request) -> web.Response:
             "version": __import__("panoptikon_tpu").__version__,
         },
         "paths": paths,
+        "components": {"schemas": schemas},
     }
     return web.json_response(doc)
+
+
+async def docs_page(request: web.Request) -> web.Response:
+    """Self-contained API docs page (no CDN — this image has zero egress;
+    the reference mounts Swagger/Redoc). Renders /openapi.json client-side."""
+    html = """<!doctype html><html><head><meta charset="utf-8">
+<title>panoptikon_tpu API</title>
+<style>
+body{font-family:system-ui,sans-serif;margin:2rem;max-width:70rem}
+h1{font-size:1.4rem} h2{font-size:1.05rem;margin:1.2rem 0 .2rem}
+.m{display:inline-block;min-width:4.5rem;font-weight:700;text-transform:uppercase}
+.get{color:#0a6} .post{color:#06c} .put{color:#a60} .delete{color:#c33}
+.p{font-family:ui-monospace,monospace} .s{color:#555;margin-left:.6rem}
+details{margin:.2rem 0} pre{background:#f6f6f6;padding:.6rem;overflow:auto}
+</style></head><body><h1>panoptikon_tpu API</h1>
+<p>Generated from <a href="/openapi.json">/openapi.json</a>.</p>
+<div id="root">loading…</div>
+<script>
+fetch('/openapi.json').then(r=>r.json()).then(doc=>{
+  const root=document.getElementById('root');root.innerHTML='';
+  const paths=Object.keys(doc.paths).sort();
+  for(const p of paths){for(const m of Object.keys(doc.paths[p])){
+    const op=doc.paths[p][m];
+    const d=document.createElement('details');
+    const s=document.createElement('summary');
+    s.innerHTML='<span class="m '+m+'">'+m+'</span> <span class="p">'+p+
+      '</span><span class="s">'+(op.summary||'')+'</span>';
+    d.appendChild(s);
+    if(op.requestBody){const pre=document.createElement('pre');
+      pre.textContent=JSON.stringify(op.requestBody,null,2);d.appendChild(pre);}
+    root.appendChild(d);
+  }}
+  const h=document.createElement('h2');h.textContent='Schemas';root.appendChild(h);
+  for(const name of Object.keys(doc.components.schemas).sort()){
+    const d=document.createElement('details');
+    const s=document.createElement('summary');s.textContent=name;d.appendChild(s);
+    const pre=document.createElement('pre');
+    pre.textContent=JSON.stringify(doc.components.schemas[name],null,2);
+    d.appendChild(pre);root.appendChild(d);
+  }
+});
+</script></body></html>"""
+    return web.Response(text=html, content_type="text/html")
 
 
 async def client_config(request: web.Request) -> web.Response:
@@ -1414,6 +1477,7 @@ def build_app(
             web.delete("/cache/{cache_key}", inferio_cache_clear),
             web.get("/health", health),
             web.get("/openapi.json", openapi_doc),
+            web.get("/docs", docs_page),
             web.get("/api/client-config", client_config),
             web.get("/api/relay/pairings", relay_pairings),
             web.post("/api/relay/pairings", relay_pair),
@@ -1445,20 +1509,27 @@ async def serve_all(settings, state: AppState) -> list[web.AppRunner]:
     return runners
 
 
-def main() -> None:
+def main(args=None) -> None:
     import argparse
+    import os
+    import signal
 
     from panoptikon_tpu.config import Settings
 
-    parser = argparse.ArgumentParser(description="panoptikon_tpu server")
-    parser.add_argument("--config", default=None, help="server TOML path")
-    parser.add_argument("--port", type=int, default=None)
-    parser.add_argument("--host", default=None)
-    parser.add_argument("--data-root", default=None)
-    parser.add_argument("--registry-dir", default=None)
-    args = parser.parse_args()
+    if args is None:
+        parser = argparse.ArgumentParser(description="panoptikon_tpu server")
+        parser.add_argument("--config", default=None, help="server TOML path")
+        parser.add_argument("--port", type=int, default=None)
+        parser.add_argument("--host", default=None)
+        parser.add_argument("--data-root", default=None)
+        parser.add_argument("--registry-dir", default=None)
+        parser.add_argument("--root", default=".")
+        args = parser.parse_args()
 
-    settings = Settings.load(args.config)
+    root = getattr(args, "root", ".") or "."
+    if root != ".":
+        os.chdir(root)  # --root chdir (main.rs:148-151)
+    settings = Settings.load(args.config, root=root)
     if args.data_root:
         settings.data_root = args.data_root
     if args.port or args.host:
@@ -1477,12 +1548,23 @@ def main() -> None:
         runners = await serve_all(settings, state)
         for listener in settings.listeners:
             print(f"listening on http://{listener.host}:{listener.port}")
+        # Signal-driven graceful shutdown (shutdown.rs): SIGTERM/SIGINT
+        # stops serving, cancels jobs, flushes writers — bounded cleanup.
+        stop = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                loop.add_signal_handler(sig, stop.set)
+            except (NotImplementedError, RuntimeError):
+                pass
         try:
-            while True:
+            while not stop.is_set():
                 # Periodic supervisor reconciliation: picks up per-DB
                 # continuous_scan config changes (main.rs:447 analog).
-                await asyncio.sleep(30)
-                await asyncio.to_thread(state.reconsider_continuous)
+                try:
+                    await asyncio.wait_for(stop.wait(), timeout=30)
+                except asyncio.TimeoutError:
+                    await asyncio.to_thread(state.reconsider_continuous)
         finally:
             for runner in runners:
                 await runner.cleanup()

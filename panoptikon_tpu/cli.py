@@ -1,0 +1,125 @@
+"""CLI entry: subcommands mirroring the reference binary (main.rs:77-113).
+
+``panoptikon-tpu [serve]``      — run the server (default subcommand).
+``panoptikon-tpu setup``        — first-run materialization: write the
+                                  default config templates into --root
+                                  (reference resources.rs
+                                  materialize_first_run; idempotent, never
+                                  overwrites user edits).
+``panoptikon-tpu accelerator``  — print the device report as JSON
+                                  (reference accelerator_report.rs).
+``panoptikon-tpu version``      — print the package version.
+
+The reference's ``update`` subcommand (GitHub self-update of a single
+binary) has no analog for a Python package deploy — a documented
+divergence (README), not a stub.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+from pathlib import Path
+
+BUNDLED_CONFIG = Path(__file__).resolve().parent.parent / "config"
+
+
+def cmd_setup(args) -> int:
+    root = Path(args.root)
+    wrote = []
+    for sub in ("server", "inference"):
+        src_dir = BUNDLED_CONFIG / sub
+        dst_dir = root / "config" / sub
+        dst_dir.mkdir(parents=True, exist_ok=True)
+        if src_dir.is_dir():
+            for src in sorted(src_dir.glob("*.toml")):
+                dst = dst_dir / src.name
+                if dst.exists():
+                    continue  # never clobber user edits
+                shutil.copyfile(src, dst)
+                wrote.append(str(dst))
+    (root / "data").mkdir(parents=True, exist_ok=True)
+    env = root / ".env"
+    if not env.exists():
+        env.write_text("# panoptikon_tpu environment overrides\n")
+        wrote.append(str(env))
+    print(json.dumps({"root": str(root), "materialized": wrote}))
+    return 0
+
+
+def cmd_accelerator(args) -> int:
+    import jax
+
+    devices = [
+        {
+            "id": d.id,
+            "kind": d.device_kind,
+            "platform": d.platform,
+            "process": d.process_index,
+        }
+        for d in jax.devices()
+    ]
+    print(
+        json.dumps(
+            {
+                "backend": jax.default_backend(),
+                "device_count": len(devices),
+                "devices": devices,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_version(args) -> int:
+    import panoptikon_tpu
+
+    print(panoptikon_tpu.__version__)
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from panoptikon_tpu.api import server
+
+    server.main(args)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="panoptikon-tpu")
+    sub = parser.add_subparsers(dest="command")
+
+    serve = sub.add_parser("serve", help="run the server (default)")
+    for p in (parser, serve):
+        p.add_argument("--config", default=None, help="server TOML path")
+        p.add_argument("--port", type=int, default=None)
+        p.add_argument("--host", default=None)
+        p.add_argument("--data-root", default=None)
+        p.add_argument("--registry-dir", default=None)
+        p.add_argument("--root", default=".", help="working root (chdir)")
+
+    setup = sub.add_parser("setup", help="materialize default configs")
+    setup.add_argument("--root", default=".", help="target root directory")
+
+    sub.add_parser("accelerator", help="print the device report")
+    sub.add_parser("version", help="print the version")
+    return parser
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    cmd = args.command or "serve"
+    if cmd == "setup":
+        return cmd_setup(args)
+    if cmd == "accelerator":
+        return cmd_accelerator(args)
+    if cmd == "version":
+        return cmd_version(args)
+    return cmd_serve(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

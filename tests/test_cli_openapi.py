@@ -1,0 +1,97 @@
+"""CLI subcommands (main.rs:77-113 analog) and the OpenAPI/schema surface."""
+
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from panoptikon_tpu import cli
+from panoptikon_tpu.api.server import AppState, build_app
+from panoptikon_tpu.pql import model as pql
+from panoptikon_tpu.utils.schema_gen import collect_schemas
+
+
+class TestCli:
+    def test_setup_materializes_and_is_idempotent(self, tmp_path, capsys):
+        rc = cli.main(["setup", "--root", str(tmp_path)])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert any(p.endswith("default.toml") for p in out["materialized"])
+        assert (tmp_path / "config" / "server" / "default.toml").exists()
+        assert (tmp_path / ".env").exists()
+        # Second run never clobbers.
+        marker = tmp_path / "config" / "server" / "default.toml"
+        marker.write_text("# user edit")
+        rc = cli.main(["setup", "--root", str(tmp_path)])
+        out = json.loads(capsys.readouterr().out)
+        assert out["materialized"] == []
+        assert marker.read_text() == "# user edit"
+
+    def test_version(self, capsys):
+        assert cli.main(["version"]) == 0
+        import panoptikon_tpu
+
+        assert capsys.readouterr().out.strip() == panoptikon_tpu.__version__
+
+    def test_accelerator_report(self, capsys):
+        assert cli.main(["accelerator"]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["device_count"] >= 1
+        assert out["devices"][0]["platform"]
+
+
+class TestSchemaGen:
+    def test_pql_query_schema(self):
+        schemas = collect_schemas([pql.PqlQuery])
+        assert "PqlQuery" in schemas
+        props = schemas["PqlQuery"]["properties"]
+        assert "page_size" in props and "order_by" in props
+        # Private fields never leak.
+        for name, schema in schemas.items():
+            for p in schema.get("properties", {}):
+                assert not p.startswith("_"), (name, p)
+
+    def test_nested_refs_resolved(self):
+        schemas = collect_schemas([pql.SemanticImageSearch])
+        assert "SemanticImageArgs" in schemas
+        ref = schemas["SemanticImageSearch"]["properties"]["image_embeddings"]
+        assert "$ref" in json.dumps(ref)
+
+
+class TestOpenApiSurface:
+    @pytest.fixture
+    def client(self, tmp_path):
+        state = AppState.create(tmp_path / "data")
+        app = build_app(state)
+        loop = asyncio.new_event_loop()
+        client = TestClient(TestServer(app), loop=loop)
+        loop.run_until_complete(client.start_server())
+
+        def call(method, path):
+            async def do():
+                resp = await client.request(method, path)
+                if resp.content_type == "application/json":
+                    return resp.status, await resp.json()
+                return resp.status, await resp.text()
+
+            return loop.run_until_complete(do())
+
+        yield call
+        loop.run_until_complete(client.close())
+        state.shutdown()
+        loop.close()
+
+    def test_openapi_has_schemas_and_request_body(self, client):
+        status, doc = client("GET", "/openapi.json")
+        assert status == 200
+        assert "PqlQuery" in doc["components"]["schemas"]
+        body = doc["paths"]["/api/search/pql"]["post"]["requestBody"]
+        assert body["content"]["application/json"]["schema"]["$ref"].endswith(
+            "PqlQuery"
+        )
+
+    def test_docs_page_served(self, client):
+        status, html = client("GET", "/docs")
+        assert status == 200
+        assert "openapi.json" in html and "<html" in html
