@@ -194,9 +194,9 @@ class TestHostCompositionPerf:
         base snapshot, device scoring stubbed. The reference's composed
         query runs 2.5 s at 690k rows (or-composition-penalty.md:41-57);
         10× better at equal corpus is 250 ms at 690k ≈ 362 ms at 1M. The
-        bound here (250 ms at 1M ≈ 172 ms corpus-normalized, ~14×) leaves
-        headroom for the 1-core CI host's timer noise; typical measured
-        best is ~200 ms."""
+        bound here (350 ms at 1M ≈ 241 ms corpus-normalized, >10×) leaves
+        headroom for the 1-core CI host's timer noise under a full-suite
+        run; typical measured best standalone is ~200 ms."""
         n = 1_000_000
         ex = make_executor(n)
         fn_a, _ = fake_space_scores(n, seed=1)
@@ -225,11 +225,11 @@ class TestHostCompositionPerf:
         # Warm one run (allocator, caches), then measure.
         ex.execute(query)
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             res = ex.execute(pql.PqlQuery.from_json(payload))
             times.append(time.perf_counter() - t0)
         best = min(times)
         assert res.count == n
         assert len(res.results) == 10
-        assert best < 0.250, f"host composition too slow: {times}"
+        assert best < 0.350, f"host composition too slow: {times}"
