@@ -2,14 +2,16 @@
 
 The reference fronts its Next.js UI and remote inference servers with a
 hyper-based reverse proxy (src/proxy.rs): any path not claimed by the API
-forwards to the configured upstream, with hop-by-hop headers stripped and
-a loop guard. WebSocket bridging is deferred (the API itself has no WS
-surface); everything the web UI needs — documents, assets, XHR — proxies.
-"""
+forwards to the configured upstream, with hop-by-hop headers stripped, a
+loop guard, and WebSocket Upgrade bridging (dev-mode UI servers use WS for
+hot reload; the bridge pumps frames both directions until either side
+closes)."""
 
 from __future__ import annotations
 
-from aiohttp import ClientSession, ClientTimeout, web
+import asyncio
+
+from aiohttp import ClientSession, ClientTimeout, WSMsgType, web
 
 HOP_HEADERS = {
     "connection", "keep-alive", "proxy-authenticate", "proxy-authorization",
@@ -32,6 +34,11 @@ def make_upstream_handler(upstream: str):
         hops = int(request.headers.get(LOOP_GUARD_HEADER, "0"))
         if hops >= MAX_HOPS:
             return web.json_response({"error": "proxy loop detected"}, status=508)
+        if (
+            request.headers.get("Upgrade", "").lower() == "websocket"
+            and "upgrade" in request.headers.get("Connection", "").lower()
+        ):
+            return await _bridge_websocket(request, upstream)
         target = f"{upstream}{request.rel_url}"
         headers = {
             k: v for k, v in request.headers.items()
@@ -60,3 +67,34 @@ def make_upstream_handler(upstream: str):
                 )
 
     return handler
+
+
+async def _bridge_websocket(request: web.Request, upstream: str) -> web.StreamResponse:
+    """Accept the client WS, dial the upstream WS, pump frames both ways
+    until either side closes (proxy.rs Upgrade bridging)."""
+    ws_url = upstream.replace("http://", "ws://").replace("https://", "wss://")
+    target = f"{ws_url}{request.rel_url}"
+    server_ws = web.WebSocketResponse()
+    await server_ws.prepare(request)
+    try:
+        async with ClientSession() as session:
+            async with session.ws_connect(target) as client_ws:
+
+                async def pump(src, dst):
+                    async for msg in src:
+                        if msg.type == WSMsgType.TEXT:
+                            await dst.send_str(msg.data)
+                        elif msg.type == WSMsgType.BINARY:
+                            await dst.send_bytes(msg.data)
+                        elif msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING,
+                                          WSMsgType.ERROR):
+                            break
+                    await dst.close()
+
+                await asyncio.gather(
+                    pump(server_ws, client_ws), pump(client_ws, server_ws),
+                    return_exceptions=True,
+                )
+    except Exception:
+        await server_ws.close()
+    return server_ws

@@ -53,6 +53,43 @@ class TestProxy:
 
         loop.run_until_complete(scenario())
 
+    def test_websocket_bridging(self, loop):
+        async def scenario():
+            upstream = web.Application()
+
+            async def ws_echo(request):
+                ws = web.WebSocketResponse()
+                await ws.prepare(request)
+                async for msg in ws:
+                    if msg.type == web.WSMsgType.TEXT:
+                        await ws.send_str(f"echo:{msg.data}")
+                    elif msg.type == web.WSMsgType.BINARY:
+                        await ws.send_bytes(msg.data[::-1])
+                return ws
+
+            upstream.router.add_get("/ws", ws_echo)
+            up_client = TestClient(TestServer(upstream))
+            await up_client.start_server()
+            base = f"http://127.0.0.1:{up_client.port}"
+
+            front = web.Application()
+            front.router.add_route("*", "/{tail:.*}", make_upstream_handler(base))
+            client = TestClient(TestServer(front))
+            await client.start_server()
+
+            ws = await client.ws_connect("/ws")
+            await ws.send_str("hello")
+            msg = await ws.receive(timeout=10)
+            assert msg.data == "echo:hello"
+            await ws.send_bytes(b"abc")
+            msg = await ws.receive(timeout=10)
+            assert msg.data == b"cba"
+            await ws.close()
+            await client.close()
+            await up_client.close()
+
+        loop.run_until_complete(scenario())
+
     def test_unavailable_upstream_is_502(self, loop):
         async def scenario():
             front = web.Application()
