@@ -764,6 +764,96 @@ class Md5LookupImpl(InferenceModel):
         return out
 
 
+class ApiEmbedImpl(InferenceModel):
+    """Remote-API embedding backends (reference impl/jina_clip.py — Jina's
+    hosted CLIP API — and the nemotron/qwen embed family): text and image
+    inputs are POSTed to an OpenAI/Jina-style ``/embeddings`` endpoint and
+    the returned vectors are re-emitted as L2-normalized npy bytes.
+
+    Offline/gated semantics follow the failed-media design: no endpoint
+    configured → every slot gets a typed ``transient`` error naming the
+    blocker; a transport failure is likewise transient (retry later), and
+    a per-item API rejection is an ``input`` verdict."""
+
+    def __init__(
+        self,
+        endpoint: Optional[str] = None,
+        model: str = "jina-clip-v1",
+        api_key_env: str = "EMBED_API_KEY",
+        timeout: float = 60.0,
+        normalize: bool = True,
+        **_: Any,
+    ):
+        self.endpoint = endpoint
+        self.model = model
+        self.api_key_env = api_key_env
+        self.timeout = timeout
+        self.normalize = normalize
+
+    @classmethod
+    def name(cls) -> str:
+        return "api_embed"
+
+    def load(self) -> None:
+        pass
+
+    def unload(self) -> None:
+        pass
+
+    def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
+        import base64
+        import json as _json
+        import os
+        import urllib.request
+
+        if not self.endpoint:
+            err = SlotError(
+                "transient",
+                "blocked: no embeddings endpoint configured (blocker=embed-api)",
+            ).to_slot()
+            return [err for _ in inputs]
+        payload_inputs = []
+        for inp in inputs:
+            if inp.file is not None:
+                payload_inputs.append(
+                    {"image": base64.b64encode(inp.file).decode()}
+                )
+            elif isinstance(inp.data, dict) and "text" in inp.data:
+                payload_inputs.append({"text": str(inp.data["text"])})
+            else:
+                payload_inputs.append({"text": ""})
+        body = _json.dumps(
+            {"model": self.model, "input": payload_inputs}
+        ).encode()
+        headers = {"content-type": "application/json"}
+        key = os.environ.get(self.api_key_env)
+        if key:
+            headers["authorization"] = f"Bearer {key}"
+        req = urllib.request.Request(
+            self.endpoint, data=body, headers=headers, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                out = _json.loads(resp.read())
+        except Exception as exc:
+            err = SlotError("transient", f"embeddings API failed: {exc}").to_slot()
+            return [err for _ in inputs]
+        outputs: list[Any] = []
+        data = out.get("data", [])
+        for i in range(len(inputs)):
+            entry = data[i] if i < len(data) else None
+            if not entry or "embedding" not in entry:
+                outputs.append(
+                    SlotError("input", "no embedding returned for slot").to_slot()
+                )
+                continue
+            vec = np.asarray(entry["embedding"], np.float32)
+            if self.normalize:
+                vec = vec / max(float(np.linalg.norm(vec)), 1e-8)
+            outputs.append(npy.serialize_npy(vec))
+        return outputs
+
+
 class OcrImpl(InferenceModel):
     """OCR (reference impl/ocr.py docTR / eocr.py EasyOCR): image →
     ``{"text", "confidence", "language"}``.
@@ -1017,6 +1107,7 @@ IMPL_INDEX: dict[str, type[InferenceModel]] = {
         CaptionerImpl,
         Md5LookupImpl,
         OcrImpl,
+        ApiEmbedImpl,
         EchoImpl,
         BatchSizeImpl,
         FailBatchImpl,
