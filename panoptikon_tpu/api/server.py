@@ -1412,12 +1412,35 @@ async def health(request: web.Request) -> web.Response:
     return web.json_response(report)
 
 
+@web.middleware
+async def trace_middleware(request: web.Request, handler):
+    """Request tracing (the reference's tower-http TraceLayer, main.rs:627):
+    per-request duration in an ``X-Response-Time`` header and a structured
+    access-log line at debug level."""
+    import logging
+    import time as _time
+
+    t0 = _time.perf_counter()
+    try:
+        resp = await handler(request)
+    except web.HTTPException as exc:
+        exc.headers["X-Response-Time"] = f"{(_time.perf_counter()-t0)*1000:.2f}ms"
+        raise
+    dt_ms = (_time.perf_counter() - t0) * 1000
+    resp.headers["X-Response-Time"] = f"{dt_ms:.2f}ms"
+    logging.getLogger("panoptikon_tpu.api").debug(
+        "%s %s -> %s %.2fms", request.method, request.rel_url,
+        getattr(resp, "status", "?"), dt_ms,
+    )
+    return resp
+
+
 def build_app(
     state: AppState,
     policies=None,
     listener_policy: str | None = None,
 ) -> web.Application:
-    middlewares = []
+    middlewares = [trace_middleware]
     if policies:
         from panoptikon_tpu.api.policy import PolicyEngine, policy_middleware
 

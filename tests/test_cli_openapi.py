@@ -95,3 +95,23 @@ class TestOpenApiSurface:
         status, html = client("GET", "/docs")
         assert status == 200
         assert "openapi.json" in html and "<html" in html
+
+
+class TestTraceMiddleware:
+    def test_response_time_header(self, tmp_path):
+        state = AppState.create(tmp_path / "data")
+        app = build_app(state)
+        loop = asyncio.new_event_loop()
+        client = TestClient(TestServer(app), loop=loop)
+        loop.run_until_complete(client.start_server())
+
+        async def do():
+            resp = await client.get("/health")
+            return resp
+
+        resp = loop.run_until_complete(do())
+        assert resp.status == 200
+        assert resp.headers["X-Response-Time"].endswith("ms")
+        loop.run_until_complete(client.close())
+        state.shutdown()
+        loop.close()
