@@ -161,3 +161,171 @@ def pallas_int8_topk(
     top_v = -neg
     top_i = jnp.take_along_axis(cand_i, sel, axis=1)
     return top_v, top_i, jnp.isfinite(top_v)
+
+
+# ---------------------------------------------------------------------------
+# v2: q-blocked grid + lane-bucket reduction
+# ---------------------------------------------------------------------------
+#
+# What the r1 kernel got wrong (measured 37.9 ms vs XLA 31.6 at Q=512):
+# - k rounds of extract-min sweep the FULL (Q, TILE_N) distance tile on the
+#   VPU — ~10 passes of VPU work per MXU tile, making the kernel VPU-bound;
+# - queries live whole in VMEM, capping Q at ~512 while the bench serves
+#   4096-query batches.
+#
+# v2 fixes both:
+# - grid is (q_blocks, n_tiles): a (QB, D) query block stays resident while
+#   the corpus streams; dist tiles are (QB, TILE_N) — VMEM-sized at any Q;
+# - the per-tile reduction is hierarchical: ONE min-reduce collapses the
+#   tile's 16-row lane buckets to (QB, 128) lane minima (with their row
+#   ids), then k_tile extract-min rounds run over just 128 lanes. A bucket
+#   holding two true top-k rows keeps only one — with 2048-row tiles the
+#   expected collision count for a top-80 candidate set over 1M rows is
+#   80·2048/1M ≈ 0.16 per tile, and the ×8 oversampled rescore absorbs it
+#   (the same approximation contract as lax.approx_min_k).
+
+
+def _scan_kernel_v2(
+    q_ref, codes_ref, sumsq_ref, valid_ref, qq_ref, out_v, out_i,
+    *, k_tile, tile_n,
+):
+    codes = codes_ref[:].astype(jnp.bfloat16)
+    dots = jax.lax.dot_general(
+        q_ref[:],
+        codes,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xx = sumsq_ref[:].astype(jnp.float32)
+    qq = qq_ref[:].astype(jnp.float32)
+    denom = jax.lax.rsqrt(jnp.maximum(xx * qq, 1e-30))
+    dist = 1.0 - dots * denom
+    dist = jnp.where(valid_ref[:] != 0, dist, INF)
+
+    qb = dist.shape[0]
+    buckets = tile_n // 128
+    tile = pl.program_id(1)
+    base = tile * tile_n
+
+    # Lane-bucket reduce: (QB, buckets, 128) → per-lane min + its row id.
+    d3 = dist.reshape(qb, buckets, 128)
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, d3.shape, 1)  # bucket index
+    lane_min = jnp.min(d3, axis=1)  # (QB, 128)
+    is_min = d3 == lane_min[:, None, :]
+    lane_row = jnp.min(
+        jnp.where(is_min, rows3, jnp.int32(2**30)), axis=1
+    )  # (QB, 128) bucket id of the winner
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, lane_min.shape, 1)
+    lane_global = base + lane_row * 128 + lane_ids
+
+    # k_tile extract-min rounds over just 128 lanes.
+    col_ids = lane_ids
+    vals, idxs = [], []
+    cur = lane_min
+    for _ in range(k_tile):
+        row_min = jnp.min(cur, axis=1)
+        is_m = cur == row_min[:, None]
+        min_col = jnp.min(jnp.where(is_m, col_ids, jnp.int32(2**30)), axis=1)
+        take = jnp.take_along_axis(lane_global, min_col[:, None], axis=1)[:, 0]
+        vals.append(row_min)
+        idxs.append(jnp.where(jnp.isfinite(row_min), take, jnp.int32(2**30)))
+        cur = jnp.where(col_ids == min_col[:, None], INF, cur)
+    val_block = jnp.stack(vals, axis=1)
+    idx_block = jnp.stack(idxs, axis=1)
+    pad = OUT_K - k_tile
+    out_v[:, :] = jnp.concatenate(
+        [val_block, jnp.full((qb, pad), INF, jnp.float32)], axis=1
+    )
+    out_i[:, :] = jnp.concatenate(
+        [idx_block, jnp.full((qb, pad), jnp.int32(2**30), jnp.int32)], axis=1
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "k_tile", "tile_n", "q_block", "interpret")
+)
+def pallas_int8_topk_v2(
+    codes,
+    sumsq,
+    row_valid,
+    q_codes,
+    *,
+    k: int = 80,
+    k_tile: int = 8,
+    tile_n: int = 2048,
+    q_block: int = 256,
+    interpret: bool = False,
+):
+    """Fused int8 cosine scan → top-k candidates, any Q (q-blocked grid).
+
+    Approximation contract matches ``lax.approx_min_k``: within one
+    (tile, 16-row lane bucket) only the best row survives; use with the
+    oversampled-rescore pattern. Returns (dist (Q,k), idx (Q,k), valid).
+    """
+    n, d = codes.shape
+    q = q_codes.shape[0]
+    assert n % tile_n == 0, "corpus must be padded to tile_n"
+    assert q % q_block == 0, "queries must be padded to q_block"
+    assert tile_n % 128 == 0
+    tiles = n // tile_n
+    q_blocks = q // q_block
+    assert k_tile <= OUT_K
+
+    q_bf = q_codes.astype(jnp.bfloat16)
+    qq = jnp.sum(
+        q_codes.astype(jnp.int32) ** 2, axis=1, keepdims=True
+    ).astype(jnp.float32)
+    sumsq2 = sumsq.astype(jnp.float32).reshape(1, n)
+    valid2 = row_valid.astype(jnp.int8).reshape(1, n)
+
+    grid_spec = pl.GridSpec(
+        grid=(q_blocks, tiles),
+        in_specs=[
+            pl.BlockSpec((q_block, d), lambda qi, i: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda qi, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda qi, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda qi, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_block, 1), lambda qi, i: (qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, q_block, OUT_K), lambda qi, i: (i, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, q_block, OUT_K), lambda qi, i: (i, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+
+    def kernel(q_ref, codes_ref, sumsq_ref, valid_ref, qq_ref, out_v, out_i):
+        _scan_kernel_v2(
+            q_ref, codes_ref, sumsq_ref, valid_ref, qq_ref,
+            out_v.at[0], out_i.at[0], k_tile=k_tile, tile_n=tile_n,
+        )
+
+    part_v, part_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, q, OUT_K), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, q, OUT_K), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * d,
+            bytes_accessed=n * d + q * d * 2 + tiles * q * OUT_K * 8,
+            transcendentals=0,
+        ),
+    )(q_bf, codes, sumsq2, valid2, qq)
+
+    part_v = part_v[:, :, :k_tile]
+    part_i = part_i[:, :, :k_tile]
+    cand_v = jnp.transpose(part_v, (1, 0, 2)).reshape(q, tiles * k_tile)
+    cand_i = jnp.transpose(part_i, (1, 0, 2)).reshape(q, tiles * k_tile)
+    kk = min(k, tiles * k_tile)
+    neg, sel = jax.lax.top_k(-cand_v, kk)
+    top_v = -neg
+    top_i = jnp.take_along_axis(cand_i, sel, axis=1)
+    return top_v, top_i, jnp.isfinite(top_v)

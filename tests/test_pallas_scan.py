@@ -59,3 +59,62 @@ def test_cross_tile_tiebreak(setup):
         codes, sumsq, np.ones(512, bool), q, k=4, tile_n=128, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(pi)[0], [0, 1, 2, 3])
+
+
+class TestV2:
+    def test_candidates_cover_exact_topk(self, setup):
+        """v2's lane-bucket approximation (the approx_min_k contract): two
+        top rows sharing a (tile, lane) keep only the better one. The
+        exact TOP-1 always survives — it wins its own lane — and overall
+        coverage must be near-total even at this adversarially tiny tile
+        size (2 rows per lane bucket vs 16 in production)."""
+        from panoptikon_tpu.ops.pallas_scan import pallas_int8_topk_v2
+
+        codes, sumsq, q_codes = setup
+        n = codes.shape[0]
+        valid = np.ones(n, bool)
+        cv, ci, cvalid = pallas_int8_topk_v2(
+            codes, sumsq, valid, q_codes, k=64, k_tile=8, tile_n=256,
+            q_block=8, interpret=True,
+        )
+        sv, si, _ = scoring.streaming_topk(
+            codes, sumsq, valid, q_codes, k=10, distance="cosine",
+            chunk_rows=256,
+        )
+        ci, si = np.asarray(ci), np.asarray(si)
+        covered = 0
+        for qi in range(si.shape[0]):
+            assert si[qi][0] in set(ci[qi]), f"query {qi} lost its top-1"
+            covered += len(set(si[qi]) & set(ci[qi]))
+        assert covered >= 0.95 * si.size, f"coverage {covered}/{si.size}"
+
+    def test_masked_rows_never_win(self, setup):
+        from panoptikon_tpu.ops.pallas_scan import pallas_int8_topk_v2
+
+        codes, sumsq, q_codes = setup
+        n = codes.shape[0]
+        valid = np.ones(n, bool)
+        valid[256:] = False
+        _, ci, cval = pallas_int8_topk_v2(
+            codes, sumsq, valid, q_codes, k=64, k_tile=8, tile_n=256,
+            q_block=8, interpret=True,
+        )
+        ci = np.asarray(ci)[np.asarray(cval)]
+        assert (ci < 256).all()
+
+    def test_q_blocking_matches_single_block(self, setup):
+        from panoptikon_tpu.ops.pallas_scan import pallas_int8_topk_v2
+
+        codes, sumsq, q_codes = setup
+        n = codes.shape[0]
+        valid = np.ones(n, bool)
+        a = pallas_int8_topk_v2(
+            codes, sumsq, valid, q_codes, k=16, k_tile=4, tile_n=256,
+            q_block=8, interpret=True,
+        )
+        b = pallas_int8_topk_v2(
+            codes, sumsq, valid, q_codes, k=16, k_tile=4, tile_n=256,
+            q_block=4, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
