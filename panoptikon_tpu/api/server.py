@@ -399,11 +399,40 @@ async def search_pql(request: web.Request) -> web.Response:
                 state.cache.insert_rows(key, aligned, all_rows, epochs, terminal)
                 if result.count is not None:
                     state.cache.insert_count(key, result.count, epochs)
+        # Enrich ALWAYS runs live on clones of the (possibly cached) rows
+        # (search.rs:605-619): check_path drops rows whose file vanished
+        # since indexing; bookmark status annotates for the ?user caller.
+        out_rows = list(rows) if query.results and rows else []
+        if query.check_path and out_rows:
+            import os as _os
+
+            out_rows = [
+                r for r in out_rows if _os.path.exists(r.get("path") or "")
+            ]
+        user = request.query.get("user")
+        if user and out_rows:
+            conn = state.db(name).reader()
+            shas = [r.get("sha256") for r in out_rows if r.get("sha256")]
+            marked = set()
+            if shas:
+                qmarks = ",".join("?" * len(shas))
+                marked = {
+                    row[0]
+                    for row in conn.execute(
+                        f"""SELECT DISTINCT sha256 FROM user_data.bookmarks
+                            WHERE user IN (?, '*') AND sha256 IN ({qmarks})""",
+                        [user, *shas],
+                    ).fetchall()
+                }
+            out_rows = [
+                {**r, "bookmarked": r.get("sha256") in marked}
+                for r in out_rows
+            ]
         # Per-request SearchMetrics ride every response (the reference's
         # metrics hover card — api/search.rs:130-131).
         return {
             "count": count,
-            "results": rows if query.results else [],
+            "results": out_rows,
             "seed": seed,
             "cache": outcome,
             "metrics": metrics,

@@ -278,6 +278,49 @@ class TestLifecycle:
         assert got == jobs
 
 
+class TestEnrich:
+    """The always-live enrich phase (search.rs:605-619)."""
+
+    def test_check_path_drops_vanished_files(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        media = client_env["media"]
+        call("PUT", "/api/jobs/folders", json={"included": [str(media)]})
+        wait_jobs(state)
+        status, res = call(
+            "POST", "/api/search/pql",
+            json={"page_size": 10, "check_path": True, "cache": False},
+        )
+        assert status == 200 and len(res["results"]) == 3
+        (media / "img1.png").unlink()
+        status, res = call(
+            "POST", "/api/search/pql",
+            json={"page_size": 10, "check_path": True, "cache": False},
+        )
+        # Count still reflects the index; the vanished row is enriched away.
+        assert res["count"] == 3 and len(res["results"]) == 2
+
+    def test_bookmark_annotation(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        media = client_env["media"]
+        call("PUT", "/api/jobs/folders", json={"included": [str(media)]})
+        wait_jobs(state)
+        _, res = call("POST", "/api/search/pql", json={"page_size": 1})
+        sha = res["results"][0]["sha256"]
+        call("PUT", f"/api/bookmarks/alice/favs/{sha}", json={})
+        _, res = call(
+            "POST", "/api/search/pql?user=alice",
+            json={"page_size": 10, "cache": False},
+        )
+        flags = {r["sha256"]: r["bookmarked"] for r in res["results"]}
+        assert flags[sha] is True
+        assert sum(flags.values()) == 1
+        # Without ?user no annotation is added.
+        _, res = call(
+            "POST", "/api/search/pql", json={"page_size": 10, "cache": False}
+        )
+        assert all("bookmarked" not in r for r in res["results"])
+
+
 class TestWiredSubsystems:
     """VERDICT r1 #8: every capability client_config advertises has a
     passing API test — continuous scan, federation pool, folder update,
