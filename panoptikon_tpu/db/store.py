@@ -325,18 +325,18 @@ def unprocessed_items(
     mime_prefixes: Iterable[str] = (),
     after_item_id: int = 0,
     limit: int = 1024,
-) -> list[tuple[int, str, str]]:
+) -> list[tuple[int, str, str, int]]:
     """Keyset-chunked work query: items NOT processed by the setter and not
     ledgered as failed for it (extraction.rs work query built as PQL:
     NOT ProcessedBy AND mime AND NOT FailedFor). Returns
-    (item_id, sha256, type)."""
+    (item_id, sha256, type, size) — size feeds the loader byte budget."""
     mime_sql, params = "", []
     prefixes = list(mime_prefixes)
     if prefixes:
         mime_sql = " AND (" + " OR ".join("i.type LIKE ?" for _ in prefixes) + ")"
         params.extend(p + "%" for p in prefixes)
     sql = f"""
-        SELECT i.id, i.sha256, i.type FROM items i
+        SELECT i.id, i.sha256, i.type, i.size FROM items i
         WHERE i.id > ?
           AND EXISTS (SELECT 1 FROM files f WHERE f.item_id = i.id AND f.available = 1)
           AND NOT EXISTS (

@@ -36,6 +36,40 @@ from panoptikon_tpu.models.base import PredictionInput, is_error_slot, parse_err
 from panoptikon_tpu.utils import npy
 
 WORK_CHUNK_ROWS = 1024
+LOADER_BUDGET_BYTES = 256 << 20  # in-flight payload cap (budget_slots KiB)
+
+
+class ByteBudget:
+    """In-flight byte budget (the reference's budget_slots semaphore,
+    extraction.rs:462-478): ``hold(n)`` blocks until n bytes fit under the
+    cap; an over-cap single item is always admitted alone rather than
+    deadlocking."""
+
+    def __init__(self, cap: int):
+        import threading
+
+        self.cap = cap
+        self._used = 0
+        self._cond = threading.Condition()
+
+    def hold(self, n: int):
+        budget = self
+
+        class _Hold:
+            def __enter__(self):
+                with budget._cond:
+                    while budget._used > 0 and budget._used + n > budget.cap:
+                        budget._cond.wait()
+                    budget._used += n
+                return self
+
+            def __exit__(self, *exc):
+                with budget._cond:
+                    budget._used -= n
+                    budget._cond.notify_all()
+                return False
+
+        return _Hold()
 
 
 @dataclass
@@ -133,22 +167,27 @@ def run_extraction_job(
             chunk = work[chunk_start : chunk_start + batch_size]
             t0 = time.perf_counter()
             inputs, loadable, spans = [], [], []
-            # Bounded-concurrency loading (the reference's loader_slots
-            # semaphore, extraction.rs:462-478): file reads + decode overlap
-            # while inference output order stays deterministic.
+            # Bounded-concurrency loading (the reference's loader_slots +
+            # KiB budget_slots semaphores, extraction.rs:462-478): file
+            # reads + decode overlap while inference output order stays
+            # deterministic; the byte budget caps in-flight payload memory
+            # so a run of large videos can't balloon the host heap.
             if loader_concurrency > 1 and target_entity == "items":
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=loader_concurrency) as pool:
-                    loaded = list(
-                        pool.map(
-                            lambda row: _load_payloads(
-                                db.reader(), db, row, target_entity, threshold,
-                                input_handler, input_handler_opts,
-                            ),
-                            chunk,
+                budget = ByteBudget(LOADER_BUDGET_BYTES)
+
+                def load_one(row):
+                    # row[3] is the item size from the work query.
+                    est = int(row[3]) if len(row) == 4 and row[3] else 1 << 20
+                    with budget.hold(est):
+                        return _load_payloads(
+                            db.reader(), db, row, target_entity, threshold,
+                            input_handler, input_handler_opts,
                         )
-                    )
+
+                with ThreadPoolExecutor(max_workers=loader_concurrency) as pool:
+                    loaded = list(pool.map(load_one, chunk))
             else:
                 loaded = [
                     _load_payloads(
@@ -372,7 +411,7 @@ def _write_output(
 
     if "embeddings" in decoded:
         matrix = decoded["embeddings"]
-        source_id = row[2] if len(row) > 3 else None  # text rows carry src data_id
+        source_id = row[2] if len(row) >= 6 else None  # text rows carry src data_id
         weight = 1.0
         if len(row) > 4:
             conf = row[4] if row[4] is not None else 1.0

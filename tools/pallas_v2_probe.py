@@ -11,11 +11,14 @@ from panoptikon_tpu.ops.pallas_scan import pallas_int8_topk_v2
 
 print("devices:", jax.devices(), flush=True)
 n, d, q, k = 1_000_000, 512, 4096, 10
+TILE = 2048
+n_pad = ((n + TILE - 1) // TILE) * TILE
 key = jax.random.key(0)
 codes = jax.random.randint(key, (n, d), -127, 128, dtype=jnp.int8)
+codes = jnp.pad(codes, ((0, n_pad - n), (0, 0)))
 qc = jax.random.randint(jax.random.key(1), (q, d), -127, 128, dtype=jnp.int8)
 sumsq = scoring.row_sumsq_chunked(codes)
-valid = jnp.ones((n,), bool)
+valid = (jnp.arange(n_pad) < n)
 
 
 def timed(name, fn, *args, **kw):
