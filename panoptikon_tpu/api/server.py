@@ -1198,8 +1198,29 @@ async def inferio_unload(request: web.Request) -> web.Response:
 
 async def inferio_metadata(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
+
+    def run():
+        meta = state.model_registry.metadata()
+        # Availability overlay (capability.rs:1-10): an impl class may
+        # declare `available(config)`; unknown never filters — ids without
+        # the hook stay visible and unmarked.
+        for group, body in meta.items():
+            for inf_id in body.get("inference_ids", {}):
+                try:
+                    resolved = state.model_registry.resolve(group, inf_id)
+                    impl_cls = IMPL_INDEX.get(resolved.impl_class)
+                    probe = getattr(impl_cls, "available", None)
+                    if probe is not None:
+                        body["inference_ids"][inf_id] = dict(
+                            body["inference_ids"][inf_id] or {},
+                            available=bool(probe(resolved.spawn_kwargs())),
+                        )
+                except Exception:
+                    continue
+        return meta
+
     try:
-        return web.json_response(await asyncio.to_thread(state.model_registry.metadata))
+        return web.json_response(await asyncio.to_thread(run))
     except Exception as exc:
         return _json_error(500, str(exc))
 
@@ -1596,6 +1617,17 @@ def main(args=None) -> None:
     state.cron.start()
     state.reconsider_continuous()
 
+    # Supervised UI process (src/ui.rs): [ui].command runs under bounded
+    # crash restarts; [upstreams].ui fronts it through the reverse proxy.
+    ui_proc = None
+    if settings.ui_command:
+        from panoptikon_tpu.jobs.supervisor import Supervised
+
+        ui_proc = Supervised(
+            argv=settings.ui_command, cwd=settings.ui_cwd, name="ui"
+        )
+        ui_proc.start()
+
     async def run():
         runners = await serve_all(settings, state)
         for listener in settings.listeners:
@@ -1626,6 +1658,8 @@ def main(args=None) -> None:
     except KeyboardInterrupt:
         pass
     finally:
+        if ui_proc is not None:
+            ui_proc.stop()
         state.shutdown()
 
 

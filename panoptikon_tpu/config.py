@@ -81,6 +81,10 @@ class Settings:
     # [upstreams].ui — a UI server (e.g. Next.js) fronted by the reverse
     # proxy: any path the API doesn't claim forwards there (proxy.rs).
     ui_upstream: str | None = None
+    # [ui].command — when set, the server SUPERVISES this UI process
+    # (bounded crash restarts, process-group teardown — src/ui.rs).
+    ui_command: list[str] = field(default_factory=list)
+    ui_cwd: str | None = None
 
     @classmethod
     def load(cls, path: str | Path | None = None, root: str | Path = ".") -> "Settings":
@@ -146,4 +150,7 @@ class Settings:
         )
         upstreams = raw.get("upstreams", {})
         s.ui_upstream = upstreams.get("ui")
+        ui = raw.get("ui", {})
+        s.ui_command = [str(a) for a in ui.get("command", [])]
+        s.ui_cwd = ui.get("cwd")
         return s

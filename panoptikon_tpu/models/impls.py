@@ -794,6 +794,13 @@ class ApiEmbedImpl(InferenceModel):
     def name(cls) -> str:
         return "api_embed"
 
+    @classmethod
+    def available(cls, config: dict) -> bool:
+        """Availability overlay (the reference's capability probe,
+        inferio/capability.rs): API backends are usable only with an
+        endpoint configured."""
+        return bool(config.get("endpoint"))
+
     def load(self) -> None:
         pass
 

@@ -167,6 +167,14 @@ def pallas_int8_topk(
 # v2: q-blocked grid + lane-bucket reduction
 # ---------------------------------------------------------------------------
 #
+# Measured (1M×512, Q=4096, k_tile=8, tile 2048, q_block 256): 108 ms vs
+# 42.6 ms for XLA's GEMM+approx_min_k — the (16 q_blocks × 489 tiles) grid
+# pays ~10 µs of per-step epilogue/scheduling against a 3.5 µs MXU step,
+# and XLA's own pipeline never materializes the (Q, N) distances either.
+# Candidate overlap with approx_min_k: 0.984. XLA stays the production
+# path; this kernel is the measured-alternative record (same role as r1's
+# v1 below), a candidate for chips with a higher FLOP:BW ratio.
+#
 # What the r1 kernel got wrong (measured 37.9 ms vs XLA 31.6 at Q=512):
 # - k rounds of extract-min sweep the FULL (Q, TILE_N) distance tile on the
 #   VPU — ~10 passes of VPU work per MXU tile, making the kernel VPU-bound;
@@ -226,7 +234,12 @@ def _scan_kernel_v2(
         row_min = jnp.min(cur, axis=1)
         is_m = cur == row_min[:, None]
         min_col = jnp.min(jnp.where(is_m, col_ids, jnp.int32(2**30)), axis=1)
-        take = jnp.take_along_axis(lane_global, min_col[:, None], axis=1)[:, 0]
+        # Mosaic has no gather; select the winner's global row id with a
+        # masked min over the 128 lanes instead.
+        take = jnp.min(
+            jnp.where(col_ids == min_col[:, None], lane_global, jnp.int32(2**30)),
+            axis=1,
+        )
         vals.append(row_min)
         idxs.append(jnp.where(jnp.isfinite(row_min), take, jnp.int32(2**30)))
         cur = jnp.where(col_ids == min_col[:, None], INF, cur)

@@ -360,6 +360,41 @@ class TestWiredSubsystems:
         status, st = call("GET", "/api/jobs/continuous")
         assert st == {}
 
+    def test_metadata_availability_overlay(self, client_env, tmp_path):
+        """API-backed ids get available=false without an endpoint
+        (capability.rs overlay); local-impl ids stay unmarked."""
+        from panoptikon_tpu.api.server import AppState, build_app
+
+        reg = tmp_path / "ovl"
+        reg.mkdir()
+        (reg / "00.toml").write_text(
+            "[group.jina]\nconfig.impl_class = 'api_embed'\n"
+            "[group.jina.inference_ids.v1]\n"
+            "[group.jina2]\nconfig.impl_class = 'api_embed'\n"
+            "config.endpoint = 'http://127.0.0.1:1/x'\n"
+            "[group.jina2.inference_ids.v1]\n"
+            "[group.clip]\nconfig.impl_class = 'clip'\n"
+            "config.model_arch = 'test-tiny'\n"
+            "[group.clip.inference_ids.tiny]\n"
+        )
+        state = AppState.create(tmp_path / "ovl_data", reg)
+        app = build_app(state)
+        loop = asyncio.new_event_loop()
+        client = TestClient(TestServer(app), loop=loop)
+        loop.run_until_complete(client.start_server())
+
+        async def do():
+            r = await client.get("/metadata")
+            return await r.json()
+
+        meta = loop.run_until_complete(do())
+        assert meta["jina"]["inference_ids"]["v1"]["available"] is False
+        assert meta["jina2"]["inference_ids"]["v1"]["available"] is True
+        assert "available" not in meta["clip"]["inference_ids"]["tiny"]
+        loop.run_until_complete(client.close())
+        state.shutdown()
+        loop.close()
+
     def test_pool_stats_local_upstream(self, client_env):
         call = client_env["call"]
         status, stats = call("GET", "/api/inference/pool")
