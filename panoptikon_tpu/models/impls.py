@@ -573,6 +573,7 @@ class CaptionerImpl(InferenceModel):
         self,
         model_arch: str = "test-tiny",
         checkpoint: Optional[str] = None,
+        tokenizer_path: Optional[str] = None,
         max_tokens: int = 32,
         prompt: Optional[str] = None,
         **_: Any,
@@ -581,8 +582,10 @@ class CaptionerImpl(InferenceModel):
 
         self._w = _w
         self.vision_cfg = clip.CONFIGS.get(model_arch) or clip.CONFIGS["test-tiny"]
+        self.checkpoint = checkpoint
         self.max_tokens = max_tokens
         self.prompt = prompt
+        self.tokenizer_path = tokenizer_path
         n_ctx = 1 + self.vision_cfg.grid**2
         self.decoder_cfg = _w.WhisperConfig(
             n_mels=1,
@@ -608,12 +611,30 @@ class CaptionerImpl(InferenceModel):
     def load(self) -> None:
         if self.vision_params is not None:
             return
-        self.vision_params = clip.init_params(jax.random.key(7), self.vision_cfg)
+        if self.checkpoint:
+            from panoptikon_tpu.models import weights
+
+            self.vision_params = weights.load_clip_checkpoint(
+                self.checkpoint, self.vision_cfg
+            )
+        else:
+            self.vision_params = clip.init_params(jax.random.key(7), self.vision_cfg)
         self.decoder_params = self._w.init_params(jax.random.key(8), self.decoder_cfg)
+        if self.tokenizer_path and self.detokenize is None:
+            try:
+                from tokenizers import Tokenizer
+
+                tok = Tokenizer.from_file(self.tokenizer_path)
+                self.detokenize = lambda ids: tok.decode(
+                    [i for i in ids if 0 <= i < tok.get_vocab_size()]
+                )
+            except Exception:
+                pass
 
     def unload(self) -> None:
         self.vision_params = None
         self.decoder_params = None
+        self.detokenize = None
 
     def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
         import functools
