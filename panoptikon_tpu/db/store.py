@@ -351,7 +351,7 @@ def unprocessed_items(
     rows = conn.execute(
         sql, (after_item_id, setter_name, setter_name, *params, limit)
     ).fetchall()
-    return [(int(r[0]), r[1], r[2]) for r in rows]
+    return [(int(r[0]), r[1], r[2], int(r[3] or 0)) for r in rows]
 
 
 def count_unprocessed(

@@ -334,7 +334,7 @@ def _load_payloads(
     if target_entity == "text":
         _cursor, _item, _src, text, _conf, _lconf = row
         return [PredictionInput(data={"text": text})]
-    item_id, sha, mime = row
+    item_id, sha, mime = row[0], row[1], row[2]
     file_row = conn.execute(
         "SELECT path FROM files WHERE item_id = ? AND available = 1 LIMIT 1",
         (item_id,),
@@ -361,6 +361,15 @@ def _load_payloads(
             data["sha256"] = row_meta[1]
             data["path"] = file_row[0]
         return [PredictionInput(data=data)]
+    if input_handler == "audio_tracks":
+        from panoptikon_tpu.jobs import media
+        from panoptikon_tpu.jobs.input_handlers import prepare_audio_tracks
+
+        try:
+            wavs = prepare_audio_tracks(file_row[0], payload, mime)
+        except media.MediaError:
+            return []  # ledgered as input error; heals via the blocked pass
+        return [PredictionInput(data=dict(data), file=wv) for wv in wavs]
     if input_handler == "image_frames":
         from panoptikon_tpu.jobs.input_handlers import prepare_image_frames
 

@@ -148,6 +148,35 @@ def prepare_image_frames(
     return images
 
 
+def prepare_audio_tracks(
+    path: str, payload: bytes, mime: str, *, target_rate: int = 16_000
+) -> list[bytes]:
+    """audio_tracks handler (input_handlers/mod.rs:25-40): WAV payloads
+    pass through; other audio containers and video soundtracks transcode
+    to mono 16 kHz WAV via jobs/media (ffmpeg-gated — a missing decoder
+    raises MediaError and the item ledgers as blocked)."""
+    import io as _io
+    import wave
+
+    from panoptikon_tpu.jobs import media
+
+    if mime == "audio/wav":
+        return [payload]
+    pcm, rate = media.extract_audio_pcm(path, mime, target_rate=target_rate)
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        import numpy as np
+
+        w.writeframes(
+            (np.clip(pcm, -1.0, 1.0) * 32767).astype(np.int16).tobytes()
+        )
+    return [buf.getvalue()]
+
+
 HANDLERS = {
     "image_frames": prepare_image_frames,
+    "audio_tracks": prepare_audio_tracks,
 }

@@ -97,3 +97,37 @@ class TestPrepareFrames:
         out = ih.prepare_image_frames(conn, 1, "x" * 64, png(20, 20))
         assert len(out) == 1
         conn.close()
+
+
+class TestAudioTracks:
+    def test_wav_passthrough(self, tmp_path):
+        import wave as _wave
+
+        import numpy as np
+
+        from panoptikon_tpu.jobs.input_handlers import prepare_audio_tracks
+
+        path = tmp_path / "t.wav"
+        pcm = (np.sin(np.arange(1600) / 10) * 20000).astype(np.int16)
+        with _wave.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        payload = path.read_bytes()
+        out = prepare_audio_tracks(str(path), payload, "audio/wav")
+        assert out == [payload]
+
+    def test_non_wav_blocked_without_ffmpeg(self, tmp_path):
+        import pytest as _pytest
+
+        from panoptikon_tpu.jobs import media
+        from panoptikon_tpu.jobs.input_handlers import prepare_audio_tracks
+
+        if media.ffmpeg_available():
+            _pytest.skip("ffmpeg present")
+        path = tmp_path / "t.mp3"
+        path.write_bytes(b"ID3 fake")
+        with _pytest.raises(media.MediaError) as ei:
+            prepare_audio_tracks(str(path), path.read_bytes(), "audio/mpeg")
+        assert ei.value.blocker == "ffmpeg"
