@@ -428,3 +428,98 @@ class TestPartition:
         })
         items = [r["item_id"] for r in res.results]
         assert len(items) == len(set(items)) == N_ITEMS
+
+
+class TestSrcTextFiltering:
+    """src_text constraints on the xmodal sibling space exercise the
+    sharded path's per-query row-validity permutation (row_perm): the
+    packed layout must mask exactly the rows whose SOURCE text fails the
+    constraint, on the 8-device mesh."""
+
+    @pytest.fixture
+    def src_env(self, tmp_path):
+        db = Database(tmp_path / "data", "srctext")
+        writer = IndexWriter(db)
+        index = VectorIndex(chunk_rows=64)
+        rng = np.random.default_rng(11)
+        n = 12
+        vecs = rng.normal(size=(n, DIM)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        t_vecs = np.roll(vecs, 1, axis=1)
+
+        def unit(conn):
+            sid_clip = store.upsert_setter(conn, "clip")
+            sid_ocr = store.upsert_setter(conn, "ocr")
+            sid_tclip = store.upsert_setter(conn, "tclip")
+            rows = []
+            for i in range(n):
+                sha = f"{i:02d}" * 32
+                item_id = store.upsert_item(
+                    conn, sha, f"m{i}".ljust(32, "0"), "image/png", size=10 + i
+                )
+                store.upsert_file(
+                    conn, item_id, sha, f"/m/f{i}.png", "2026-01-01T00:00:00"
+                )
+                did = store.insert_item_data(conn, item_id, sid_clip, "clip")
+                store.insert_embedding(conn, did, vecs[i])
+                # Source text with confidence i/10; the text-derived
+                # embedding row points at it via source_id.
+                tdid = store.insert_item_data(conn, item_id, sid_ocr, "text")
+                store.insert_extracted_text(
+                    conn, tdid, f"text {i}", language="en",
+                    confidence=i / 10.0, language_confidence=0.9,
+                )
+                edid = store.insert_item_data(
+                    conn, item_id, sid_tclip, "clip", source_id=tdid
+                )
+                store.insert_embedding(conn, edid, t_vecs[i])
+                rows.append((item_id, edid))
+            return rows
+
+        rows = writer.call(unit)
+        item_ids = np.array([r[0] for r in rows], dtype=np.int64)
+        data_ids = np.array([r[1] for r in rows], dtype=np.int64)
+        index.add("clip", item_ids, np.arange(n), vecs)
+        index.add("tclip", item_ids, data_ids, t_vecs)
+        ex = Executor(db, index, manager=None)
+        yield {
+            "ex": ex, "vecs": vecs, "t_vecs": t_vecs, "items": item_ids,
+        }
+        writer.close()
+
+    def test_min_confidence_masks_rows(self, src_env):
+        vecs, items = src_env["vecs"], src_env["items"]
+        # Query = item 3's TEXT vector; its source confidence is 0.3.
+        qv = np.roll(vecs[3], 1)
+        payload = {
+            "query": {"image_embeddings": {
+                "query": b64_query(qv), "model": "clip", "embed": None,
+                "index": "exact", "clip_xmodal": True,
+                "src_text": {"min_confidence": 0.5},
+            }},
+            "page_size": 12,
+        }
+        res = run(src_env["ex"], payload)
+        # Item 3's text row is masked (0.3 < 0.5); the winner must be an
+        # item whose text row survives, ranked by the text-space distance.
+        t_d = 1 - src_env["t_vecs"] @ qv
+        allowed = np.arange(len(items)) >= 5  # confidence i/10 >= 0.5
+        # Compose the oracle over BOTH spaces (image arm unfiltered).
+        i_d = 1 - vecs @ qv
+        fused = np.where(allowed, np.minimum(t_d, i_d), i_d)
+        best = int(np.argmin(fused))
+        assert res.results[0]["item_id"] == items[best]
+        assert items[3] != items[best]
+
+    def test_no_filter_includes_all_rows(self, src_env):
+        vecs, items = src_env["vecs"], src_env["items"]
+        qv = np.roll(vecs[3], 1)
+        payload = {
+            "query": {"image_embeddings": {
+                "query": b64_query(qv), "model": "clip", "embed": None,
+                "index": "exact", "clip_xmodal": True,
+            }},
+            "page_size": 1,
+        }
+        res = run(src_env["ex"], payload)
+        assert res.results[0]["item_id"] == items[3]
