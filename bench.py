@@ -176,6 +176,8 @@ def _bench_composed(jax, jnp, codec, scoring, n1=500_000, n2=250_000,
     valid1 = jnp.ones((n1,), bool)
     valid2 = jnp.ones((n2,), bool)
 
+    from panoptikon_tpu.ops import fusion
+
     import functools
 
     @functools.partial(jax.jit, static_argnames=("k", "kk"))
@@ -190,38 +192,11 @@ def _bench_composed(jax, jnp, codec, scoring, n1=500_000, n2=250_000,
             codes2, sumsq2, valid2, c2, qc2, q2, k=kk, oversample=4,
             distance="cosine", scale=s2,
         )
-        # ...then RRF fusion on device: both spaces index the same item id
-        # domain (row i <-> item i % n2), rank-join via searchsorted.
-        items1 = d1i
-        items2 = d2i * (n1 // n2)  # map space-2 rows onto the shared ids
-        ranks = jnp.arange(1.0, kk + 1.0)
-        rrf1 = 1.0 / (60.0 + ranks)
-        rrf2 = 1.0 / (60.0 + ranks)
-        # Union scores: scatter each space's contributions into a (Q, 2kk)
-        # candidate table keyed by item id, then top-k.
-        cand_ids = jnp.concatenate([items1, items2], axis=1)
-        cand_scores = jnp.concatenate(
-            [jnp.broadcast_to(rrf1, items1.shape),
-             jnp.broadcast_to(rrf2, items2.shape)], axis=1,
-        )
-        order = jnp.argsort(cand_ids, axis=1)
-        sid = jnp.take_along_axis(cand_ids, order, axis=1)
-        ssc = jnp.take_along_axis(cand_scores, order, axis=1)
-        first = jnp.concatenate(
-            [jnp.ones_like(sid[:, :1], bool), sid[:, 1:] != sid[:, :-1]],
-            axis=1,
-        )
-        # An id appears at most twice (once per space, per-space top-k ids
-        # are distinct), so the duplicate sum is one adjacent-pair add.
-        same_next = sid[:, 1:] == sid[:, :-1]
-        nxt = jnp.concatenate(
-            [jnp.where(same_next, ssc[:, 1:], 0.0),
-             jnp.zeros_like(ssc[:, :1])], axis=1,
-        )
-        fused = jnp.where(first, ssc + nxt, -jnp.inf)
-        top_v, top_pos = jax.lax.top_k(fused, k)
-        top_ids = jnp.take_along_axis(sid, top_pos, axis=1)
-        return top_v, top_ids
+        # ...then the framework's device RRF join (ops/fusion.py): both
+        # spaces index the same item-id domain (row i <-> item i % n2).
+        cand = jnp.stack([d1i, d2i * (n1 // n2)]).astype(jnp.int32)
+        weights = jnp.ones((2,), jnp.float32)
+        return fusion.rrf_fuse_candidates(cand, weights, k=k)
 
     out = composed(codes1, sumsq1, c1, qc1, q1, codes2, sumsq2, c2, qc2, q2)
     jax.block_until_ready(out)

@@ -1,0 +1,93 @@
+"""Device-side multi-space RRF fusion — the composed-query hot path.
+
+The reference's composed semantic queries (its headline perf wins,
+docs/vector-int8-quant.md:236-252) fuse per-filter rank lists with
+reciprocal-rank fusion in SQL. Here the fusion runs ON DEVICE over each
+space's oversampled candidate list: per-space top-kk ids arrive ranked
+(rank r = list position), every id's contributions sum as
+``Σ_s w_s / (rrf_k + r_s + 1)``, and one top-k extracts the fused page.
+No (Q, N) surface ever round-trips the host; multi-chip composition is
+per-space ``index.sharded.sharded_search`` feeding the same join.
+
+Exactness bound (for serving layers that must match a full-rank oracle):
+an item absent from EVERY space's candidate list has fused total
+< Σ_s w_s/(rrf_k + kk + 1). If the returned k-th total is ≥ that bound,
+the page is provably identical to full-rank RRF; otherwise the caller
+falls back to full-surface ranks (``rrf_fuse_full``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def candidate_exactness_bound(weights, rrf_k: float, kk: int) -> float:
+    """Max possible fused total for an item outside all candidate lists."""
+    return float(sum(w / (rrf_k + kk + 1.0) for w in weights))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rrf_k"))
+def rrf_fuse_candidates(cand_ids, weights, *, k: int, rrf_k: float = 60.0):
+    """Fuse S spaces' ranked candidate ids → fused top-k per query.
+
+    cand_ids: (S, Q, kk) int32 — each space's top-kk ids in rank order
+    (invalid slots = a sentinel id < 0 or 2^30; they contribute nothing).
+    weights: (S,) f32. Returns (totals (Q, k), ids (Q, k)).
+
+    The duplicate-sum join is sort-based: ids sort per query, and since an
+    id appears at most once per space, at most S adjacent entries share an
+    id — S-1 adjacent-pair adds replace a segment reduction.
+    """
+    s, q, kk = cand_ids.shape
+    ranks = jnp.arange(1.0, kk + 1.0, dtype=jnp.float32)
+    contrib = weights[:, None, None].astype(jnp.float32) / (rrf_k + ranks)[None, None, :]
+    contrib = jnp.broadcast_to(contrib, (s, q, kk))
+    valid = (cand_ids >= 0) & (cand_ids < jnp.int32(2**30))
+    contrib = jnp.where(valid, contrib, 0.0)
+    safe_ids = jnp.where(valid, cand_ids, jnp.int32(2**30))
+
+    flat_ids = jnp.transpose(safe_ids, (1, 0, 2)).reshape(q, s * kk)
+    flat_sc = jnp.transpose(contrib, (1, 0, 2)).reshape(q, s * kk)
+    order = jnp.argsort(flat_ids, axis=1)
+    sid = jnp.take_along_axis(flat_ids, order, axis=1)
+    ssc = jnp.take_along_axis(flat_sc, order, axis=1)
+    # Sum runs of equal ids into their FIRST position: each id appears at
+    # most S times, so S-1 shifted adds cover every run.
+    total = ssc
+    for shift in range(1, s):
+        same = sid[:, shift:] == sid[:, :-shift]
+        total = total.at[:, : sid.shape[1] - shift].add(
+            jnp.where(same, ssc[:, shift:], 0.0)
+        )
+    first = jnp.concatenate(
+        [jnp.ones_like(sid[:, :1], bool), sid[:, 1:] != sid[:, :-1]], axis=1
+    )
+    fused = jnp.where(first & (sid < 2**30), total, -jnp.inf)
+    top_v, pos = jax.lax.top_k(fused, k)
+    top_ids = jnp.take_along_axis(sid, pos, axis=1)
+    return top_v, top_ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rrf_k"))
+def rrf_fuse_full(dists, valids, weights, *, k: int, rrf_k: float = 60.0):
+    """Full-surface RRF: per-space (Q, M) distances over a SHARED id domain
+    → exact fused top-k. Ranks come from a per-space argsort (ascending
+    distance, invalid last); invalid entries contribute nothing.
+
+    dists: (S, Q, M) f32; valids: (S, Q, M) bool; weights: (S,).
+    Returns (totals (Q, k), ids (Q, k)) with ids = column indices.
+    """
+    s, q, m = dists.shape
+    masked = jnp.where(valids, dists, jnp.inf)
+    order = jnp.argsort(masked, axis=2)  # (S, Q, M) ids by ascending dist
+    rank = jnp.argsort(order, axis=2).astype(jnp.float32)  # rank of each id
+    contrib = weights[:, None, None].astype(jnp.float32) / (rrf_k + rank + 1.0)
+    contrib = jnp.where(valids, contrib, 0.0)
+    totals = jnp.sum(contrib, axis=0)  # (Q, M)
+    any_valid = jnp.any(valids, axis=0)
+    totals = jnp.where(any_valid, totals, -jnp.inf)
+    top_v, top_ids = jax.lax.top_k(totals, k)
+    return top_v, top_ids
