@@ -278,6 +278,8 @@ def encode_image(params: Params, cfg: ClipConfig, images, normalize: bool = True
     x = x.reshape(b, g, p, g, p, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, p * p * 3)
     x = x @ v["patch_w"].astype(x.dtype)
+    if "patch_b" in v:
+        x = x + v["patch_b"].astype(x.dtype)  # timm ViTs carry a patch bias
     cls = jnp.broadcast_to(v["class_emb"].astype(x.dtype), (b, 1, cfg.vision_width))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + v["pos_emb"].astype(x.dtype)[None]
@@ -321,6 +323,8 @@ def encode_image_tokens(params: Params, cfg: ClipConfig, images):
     x = x.reshape(b, g, p, g, p, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, p * p * 3)
     x = x @ v["patch_w"].astype(x.dtype)
+    if "patch_b" in v:
+        x = x + v["patch_b"].astype(x.dtype)  # timm ViTs carry a patch bias
     cls = jnp.broadcast_to(v["class_emb"].astype(x.dtype), (b, 1, cfg.vision_width))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + v["pos_emb"].astype(x.dtype)[None]
@@ -380,6 +384,13 @@ def embed_images_jit(params, cfg: ClipConfig, images):
 def embed_images_scaled_jit(params, cfg: ClipConfig, images, act_scales):
     """Static-scale int8 image embed (calibrated act_scales)."""
     return encode_image(params, cfg, images, act_scales=act_scales)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def embed_images_raw_jit(params, cfg: ClipConfig, images):
+    """Unnormalized pooled features — classifier heads (taggers) apply on
+    the raw trunk output, not the L2-normalized retrieval embedding."""
+    return encode_image(params, cfg, images, normalize=False)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

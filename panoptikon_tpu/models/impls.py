@@ -310,6 +310,7 @@ class TaggerImpl(InferenceModel):
         self.batch_ladder = batching.bucket_ladder(batch_cap)
         self.params = None
         self.head = None
+        self.head_bias = None
 
     @classmethod
     def name(cls) -> str:
@@ -318,11 +319,33 @@ class TaggerImpl(InferenceModel):
     def load(self) -> None:
         if self.params is not None:
             return
+        if self.checkpoint:
+            # timm ViT mapping (the reference's WD taggers are timm models):
+            # identity projection, head on the raw pooled features.
+            import dataclasses as _dc
+
+            from panoptikon_tpu.models import weights
+
+            self.cfg = _dc.replace(self.cfg, embed_dim=self.cfg.vision_width)
+            visual, head_w, head_b = weights.load_timm_vit_checkpoint(
+                self.checkpoint, self.cfg
+            )
+            self.params = {"visual": visual}
+            self.head = head_w
+            self.head_bias = head_b
+            n_out = head_w.shape[1]
+            if len(self.rating_tags) + len(self.tag_vocab) != n_out:
+                # Vocab must match the checkpoint's head width.
+                self.tag_vocab = [
+                    f"tag_{i}" for i in range(n_out - len(self.rating_tags))
+                ]
+            return
         self.params = clip.init_params(jax.random.key(2), self.cfg)
         n_out = len(self.rating_tags) + len(self.tag_vocab)
         self.head = np.asarray(
             jax.random.normal(jax.random.key(3), (self.cfg.embed_dim, n_out))
         ) * self.cfg.embed_dim**-0.5
+        self.head_bias = np.zeros(n_out, np.float32)
 
     def unload(self) -> None:
         self.params = None
@@ -355,8 +378,10 @@ class TaggerImpl(InferenceModel):
         if images:
             bucket = batching.bucket_for(len(images), self.batch_ladder)
             padded, _ = batching.pad_batch(np.stack(images), bucket)
-            feats = np.asarray(clip.embed_images_jit(self.params, self.cfg, padded))
-            logits = feats[: len(images)] @ self.head
+            feats = np.asarray(
+                clip.embed_images_raw_jit(self.params, self.cfg, padded)
+            )
+            logits = feats[: len(images)] @ self.head + self.head_bias
             probs = 1.0 / (1.0 + np.exp(-logits))
             n_rating = len(self.rating_tags)
             for j, pos in enumerate(kept):

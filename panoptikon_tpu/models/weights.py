@@ -184,6 +184,60 @@ def save_clip_checkpoint(params, cfg: ClipConfig, path: str | Path) -> None:
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, str(path))
 
 
+def load_timm_vit_checkpoint(path: str | Path, cfg: ClipConfig):
+    """timm ViT state dict (the reference's WD taggers, impl/wd_tagger.py
+    run timm models) → (visual param tree, head weight, head bias).
+
+    timm layout: ``patch_embed.proj`` conv (out,in,kh,kw)+bias, cls_token,
+    pos_embed (1, N+1, D), ``blocks.N.{norm1,attn.qkv,attn.proj,norm2,
+    mlp.fc1,mlp.fc2}``, final ``norm``, ``head``. The tagger head applies
+    on the pooled trunk output, so the CLIP-style projection maps to
+    identity and ``cfg.embed_dim`` must equal ``cfg.vision_width``."""
+    sd = load_state_dict(path)
+
+    def lin(p):
+        return (
+            np.asarray(sd[f"{p}.weight"], np.float32).T,
+            np.asarray(sd[f"{p}.bias"], np.float32),
+        )
+
+    conv = np.asarray(sd["patch_embed.proj.weight"], np.float32)
+    width = conv.shape[0]
+    blocks = []
+    for i in range(cfg.vision_layers):
+        p = f"blocks.{i}"
+        qkv_w, qkv_b = lin(f"{p}.attn.qkv")
+        ow, ob = lin(f"{p}.attn.proj")
+        fw, fb = lin(f"{p}.mlp.fc1")
+        pw, pb = lin(f"{p}.mlp.fc2")
+        blocks.append({
+            "ln_1": _ln(sd, f"{p}.norm1"),
+            "attn": {"qkv_w": qkv_w, "qkv_b": qkv_b, "out_w": ow, "out_b": ob},
+            "ln_2": _ln(sd, f"{p}.norm2"),
+            "mlp": {"fc_w": fw, "fc_b": fb, "proj_w": pw, "proj_b": pb},
+        })
+    visual = {
+        "patch_w": conv.transpose(2, 3, 1, 0).reshape(-1, width),
+        "patch_b": np.asarray(sd["patch_embed.proj.bias"], np.float32),
+        "class_emb": np.asarray(sd["cls_token"], np.float32).reshape(-1),
+        "pos_emb": np.asarray(sd["pos_embed"], np.float32).reshape(-1, width),
+        # timm ViTs have no pre-LN (norm_pre is identity in the default
+        # arch); keep identity parameters.
+        "ln_pre": {
+            "scale": np.ones(width, np.float32),
+            "bias": np.zeros(width, np.float32),
+        },
+        "blocks": blocks,
+        "ln_post": _ln(sd, "norm"),
+        "proj": np.eye(width, dtype=np.float32),
+    }
+    head_w = np.asarray(sd["head.weight"], np.float32).T
+    head_b = np.asarray(
+        sd.get("head.bias", np.zeros(head_w.shape[1], np.float32)), np.float32
+    )
+    return visual, head_w, head_b
+
+
 def load_whisper_checkpoint(path: str | Path, cfg) -> dict[str, Any]:
     """HF ``WhisperModel`` state dict → our whisper param tree.
 

@@ -24,18 +24,24 @@ import jax
 import jax.numpy as jnp
 
 
-def candidate_exactness_bound(weights, rrf_k: float, kk: int) -> float:
-    """Max possible fused total for an item outside all candidate lists."""
-    return float(sum(w / (rrf_k + kk + 1.0) for w in weights))
+def candidate_exactness_bound(weights, rrf_k, kk: int) -> float:
+    """Max possible fused total for an item outside all candidate lists.
+    ``rrf_k`` may be one float or a per-space sequence."""
+    try:
+        ks = list(rrf_k)
+    except TypeError:
+        ks = [rrf_k] * len(list(weights))
+    return float(sum(w / (kf + kk + 1.0) for w, kf in zip(weights, ks)))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "rrf_k"))
-def rrf_fuse_candidates(cand_ids, weights, *, k: int, rrf_k: float = 60.0):
+@functools.partial(jax.jit, static_argnames=("k",))
+def rrf_fuse_candidates(cand_ids, weights, *, k: int, rrf_k=60.0):
     """Fuse S spaces' ranked candidate ids → fused top-k per query.
 
     cand_ids: (S, Q, kk) int32 — each space's top-kk ids in rank order
     (invalid slots = a sentinel id < 0 or 2^30; they contribute nothing).
-    weights: (S,) f32. Returns (totals (Q, k), ids (Q, k)).
+    weights: (S,) f32; rrf_k: scalar or (S,) per-space constants (PQL's
+    ``Rrf{k, weight}`` is per filter). Returns (totals (Q, k), ids (Q, k)).
 
     The duplicate-sum join is sort-based: ids sort per query, and since an
     id appears at most once per space, at most S adjacent entries share an
@@ -43,7 +49,12 @@ def rrf_fuse_candidates(cand_ids, weights, *, k: int, rrf_k: float = 60.0):
     """
     s, q, kk = cand_ids.shape
     ranks = jnp.arange(1.0, kk + 1.0, dtype=jnp.float32)
-    contrib = weights[:, None, None].astype(jnp.float32) / (rrf_k + ranks)[None, None, :]
+    rrf_ks = jnp.broadcast_to(
+        jnp.asarray(rrf_k, jnp.float32).reshape(-1, 1, 1), (s, 1, 1)
+    )
+    contrib = weights[:, None, None].astype(jnp.float32) / (
+        rrf_ks + ranks[None, None, :]
+    )
     contrib = jnp.broadcast_to(contrib, (s, q, kk))
     valid = (cand_ids >= 0) & (cand_ids < jnp.int32(2**30))
     contrib = jnp.where(valid, contrib, 0.0)

@@ -163,3 +163,77 @@ def test_bert_mapping_forward(monkeypatch):
     mask = np.ones((2, cfg.ctx), np.int32)
     out = np.asarray(text_embed.encode_jit(params, cfg, ids, mask))
     assert out.shape == (2, cfg.embed_dim) and np.isfinite(out).all()
+
+
+class TestTimmVit:
+    def test_timm_mapping_forward_parity(self, tmp_path):
+        """Export our tiny visual tree to timm layout, reload through
+        load_timm_vit_checkpoint, and assert bit-exact forward features +
+        head logits."""
+        import dataclasses
+
+        import jax
+        import torch
+
+        from panoptikon_tpu.models import clip, weights
+
+        cfg = dataclasses.replace(
+            clip.CONFIGS["test-tiny"], embed_dim=clip.CONFIGS["test-tiny"].vision_width
+        )
+        params = clip.init_params(jax.random.key(3), cfg)
+        v = params["visual"]
+        rng = np.random.default_rng(0)
+        width = cfg.vision_width
+        p = cfg.patch_size
+        head_w = rng.normal(size=(width, 7)).astype(np.float32)
+        head_b = rng.normal(size=(7,)).astype(np.float32)
+        patch_b = rng.normal(size=(width,)).astype(np.float32)
+
+        sd = {}
+
+        def put_lin(prefix, w, b):
+            sd[f"{prefix}.weight"] = np.asarray(w, np.float32).T
+            sd[f"{prefix}.bias"] = np.asarray(b, np.float32)
+
+        def put_ln(prefix, ln):
+            sd[f"{prefix}.weight"] = np.asarray(ln["scale"], np.float32)
+            sd[f"{prefix}.bias"] = np.asarray(ln["bias"], np.float32)
+
+        patch_w = np.asarray(v["patch_w"], np.float32)
+        sd["patch_embed.proj.weight"] = (
+            patch_w.reshape(p, p, 3, width).transpose(3, 2, 0, 1)
+        )
+        sd["patch_embed.proj.bias"] = patch_b
+        sd["cls_token"] = np.asarray(v["class_emb"], np.float32).reshape(1, 1, -1)
+        sd["pos_embed"] = np.asarray(v["pos_emb"], np.float32)[None]
+        for i, blk in enumerate(v["blocks"]):
+            put_ln(f"blocks.{i}.norm1", blk["ln_1"])
+            put_lin(f"blocks.{i}.attn.qkv", blk["attn"]["qkv_w"], blk["attn"]["qkv_b"])
+            put_lin(f"blocks.{i}.attn.proj", blk["attn"]["out_w"], blk["attn"]["out_b"])
+            put_ln(f"blocks.{i}.norm2", blk["ln_2"])
+            put_lin(f"blocks.{i}.mlp.fc1", blk["mlp"]["fc_w"], blk["mlp"]["fc_b"])
+            put_lin(f"blocks.{i}.mlp.fc2", blk["mlp"]["proj_w"], blk["mlp"]["proj_b"])
+        put_ln("norm", v["ln_post"])
+        put_lin("head", head_w, head_b)
+        ckpt = tmp_path / "timm.bin"
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(x)) for k, x in sd.items()}, ckpt)
+
+        visual, got_head_w, got_head_b = weights.load_timm_vit_checkpoint(ckpt, cfg)
+        np.testing.assert_array_equal(got_head_w, head_w)
+        np.testing.assert_array_equal(got_head_b, head_b)
+        np.testing.assert_array_equal(visual["patch_b"], patch_b)
+
+        # Forward parity: mapped tree with identity proj == original tree
+        # (plus the patch bias) end to end. Both trees normalize to jnp
+        # leaves first — mixed np/jnp trees hit weak-type promotion
+        # differences that shift bf16 rounding without being a mapping bug.
+        import jax.numpy as jnp
+
+        images = np.random.default_rng(1).normal(size=(2, 32, 32, 3)).astype(np.float32)
+        ref_params = jax.tree.map(jnp.asarray, {
+            "visual": dict(v, patch_b=patch_b, proj=np.eye(width, dtype=np.float32))
+        })
+        mapped = jax.tree.map(jnp.asarray, {"visual": visual})
+        a = np.asarray(clip.encode_image(ref_params, cfg, images, normalize=False))
+        b = np.asarray(clip.encode_image(mapped, cfg, images, normalize=False))
+        np.testing.assert_allclose(a, b, atol=0, rtol=0)
