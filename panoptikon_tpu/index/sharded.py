@@ -29,7 +29,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from panoptikon_tpu.index.vector_index import SpaceSnapshot
 from panoptikon_tpu.ops import scoring
-from panoptikon_tpu.parallel.mesh import SHARD_AXIS
+from panoptikon_tpu.parallel.mesh import REPLICA_AXIS, SHARD_AXIS
+
+
+def _query_specs(mesh: Mesh):
+    """Query/result partitioning: on a 2-D serving mesh the query batch
+    splits over ``replica`` (QPS scale-out) while the corpus replicates
+    over it; on the 1-D mesh queries replicate."""
+    if REPLICA_AXIS in mesh.axis_names:
+        return P(REPLICA_AXIS, None), P(REPLICA_AXIS)
+    return P(), P()
 
 
 @dataclass
@@ -239,6 +248,7 @@ def _sharded_query(
 ):
     rows_spec = P(SHARD_AXIS, None)
     flat_spec = P(SHARD_AXIS)
+    q_spec, out_spec = _query_specs(mesh)
 
     def shard_fn(corpus_s, sumsq_s, valid_s, gids_s, w_s, q):
         shard = jax.lax.axis_index(SHARD_AXIS)
@@ -291,10 +301,23 @@ def _sharded_query(
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(rows_spec, flat_spec, flat_spec, flat_spec, flat_spec, P()),
-        out_specs=(P(), P()),
+        in_specs=(rows_spec, flat_spec, flat_spec, flat_spec, flat_spec, q_spec),
+        out_specs=(out_spec, out_spec),
         check_vma=False,
     )(corpus, sumsq, row_valid, group_ids, weights, queries)
+
+
+def _pad_queries(mesh: Mesh, queries):
+    """Pad Q to a replica multiple on 2-D serving meshes (each replica
+    takes an equal query slice)."""
+    if REPLICA_AXIS not in mesh.axis_names:
+        return queries, queries.shape[0]
+    r = mesh.shape[REPLICA_AXIS]
+    q = queries.shape[0]
+    padded = _round_up(max(q, 1), r)
+    if padded != q:
+        queries = jnp.pad(jnp.asarray(queries), ((0, padded - q), (0, 0)))
+    return queries, q
 
 
 def sharded_search(
@@ -313,6 +336,7 @@ def sharded_search(
     ``space.item_ids`` maps back to snapshot group slots / item ids.
     """
     grouped = not space.one_row_per_item or aggregation != "min" or weighted
+    queries, q_real = _pad_queries(space.mesh, queries)
     top_v, top_i = _sharded_query(
         space.corpus,
         space.sumsq,
@@ -330,6 +354,7 @@ def sharded_search(
         weighted=weighted,
         scale=space.scale,
     )
+    top_v, top_i = top_v[:q_real], top_i[:q_real]
     return top_v, top_i, jnp.isfinite(top_v), grouped
 
 
@@ -362,6 +387,7 @@ def _sharded_scores(
 ):
     rows_spec = P(SHARD_AXIS, None)
     flat_spec = P(SHARD_AXIS)
+    q_spec, out_spec = _query_specs(mesh)
 
     def shard_fn(corpus_s, sumsq_s, valid_s, gids_s, w_s, q):
         dist, valid, cnt = scoring.grouped_scores(
@@ -394,8 +420,8 @@ def _sharded_scores(
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(rows_spec, flat_spec, flat_spec, flat_spec, flat_spec, P()),
-        out_specs=(P(), P(), P()),
+        in_specs=(rows_spec, flat_spec, flat_spec, flat_spec, flat_spec, q_spec),
+        out_specs=(out_spec, out_spec, out_spec),
         check_vma=False,
     )(corpus, sumsq, row_valid, group_ids, weights, queries)
 
@@ -427,7 +453,8 @@ def sharded_grouped_scores(
             np.asarray(row_valid, dtype=bool),
             NamedSharding(space.mesh, P(SHARD_AXIS)),
         )
-    return _sharded_scores(
+    queries, q_real = _pad_queries(space.mesh, queries)
+    d, v, c = _sharded_scores(
         space.corpus,
         space.sumsq,
         rv,
@@ -442,3 +469,4 @@ def sharded_grouped_scores(
         weighted=weighted,
         scale=space.scale,
     )
+    return d[:q_real], v[:q_real], c[:q_real]

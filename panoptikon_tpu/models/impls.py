@@ -452,6 +452,7 @@ class WhisperImpl(InferenceModel):
         self,
         model_arch: str = "test-tiny",
         checkpoint: Optional[str] = None,
+        tokenizer_path: Optional[str] = None,
         max_tokens: int = 64,
         **_: Any,
     ):
@@ -460,6 +461,7 @@ class WhisperImpl(InferenceModel):
         self._w = _w
         self.cfg = _w.CONFIGS.get(model_arch) or _w.CONFIGS["test-tiny"]
         self.checkpoint = checkpoint
+        self.tokenizer_path = tokenizer_path
         self.max_tokens = max_tokens
         self.params = None
         self.detokenize = None
@@ -471,7 +473,22 @@ class WhisperImpl(InferenceModel):
     def load(self) -> None:
         if self.params is not None:
             return
-        self.params = self._w.init_params(jax.random.key(4), self.cfg)
+        if self.checkpoint:
+            from panoptikon_tpu.models import weights
+
+            self.params = weights.load_whisper_checkpoint(self.checkpoint, self.cfg)
+        else:
+            self.params = self._w.init_params(jax.random.key(4), self.cfg)
+        if self.tokenizer_path and self.detokenize is None:
+            try:
+                from tokenizers import Tokenizer
+
+                tok = Tokenizer.from_file(self.tokenizer_path)
+                self.detokenize = lambda ids: tok.decode(
+                    [i for i in ids if 0 <= i < tok.get_vocab_size()]
+                )
+            except Exception:
+                pass
 
     def unload(self) -> None:
         self.params = None

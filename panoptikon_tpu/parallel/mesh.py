@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 SHARD_AXIS = "shard"
+REPLICA_AXIS = "replica"
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
@@ -26,6 +27,23 @@ def index_mesh(devices=None) -> Mesh:
     """1-D mesh over all devices for corpus sharding."""
     devices = jax.devices() if devices is None else devices
     return Mesh(np.array(devices), (SHARD_AXIS,))
+
+
+def serving_mesh(replicas: int, devices=None) -> Mesh:
+    """2-D ``replica × shard`` serving mesh: the corpus shards over
+    ``shard`` and REPLICATES over ``replica``; a query batch splits over
+    ``replica`` so QPS scales with replica count while per-shard HBM stays
+    fixed. On multi-host topologies lay ``replica`` over DCN (hosts) and
+    ``shard`` over ICI so the top-k merge collective never crosses hosts —
+    the scaling-book recipe of matching collective locality to fabric."""
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    if n % replicas != 0:
+        raise ValueError(f"{replicas} replicas do not divide {n} devices")
+    return Mesh(
+        np.array(devices).reshape(replicas, n // replicas),
+        (REPLICA_AXIS, SHARD_AXIS),
+    )
 
 
 def train_mesh(data: int | None = None, model: int = 1, devices=None) -> Mesh:

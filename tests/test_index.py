@@ -153,3 +153,65 @@ class TestSharded:
         assert np.asarray(valid)[0].sum() == 10
         got = idx.item_id_of_groups("clip", space.item_ids[np.asarray(slots)[0]])
         assert got[0] == 1000  # the query vector itself ranks first
+
+
+class TestServingMesh:
+    """2-D replica × shard serving mesh: the corpus shards over `shard`
+    and replicates over `replica`; the query batch splits over `replica`
+    (QPS scale-out). Results must equal the 1-D mesh bit-for-bit."""
+
+    def test_topk_matches_1d_mesh(self):
+        idx, vecs, items = make_index(n=240, rows_per_item=1, seed=21)
+        snap = idx.snapshot("clip")
+        m1 = meshlib.index_mesh()
+        m2 = meshlib.serving_mesh(replicas=2)
+        assert m2.shape == {"replica": 2, "shard": 4}
+        rng = np.random.default_rng(22)
+        q = rng.normal(size=(6, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        s1 = sharded.build_sharded(snap, m1, chunk_rows=CHUNK)
+        s2 = sharded.build_sharded(snap, m2, chunk_rows=CHUNK)
+        d1, i1, v1, _ = sharded.sharded_search(s1, q, k=10)
+        d2, i2, v2, _ = sharded.sharded_search(s2, q, k=10)
+        got1 = idx.item_id_of_groups("clip", s1.item_ids[np.asarray(i1)])
+        got2 = idx.item_id_of_groups("clip", s2.item_ids[np.asarray(i2)])
+        np.testing.assert_array_equal(got1, got2)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+    def test_query_count_not_divisible_by_replicas(self):
+        idx, vecs, _ = make_index(n=64, seed=23)
+        snap = idx.snapshot("clip")
+        m2 = meshlib.serving_mesh(replicas=2)
+        s2 = sharded.build_sharded(snap, m2, chunk_rows=CHUNK)
+        q = vecs[:3]  # odd count → padded internally, sliced back
+        d, i, v, _ = sharded.sharded_search(s2, q, k=5)
+        assert np.asarray(d).shape == (3, 5)
+        got = idx.item_id_of_groups("clip", s2.item_ids[np.asarray(i)[:, 0]])
+        np.testing.assert_array_equal(
+            got, idx.item_id_of_groups("clip", np.arange(3))
+        )
+
+    def test_grouped_scores_match_1d(self):
+        idx, vecs, _ = make_index(n=120, rows_per_item=3, seed=24)
+        snap = idx.snapshot("clip")
+        m1 = meshlib.index_mesh()
+        m2 = meshlib.serving_mesh(replicas=4)
+        s1 = sharded.build_sharded(snap, m1, chunk_rows=CHUNK)
+        s2 = sharded.build_sharded(snap, m2, chunk_rows=CHUNK)
+        rng = np.random.default_rng(25)
+        q = rng.normal(size=(5, 32)).astype(np.float32)
+        d1, v1, c1 = sharded.sharded_grouped_scores(s1, q, aggregation="avg")
+        d2, v2, c2 = sharded.sharded_grouped_scores(s2, q, aggregation="avg")
+        # Map packed slots → snapshot group slots for comparison.
+        def unpack(space, d, v):
+            m = snap.num_groups
+            out_d = np.full((d.shape[0], m), np.inf, np.float32)
+            out_v = np.zeros((d.shape[0], m), bool)
+            sel = space.item_ids >= 0
+            out_d[:, space.item_ids[sel]] = np.asarray(d)[:, sel]
+            out_v[:, space.item_ids[sel]] = np.asarray(v)[:, sel]
+            return out_d, out_v
+        ud1, uv1 = unpack(s1, d1, v1)
+        ud2, uv2 = unpack(s2, d2, v2)
+        np.testing.assert_array_equal(uv1, uv2)
+        np.testing.assert_allclose(ud1, ud2, atol=1e-5)
