@@ -215,3 +215,28 @@ class TestServingMesh:
         ud2, uv2 = unpack(s2, d2, v2)
         np.testing.assert_array_equal(uv1, uv2)
         np.testing.assert_allclose(ud1, ud2, atol=1e-5)
+
+
+class TestMultihost:
+    def test_initialize_noop_without_coordinator(self, monkeypatch):
+        from panoptikon_tpu.parallel import multihost
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert multihost.initialize() is False
+
+    def test_host_meshes_single_process(self):
+        """Single-process: hosts_replica_mesh degenerates to 1 replica over
+        all local devices; hosts_shard_mesh is the 1-D index mesh."""
+        from panoptikon_tpu.parallel import multihost
+
+        m = multihost.hosts_replica_mesh()
+        assert m.shape["replica"] == 1 and m.shape["shard"] == 8
+        m1 = multihost.hosts_shard_mesh()
+        assert m1.shape["shard"] == 8
+        # And it serves: corpus sharded over the one-replica mesh works.
+        idx, vecs, _ = make_index(n=64, seed=31)
+        snap = idx.snapshot("clip")
+        space = sharded.build_sharded(snap, m, chunk_rows=CHUNK)
+        d, i, v, _ = sharded.sharded_search(space, vecs[:2], k=5)
+        got = idx.item_id_of_groups("clip", space.item_ids[np.asarray(i)[:, 0]])
+        np.testing.assert_array_equal(got, [1000, 1001])
