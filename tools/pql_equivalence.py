@@ -169,6 +169,39 @@ def oracle_rows(db, payload, rows, vecs):
         item_order = np.argsort(1 - vecs @ qv, kind="stable")
         item_rank = {rows[i][0]: r for r, i in enumerate(item_order)}
         order_key = lambda fid: (item_rank[by_file[fid][1]], fid)
+    elif "and_" in q and all(
+        "image_embeddings" in c for c in q["and_"]
+    ) and all(c.get("rrf") for c in q["and_"]):
+        # Composed RRF over two semantic filters: per-filter row_n ranks
+        # over ascending distance, fused with w/(k+rank), ordered desc.
+        from panoptikon_tpu.utils import npy as _npy
+
+        item_ids = [r[0] for r in rows]
+        totals = {by_file[fid][1]: 0.0 for fid in members}
+        for child in q["and_"]:
+            raw = base64.standard_b64decode(child["image_embeddings"]["query"])
+            qv = _npy.parse_npy_embedding(raw)
+            d = 1 - vecs @ qv
+            order = np.argsort(d, kind="stable")
+            rrf = child["rrf"]
+            for rank0, i in enumerate(order):
+                totals[item_ids[i]] += rrf.get("weight", 1.0) / (
+                    rrf.get("k", 60) + rank0 + 1
+                )
+        order_key = lambda fid: (-totals[by_file[fid][1]], fid)
+    elif "and_" in q and len(q["and_"]) == 2 and "match" in q["and_"][0] and (
+        "image_embeddings" in q["and_"][1]
+    ):
+        col, val = next(iter(q["and_"][0]["match"]["gt"].items()))
+        idx = {"size": 3}[col]
+        restrict(lambda r: r[idx] is not None and r[idx] > val)
+        from panoptikon_tpu.utils import npy as _npy
+
+        raw = base64.standard_b64decode(q["and_"][1]["image_embeddings"]["query"])
+        qv = _npy.parse_npy_embedding(raw)
+        item_ids = [r[0] for r in rows]
+        dist = {item_ids[i]: float(d) for i, d in enumerate(1 - vecs @ qv)}
+        order_key = lambda fid: (dist[by_file[fid][1]], fid)
     elif "processed_by" in q:
         ok = {
             r[0]
@@ -185,6 +218,11 @@ def oracle_rows(db, payload, rows, vecs):
     ordered = sorted(members) if order_key is None else sorted(members, key=order_key)
     if payload.get("order_by") == [{"order_by": "size"}]:
         ordered = sorted(members, key=lambda fid: (by_file[fid][3], fid))
+    if payload.get("order_by") == [{"order_by": "random"}]:
+        from panoptikon_tpu.utils.splitmix import pk_mix
+
+        seed = payload["seed"]
+        ordered = sorted(members, key=lambda fid: (pk_mix(fid, seed), fid))
     return ordered
 
 
@@ -218,6 +256,21 @@ def main() -> int:
             {"query": {"image_embeddings": {
                 "query": b64(vecs[11]), "model": "clip/test", "embed": None,
                 "index": "exact"}}, "page_size": 10_000},
+            {"query": {"and_": [
+                {"image_embeddings": {"query": b64(vecs[3]), "model": "clip/test",
+                                      "embed": None, "index": "exact"},
+                 "row_n": True, "priority": 5, "rrf": {"k": 60, "weight": 1.0}},
+                {"image_embeddings": {"query": b64(vecs[11]), "model": "clip/test",
+                                      "embed": None, "index": "exact"},
+                 "row_n": True, "priority": 5, "rrf": {"k": 60, "weight": 0.5}},
+            ]}, "page_size": 10_000},
+            {"query": {"and_": [
+                {"match": {"gt": {"size": 5000}}},
+                {"image_embeddings": {"query": b64(vecs[7]), "model": "clip/test",
+                                      "embed": None, "index": "exact"}},
+            ]}, "page_size": 10_000},
+            {"page_size": 10_000, "order_by": [{"order_by": "random"}],
+             "seed": 424242},
         ]
         failures, checked = [], 0
         for payload in queries:
@@ -227,7 +280,11 @@ def main() -> int:
             if want is None:
                 continue
             checked += 1
-            if "image_embeddings" in str(payload.get("query")):
+            order_rank_q = (
+                "image_embeddings" in str(payload.get("query"))
+                or payload.get("order_by") == [{"order_by": "random"}]
+            )
+            if order_rank_q:
                 # Order-sensitive comparison for ranked queries.
                 if got[:50] != want[:50]:
                     failures.append({"payload": payload, "got": got[:10], "want": want[:10]})
