@@ -140,6 +140,9 @@ class OrderEntry:
 @dataclass
 class EvalState:
     order_list: list[OrderEntry] = field(default_factory=list)
+    # String-valued extra columns (FTS snippets): alias → per-row object
+    # array; merged into each result row's `extra` at page build.
+    string_cols: dict = field(default_factory=dict)
     seq: int = 0
 
     def push(self, entry: OrderEntry) -> None:
@@ -379,6 +382,9 @@ class Executor:
                     for alias, values in extra_cols.items()
                     if not _isnan(values[ri])
                 }
+                for alias, svals in state.string_cols.items():
+                    if svals[ri] is not None:
+                        extra[alias] = svals[ri]
                 if extra:
                     row["extra"] = extra
                 results.append(row)
@@ -554,11 +560,26 @@ class Executor:
             return ctx
         conn = self.db.reader()
         wheres, params = [], []
+        want_snippet = bool(
+            args.select_snippet_as and args.match and not args.filter_only
+        )
         if args.match and not args.filter_only:
             q = args.match if args.raw_fts5_match else _escape_fts(args.match)
+            # snippet() is only callable in a direct FTS5 query, so rank +
+            # snippet come from a subquery over the FTS table itself.
+            snip_sub = (
+                ", snippet(extracted_text_fts, 0, '<b>', '</b>', '…', 16)"
+                "   AS snip"
+                if want_snippet
+                else ", NULL AS snip"
+            )
+            # LIMIT -1 blocks SQLite's query flattener from merging the
+            # subquery into the outer join, which would lift snippet() out
+            # of its required FTS query context.
             join = (
-                "JOIN extracted_text_fts fts ON fts.rowid = t.id "
-                "AND extracted_text_fts MATCH ?"
+                f"JOIN (SELECT rowid, rank{snip_sub} FROM extracted_text_fts"
+                f"      WHERE extracted_text_fts MATCH ? LIMIT -1) fts"
+                f"  ON fts.rowid = t.id"
             )
             params.append(q)
             rank_sel = "-fts.rank"
@@ -586,6 +607,11 @@ class Executor:
             wheres.append("t.text_length <= ?")
             params.append(args.max_length)
         where_sql = (" AND " + " AND ".join(wheres)) if wheres else ""
+        # FTS5 snippet extraction (match_text.rs:18-70 "rank + snippet"):
+        # the best-rank row's snippet wins for the file entity (max(rank)
+        # pairs with its row's bare columns under SQLite's aggregate
+        # semantics).
+        snippet_sel = ", fts.snip" if want_snippet else ", NULL"
         # Aggregation pushed into SQL: the file entity keeps the best
         # (max) rank per item, the text entity is keyed per data row —
         # either way the host side is one vectorized join, no dict loops.
@@ -598,7 +624,7 @@ class Executor:
             rank_expr = f"MAX({rank_sel})"
             ids = base.col("item_id")
         sql = f"""
-            SELECT {key_sel}, {rank_expr}
+            SELECT {key_sel}, {rank_expr}{snippet_sel}
             FROM extracted_text t
             JOIN item_data d ON d.id = t.id
             JOIN setters s ON s.id = d.setter_id
@@ -619,6 +645,12 @@ class Executor:
         )
         values, hit = _join_i64(ids, keys, vals)
         mask = hit & ctx
+        if want_snippet:
+            snips = np.full(base.n, None, dtype=object)
+            by_key = {int(r[0]): r[2] for r in rows if r[2] is not None}
+            for i in np.flatnonzero(mask):
+                snips[i] = by_key.get(int(ids[i]))
+            state.string_cols[args.select_snippet_as] = snips
         return self._sortable(el.sort, mask, values, base, state)
 
     def _leaf_match_tags(self, el: pql.MatchTags, ctx, base, state):

@@ -523,3 +523,29 @@ class TestSrcTextFiltering:
         }
         res = run(src_env["ex"], payload)
         assert res.results[0]["item_id"] == items[3]
+
+
+class TestSnippets:
+    def test_match_text_snippet_in_extra(self, env):
+        res = run(env["ex"], {
+            "query": {"match_text": {
+                "match": "number04", "select_snippet_as": "snip",
+            }, "order_by": True},
+            "page_size": 5,
+        })
+        assert res.count == 1
+        snip = res.results[0]["extra"]["snip"]
+        # Trigram tokenizer: the highlight covers the first matched trigram
+        # and the window is counted in trigram tokens.
+        assert "<b>" in snip and "</b>" in snip
+        assert "document" in snip
+
+    def test_filter_only_match_has_no_snippet(self, env):
+        res = run(env["ex"], {
+            "query": {"match_text": {
+                "match": "", "filter_only": True,
+                "min_confidence": 0.5, "select_snippet_as": "snip",
+            }},
+            "page_size": 5,
+        })
+        assert all("snip" not in (r.get("extra") or {}) for r in res.results)
