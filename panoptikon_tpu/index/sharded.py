@@ -434,10 +434,12 @@ def sharded_grouped_scores(
     aggregation: str = "min",
     weighted: bool = False,
     row_valid=None,
+    weights=None,
 ):
     """Full per-group scores over the mesh: (Q, S·G) dist/valid/count arrays
     keyed by PACKED global group slot (``space.item_ids`` maps slots back to
-    snapshot group slots).
+    snapshot group slots). ``weights``, when given, overrides the built-in
+    per-row weights in PACKED order (query-time confidence weighting).
 
     This is the PQL composition surface on >1 devices — the sharded
     replacement for the reference's single-connection SQL scan where rank
@@ -453,13 +455,20 @@ def sharded_grouped_scores(
             np.asarray(row_valid, dtype=bool),
             NamedSharding(space.mesh, P(SHARD_AXIS)),
         )
+    if weights is None:
+        wts = space.weights
+    else:
+        wts = jax.device_put(
+            np.asarray(weights, dtype=np.float32),
+            NamedSharding(space.mesh, P(SHARD_AXIS)),
+        )
     queries, q_real = _pad_queries(space.mesh, queries)
     d, v, c = _sharded_scores(
         space.corpus,
         space.sumsq,
         rv,
         space.group_ids,
-        space.weights,
+        wts,
         queries,
         mesh=space.mesh,
         distance=distance,

@@ -875,6 +875,12 @@ class Executor:
         if src_filtered:
             allowed = self._src_text_rows(space, src_text)
             row_valid &= np.isin(snap.row_ids, allowed)
+        query_weights = None
+        if weighted:
+            # Query-time confidence weighting (item_similarity.rs:18-70):
+            # weight = confidence^cw · language_confidence^lcw with the
+            # exponents from THIS query's SourceArgs — not index-stored.
+            query_weights = self._src_text_weights(space, src_text, snap)
         use_quant = quant is not None and snap.quant_ready
         if use_quant:
             q = prep.codec.compute_query_quant(queries, snap.scale)
@@ -893,9 +899,16 @@ class Executor:
                 sel = sp.row_perm >= 0
                 pv[sel] = row_valid[sp.row_perm[sel]]
                 extra_valid = pv
+            extra_weights = None
+            if query_weights is not None:
+                pw = np.ones(sp.row_perm.shape, dtype=np.float32)
+                sel = sp.row_perm >= 0
+                pw[sel] = query_weights[sp.row_perm[sel]]
+                extra_weights = pw
             d, v, c = shlib.sharded_grouped_scores(
                 sp, q, distance=distance, aggregation=aggregation,
                 weighted=weighted, row_valid=extra_valid,
+                weights=extra_weights,
             )
             d, v, c = np.asarray(d), np.asarray(v), np.asarray(c)
             # Packed global slots → snapshot group slots.
@@ -923,7 +936,9 @@ class Executor:
                 scale=scale,
                 chunk_rows=min(32768, snap.capacity),
                 weighted=weighted,
-                weights=dev["weights"],
+                weights=query_weights
+                if query_weights is not None
+                else dev["weights"],
             )
             dist = np.asarray(dist)
             valid = np.asarray(valid)
@@ -979,6 +994,39 @@ class Executor:
             params,
         ).fetchall()
         return np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+
+    def _src_text_weights(
+        self, space: str, src: pql.SourceArgs, snap
+    ) -> np.ndarray:
+        """Per-snapshot-row query-time weights: confidence^cw ·
+        language_confidence^lcw of each row's SOURCE text
+        (item_similarity.rs:18-70); rows without source text weigh 1."""
+        conn = self.db.reader()
+        rows = conn.execute(
+            """SELECT d.id, t.confidence, t.language_confidence
+               FROM item_data d
+               JOIN extracted_text t ON t.id = d.source_id""",
+        ).fetchall()
+        n_hits = len(rows)
+        keys = np.fromiter((r[0] for r in rows), dtype=np.int64, count=n_hits)
+        cw = float(src.confidence_weight or 0.0)
+        lcw = float(src.language_confidence_weight or 0.0)
+
+        def weight(conf, lconf):
+            w = 1.0
+            if cw and conf is not None:
+                w *= max(float(conf), 1e-6) ** cw
+            if lcw and lconf is not None:
+                w *= max(float(lconf), 1e-6) ** lcw
+            return w
+
+        vals = np.fromiter(
+            (weight(r[1], r[2]) for r in rows), dtype=np.float64, count=n_hits
+        )
+        joined, hit = _join_i64(snap.row_ids, keys, vals)
+        out = np.ones(snap.row_ids.shape, dtype=np.float32)
+        out[hit] = joined[hit]
+        return out
 
     def _apply_item_scores(
         self, el, spaces_scores: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]],
@@ -1081,7 +1129,12 @@ class Executor:
         if row is None:
             raise pql.PqlError(f"similar_to target {args.target!r} not found")
         target_item = int(row[0])
-        distance = args.distance_function.lower()
+        # The registry's distance_func override applies unless the query
+        # forces its own (SimilarityArgs.force_distance_function).
+        if args.force_distance_function or not args._distance_func_override:
+            distance = args.distance_function.lower()
+        else:
+            distance = args._distance_func_override.lower()
         agg = args.distance_aggregation.lower()
         spaces = [args.model]
         if args.clip_xmodal:

@@ -346,6 +346,7 @@ class SimilarityArgs:
     variant: Optional[str] = None
     k: int = 10_000
     _quant: Optional[Any] = None
+    _distance_func_override: Optional[str] = None
 
 
 @dataclass

@@ -160,6 +160,19 @@ def resolve_quant(
     return QuantResolved(scale=float(snap.scale), query_quant=quant)
 
 
+def _registry_distance(manager, model: str) -> Optional[str]:
+    """The group's declared distance_func override (inference.toml:721,972
+    pattern): some embedding families are L2-native."""
+    registry = getattr(manager, "registry", None)
+    if registry is None:
+        return None
+    try:
+        group = model.partition("/")[0]
+        return registry.group_metadata(group).get("distance_func")
+    except Exception:
+        return None
+
+
 def preprocess_query(query: pql.PqlQuery, *, manager, index) -> pql.PqlQuery:
     """Normalize + resolve every vector filter in place. ``manager`` may be
     None when every semantic filter supplies base64 embeddings."""
@@ -172,6 +185,8 @@ def preprocess_query(query: pql.PqlQuery, *, manager, index) -> pql.PqlQuery:
             vec = fetch_query_embedding(manager, args.model, args.query, "text", args.embed)
             args._embedding = vec
             args._quant = resolve_quant(index, args.model, args.index, args.variant, vec)
+            if args._distance_func_override is None:
+                args._distance_func_override = _registry_distance(manager, args.model)
         elif isinstance(leaf, pql.SemanticImageSearch):
             args = leaf.image_embeddings
             if not args.query:
@@ -179,9 +194,13 @@ def preprocess_query(query: pql.PqlQuery, *, manager, index) -> pql.PqlQuery:
             vec = fetch_query_embedding(manager, args.model, args.query, "image", args.embed)
             args._embedding = vec
             args._quant = resolve_quant(index, args.model, args.index, args.variant, vec)
+            if args._distance_func_override is None:
+                args._distance_func_override = _registry_distance(manager, args.model)
         elif isinstance(leaf, pql.SimilarTo):
             args = leaf.similar_to
             if len(args.target) != 64:
                 raise pql.PqlError("similar_to.target must be a sha256 hex digest")
             args._quant = resolve_quant(index, args.model, args.index, args.variant, None)
+            if args._distance_func_override is None:
+                args._distance_func_override = _registry_distance(manager, args.model)
     return query

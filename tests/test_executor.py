@@ -549,3 +549,79 @@ class TestSnippets:
             "page_size": 5,
         })
         assert all("snip" not in (r.get("extra") or {}) for r in res.results)
+
+
+class TestConfidenceWeighting:
+    def test_weighted_avg_uses_query_exponents(self, tmp_path):
+        """SUM(d·w)/SUM(w) with w = confidence^cw from THIS query's
+        SourceArgs (item_similarity.rs:18-70) — verified against a NumPy
+        oracle across the image + xmodal text spaces."""
+        db = Database(tmp_path / "data", "wtest")
+        writer = IndexWriter(db)
+        index = VectorIndex(chunk_rows=64)
+        rng = np.random.default_rng(5)
+        n = 8
+        vecs = rng.normal(size=(n, DIM)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        t_vecs = np.roll(vecs, 2, axis=1)
+        confs = (np.arange(n) + 1) / 10.0
+
+        def unit(conn):
+            sid_clip = store.upsert_setter(conn, "clip")
+            sid_ocr = store.upsert_setter(conn, "ocr")
+            sid_tclip = store.upsert_setter(conn, "tclip")
+            out = []
+            for i in range(n):
+                sha = f"{i:02d}" * 32
+                item_id = store.upsert_item(
+                    conn, sha, f"w{i}".ljust(32, "0"), "image/png", size=1 + i
+                )
+                store.upsert_file(conn, item_id, sha, f"/w/{i}.png", "2026")
+                did = store.insert_item_data(conn, item_id, sid_clip, "clip")
+                store.insert_embedding(conn, did, vecs[i])
+                tdid = store.insert_item_data(conn, item_id, sid_ocr, "text")
+                store.insert_extracted_text(
+                    conn, tdid, f"w{i}", language="en",
+                    confidence=float(confs[i]), language_confidence=0.9,
+                )
+                edid = store.insert_item_data(
+                    conn, item_id, sid_tclip, "clip", source_id=tdid
+                )
+                store.insert_embedding(conn, edid, t_vecs[i])
+                out.append((item_id, edid))
+            return out
+
+        rows = writer.call(unit)
+        items = np.array([r[0] for r in rows], np.int64)
+        data_ids = np.array([r[1] for r in rows], np.int64)
+        index.add("clip", items, np.arange(n), vecs)
+        index.add("tclip", items, data_ids, t_vecs)
+        ex = Executor(db, index, manager=None)
+
+        qv = rng.normal(size=DIM).astype(np.float32)
+        qv /= np.linalg.norm(qv)
+        cw = 2.0
+        res = ex.execute(pql.PqlQuery.from_json({
+            "query": {"image_embeddings": {
+                "query": b64_query(qv), "model": "clip", "embed": None,
+                "index": "exact", "clip_xmodal": True,
+                "distance_aggregation": "AVG",
+                "src_text": {"confidence_weight": cw},
+            }, "order_by": True, "select_as": "d"},
+            "page_size": n,
+        }))
+        # Oracle: image arm weight 1 (unweighted space, count=1); text arm
+        # weighted mean == its single row's distance with weight conf^cw,
+        # and the cross-space AVG weights each arm by its weight sum.
+        d_img = 1 - vecs @ qv
+        d_txt = 1 - t_vecs @ qv
+        w_txt = confs ** cw
+        fused = (d_img * 1.0 + d_txt * w_txt) / (1.0 + w_txt)
+        order = np.argsort(fused, kind="stable")
+        got = [r["item_id"] for r in res.results]
+        assert got == [int(items[i]) for i in order]
+        np.testing.assert_allclose(
+            [r["extra"]["d"] for r in res.results],
+            np.sort(fused), rtol=1e-4,
+        )
+        writer.close()
