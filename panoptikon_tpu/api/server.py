@@ -949,6 +949,111 @@ async def pinboards_delete(request: web.Request) -> web.Response:
 # -- jobs --------------------------------------------------------------------
 
 
+def _rows_as_dicts(conn, sql: str, params=()) -> list[dict]:
+    cur = conn.execute(sql, params)
+    cols = [d[0] for d in cur.description]
+    return [dict(zip(cols, r)) for r in cur.fetchall()]
+
+
+async def history_scans(request: web.Request) -> web.Response:
+    """File-scan history (reference scan-history endpoint; file_scans
+    carries the persisted phase counters/timings)."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    limit = int(request.query.get("limit", 50))
+
+    def run():
+        return _rows_as_dicts(
+            state.db(name).reader(),
+            "SELECT * FROM file_scans ORDER BY id DESC LIMIT ?", (limit,),
+        )
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+async def history_data(request: web.Request) -> web.Response:
+    """Extraction-job history (data_log: per-job setter, batch, totals,
+    data_load/inference phase timings)."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    limit = int(request.query.get("limit", 50))
+
+    def run():
+        return _rows_as_dicts(
+            state.db(name).reader(),
+            "SELECT * FROM data_log ORDER BY id DESC LIMIT ?", (limit,),
+        )
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+async def failures_extraction(request: web.Request) -> web.Response:
+    """The failed-media extraction ledger; ?setter= filters."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    setter = request.query.get("setter")
+
+    def run():
+        conn = state.db(name).reader()
+        if setter:
+            return _rows_as_dicts(
+                conn,
+                "SELECT * FROM extraction_errors WHERE setter_name=?"
+                " ORDER BY last_seen DESC",
+                (setter,),
+            )
+        return _rows_as_dicts(
+            conn, "SELECT * FROM extraction_errors ORDER BY last_seen DESC"
+        )
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+async def failures_extraction_clear(request: web.Request) -> web.Response:
+    """Clear ledger rows → the next work query retries those items (the
+    reference's retry directive, failed-media-retry-design)."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    setter = request.query.get("setter")
+    item_id = request.query.get("item_id")
+
+    def run():
+        db = state.db(name)
+        writer = state.writers.get(db)
+
+        def unit(c):
+            wheres, params = ["1=1"], []
+            if setter:
+                wheres.append("setter_name=?")
+                params.append(setter)
+            if item_id:
+                wheres.append("item_id=?")
+                params.append(int(item_id))
+            return c.execute(
+                f"DELETE FROM extraction_errors WHERE {' AND '.join(wheres)}",
+                params,
+            ).rowcount
+
+        return writer.call(unit)
+
+    cleared = await asyncio.to_thread(run)
+    return web.json_response({"cleared": cleared})
+
+
+async def failures_scan(request: web.Request) -> web.Response:
+    """The per-path scan-error ledger (stage, class, blocker)."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+
+    def run():
+        return _rows_as_dicts(
+            state.db(name).reader(),
+            "SELECT * FROM scan_errors ORDER BY last_seen DESC LIMIT 500",
+        )
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
 async def jobs_status(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     return web.json_response(state.queue.status(_db_name(request)))
@@ -1534,6 +1639,11 @@ def build_app(
             web.post("/api/jobs/folders/update", folders_update),
             web.post("/api/jobs/data/deletion", data_deletion),
             web.get("/api/jobs/continuous", continuous_status),
+            web.get("/api/jobs/history/scans", history_scans),
+            web.get("/api/jobs/history/data", history_data),
+            web.get("/api/jobs/failures/extraction", failures_extraction),
+            web.delete("/api/jobs/failures/extraction", failures_extraction_clear),
+            web.get("/api/jobs/failures/scan", failures_scan),
             web.get("/api/inference/pool", pool_stats),
             web.get("/api/jobs/quants", quants_status),
             web.post("/api/jobs/quants/reconcile", quants_reconcile),

@@ -499,3 +499,43 @@ class TestFederation:
         health = backend.health()
         assert health["status"] == "ok"
         holder["loop"].call_soon_threadsafe(holder["loop"].stop)
+
+
+class TestHistoryAndLedgers:
+    def test_scan_and_data_history(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        media = client_env["media"]
+        call("PUT", "/api/jobs/folders", json={"included": [str(media)]})
+        wait_jobs(state)
+        call("POST", "/api/jobs/data/extraction",
+             json={"inference_id": "clip/tiny"})
+        wait_jobs(state)
+        status, scans = call("GET", "/api/jobs/history/scans")
+        assert status == 200 and len(scans) >= 1
+        assert scans[0]["new_files"] == 3
+        status, data = call("GET", "/api/jobs/history/data")
+        assert status == 200 and len(data) >= 1
+        assert data[0]["setter"] == "clip/tiny"
+
+    def test_extraction_failure_ledger_and_retry(self, client_env, tmp_path):
+        call, state = client_env["call"], client_env["state"]
+        media = client_env["media"]
+        (media / "broken.png").write_bytes(b"not an image at all")
+        call("PUT", "/api/jobs/folders", json={"included": [str(media)]})
+        wait_jobs(state)
+        call("POST", "/api/jobs/data/extraction",
+             json={"inference_id": "clip/tiny"})
+        wait_jobs(state)
+        status, errs = call("GET", "/api/jobs/failures/extraction?setter=clip/tiny")
+        assert status == 200 and len(errs) == 1
+        assert errs[0]["error_class"] == "input"
+        # Clearing the ledger row = retry directive.
+        status, out = call(
+            "DELETE",
+            f"/api/jobs/failures/extraction?setter=clip/tiny&item_id={errs[0]['item_id']}",
+        )
+        assert status == 200 and out["cleared"] == 1
+        _, errs = call("GET", "/api/jobs/failures/extraction")
+        assert errs == []
+        _, scan_errs = call("GET", "/api/jobs/failures/scan")
+        assert isinstance(scan_errs, list)
