@@ -128,6 +128,8 @@ def _bench_embed(jax, jnp):
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         params,
     )
+    # Weights quantize ONCE (int8 + per-channel scales) — not per forward.
+    params = clip.quantize_block_weights(params)
     b = 256
     calib = jax.random.normal(
         jax.random.key(9), (32, cfg.image_size, cfg.image_size, 3),

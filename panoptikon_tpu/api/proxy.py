@@ -71,14 +71,28 @@ def make_upstream_handler(upstream: str):
 
 async def _bridge_websocket(request: web.Request, upstream: str) -> web.StreamResponse:
     """Accept the client WS, dial the upstream WS, pump frames both ways
-    until either side closes (proxy.rs Upgrade bridging)."""
+    until either side closes (proxy.rs Upgrade bridging). The hop counter
+    rides the dial so WS loops 508 like HTTP ones; the client's requested
+    subprotocols forward."""
+    hops = int(request.headers.get(LOOP_GUARD_HEADER, "0"))
+    if hops >= MAX_HOPS:
+        return web.json_response({"error": "proxy loop detected"}, status=508)
     ws_url = upstream.replace("http://", "ws://").replace("https://", "wss://")
     target = f"{ws_url}{request.rel_url}"
-    server_ws = web.WebSocketResponse()
+    protocols = tuple(
+        p.strip()
+        for p in request.headers.get("Sec-WebSocket-Protocol", "").split(",")
+        if p.strip()
+    )
+    server_ws = web.WebSocketResponse(protocols=protocols)
     await server_ws.prepare(request)
     try:
         async with ClientSession() as session:
-            async with session.ws_connect(target) as client_ws:
+            async with session.ws_connect(
+                target,
+                protocols=protocols,
+                headers={LOOP_GUARD_HEADER: str(hops + 1)},
+            ) as client_ws:
 
                 async def pump(src, dst):
                     async for msg in src:

@@ -172,13 +172,18 @@ class AppState:
 
         writer.call(unit)
         if removed:
+            import os as _os
+
             conn = db.reader()
+            # Path-separator boundary: removing /data/foo must not touch
+            # /data/foobar.
+            roots = [r.rstrip(_os.sep) + _os.sep for r in removed]
             orphaned = [
                 r[0]
                 for r in conn.execute(
                     "SELECT path FROM files WHERE available = 1"
                 ).fetchall()
-                if any(r[0].startswith(root) for root in removed)
+                if any(r[0].startswith(root) for root in roots)
             ]
             if orphaned:
                 writer.call(lambda c: store.mark_files_unavailable(c, orphaned))
@@ -960,7 +965,10 @@ async def history_scans(request: web.Request) -> web.Response:
     carries the persisted phase counters/timings)."""
     state: AppState = request.app["state"]
     name = _db_name(request)
-    limit = int(request.query.get("limit", 50))
+    try:
+        limit = int(request.query.get("limit", 50))
+    except ValueError:
+        return _json_error(400, "limit must be an integer")
 
     def run():
         return _rows_as_dicts(
@@ -976,7 +984,10 @@ async def history_data(request: web.Request) -> web.Response:
     data_load/inference phase timings)."""
     state: AppState = request.app["state"]
     name = _db_name(request)
-    limit = int(request.query.get("limit", 50))
+    try:
+        limit = int(request.query.get("limit", 50))
+    except ValueError:
+        return _json_error(400, "limit must be an integer")
 
     def run():
         return _rows_as_dicts(
@@ -1016,6 +1027,11 @@ async def failures_extraction_clear(request: web.Request) -> web.Response:
     name = _db_name(request)
     setter = request.query.get("setter")
     item_id = request.query.get("item_id")
+    if item_id is not None:
+        try:
+            int(item_id)
+        except ValueError:
+            return _json_error(400, "item_id must be an integer")
 
     def run():
         db = state.db(name)

@@ -39,6 +39,18 @@ WORK_CHUNK_ROWS = 1024
 LOADER_BUDGET_BYTES = 256 << 20  # in-flight payload cap (budget_slots KiB)
 
 
+@dataclass
+class LoadError:
+    """Typed loader failure: keeps the media blocker/class so the ledger
+    row is heal-able (a bare empty-payload fallback would settle as a
+    blockerless 'input' error that nothing ever retries)."""
+
+    stage: str
+    error_class: str
+    blocker: Optional[str]
+    message: str
+
+
 class ByteBudget:
     """In-flight byte budget (the reference's budget_slots semaphore,
     extraction.rs:462-478): ``hold(n)`` blocks until n bytes fit under the
@@ -197,6 +209,20 @@ def run_extraction_job(
                     for row in chunk
                 ]
             for row, payloads in zip(chunk, loaded):
+                if isinstance(payloads, LoadError):
+                    err = payloads
+                    if err.error_class == "input":
+                        writer.call(
+                            lambda c, r=row, e=err: store.record_extraction_error(
+                                c, r[0], setter, stage=e.stage,
+                                error_class="input", message=e.message,
+                                blocker=e.blocker,
+                            )
+                        )
+                        report.input_errors += 1
+                    else:
+                        report.transient_errors += 1
+                    continue
                 if not payloads:
                     writer.call(
                         lambda c, r=row: store.record_extraction_error(
@@ -367,8 +393,8 @@ def _load_payloads(
 
         try:
             wavs = prepare_audio_tracks(file_row[0], payload, mime)
-        except media.MediaError:
-            return []  # ledgered as input error; heals via the blocked pass
+        except media.MediaError as exc:
+            return LoadError("load", exc.error_class, exc.blocker, str(exc))
         return [PredictionInput(data=dict(data), file=wv) for wv in wavs]
     if input_handler == "image_frames":
         from panoptikon_tpu.jobs.input_handlers import prepare_image_frames

@@ -360,10 +360,13 @@ def _srgb_to_linear(v: np.ndarray) -> np.ndarray:
 
 
 def _linear_to_srgb(v: float) -> int:
+    # The standard truncates (x + 0.5) — no extra round() on top, which
+    # would shift half of all values by one and break byte-parity with
+    # conforming encoders.
     v = max(0.0, min(1.0, v))
     if v <= 0.0031308:
-        return int(round(v * 12.92 * 255 + 0.5))
-    return int(round((1.055 * v ** (1 / 2.4) - 0.055) * 255 + 0.5))
+        return int(v * 12.92 * 255 + 0.5)
+    return int((1.055 * v ** (1 / 2.4) - 0.055) * 255 + 0.5)
 
 
 def blurhash_encode(rgb: np.ndarray, x_components: int = 4, y_components: int = 3) -> str:

@@ -262,7 +262,7 @@ def process_path(
             t1 = time.perf_counter()
             row.blurhash = media.blurhash_for_image_bytes(payload)
             row.blurhash_time = time.perf_counter() - t1
-        except OSError:
+        except Exception:  # noqa: BLE001 — bomb images / truncated reads
             pass
         if make_thumbnails:
             t1 = time.perf_counter()
@@ -298,6 +298,11 @@ def process_path(
             outcome = "blocked" if exc.blocker else "failed"
             row.attempt = ("frames", outcome, str(exc))
             row.error = ("frames", exc.error_class, exc.blocker, str(exc))
+        except Exception as exc:  # noqa: BLE001 — a corrupt file must never
+            # abort the whole scan (the reference folds decoder crashes
+            # into the per-path ledger too).
+            row.attempt = ("frames", "failed", str(exc))
+            row.error = ("frames", "input", None, f"decode crashed: {exc}")
         row.metadata_time = time.perf_counter() - t0
     elif mime == "application/pdf":
         try:
@@ -311,6 +316,9 @@ def process_path(
             outcome = "blocked" if exc.blocker else "failed"
             row.attempt = ("frames", outcome, str(exc))
             row.error = ("frames", exc.error_class, exc.blocker, str(exc))
+        except Exception as exc:  # noqa: BLE001
+            row.attempt = ("frames", "failed", str(exc))
+            row.error = ("frames", "input", None, f"decode crashed: {exc}")
         row.metadata_time = time.perf_counter() - t0
     elif mime.startswith("audio/"):
         row.duration = media.wav_duration(path) if mime == "audio/wav" else None
@@ -355,6 +363,12 @@ def heal_blocked(db: Database, writer: IndexWriter) -> tuple[int, set[str]]:
     def unit(c):
         c.execute(
             f"DELETE FROM scan_errors WHERE blocker IN ({qmarks})", resolved
+        )
+        # Extraction ledger rows blocked on the same dependency heal too
+        # (e.g. audio transcode blocked on ffmpeg).
+        c.execute(
+            f"DELETE FROM extraction_errors WHERE blocker IN ({qmarks})",
+            resolved,
         )
         if shas:
             sq = ",".join("?" * len(shas))

@@ -203,8 +203,15 @@ def _linear(x, w, b, precision: str, act_scale=None, collector=None):
     """
     if collector is not None:
         collector.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    prequant = isinstance(w, dict)  # {"q": int8, "s": per-channel scales}
     if precision != "int8":
-        y = x @ w.astype(x.dtype)
+        if prequant:
+            # Calibration/bf16 passes over a weight-quantized tree run on
+            # the dequantized weights — the values the int8 forward sees.
+            wm = (w["q"].astype(jnp.float32) * w["s"]).astype(x.dtype)
+        else:
+            wm = w.astype(x.dtype)
+        y = x @ wm
         if b is not None:
             y = y + b.astype(x.dtype)
         return y
@@ -216,10 +223,13 @@ def _linear(x, w, b, precision: str, act_scale=None, collector=None):
         sx = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
         sx = jnp.maximum(sx, 1e-12)
         xq = jnp.round(x32 / sx).astype(jnp.int8)
-    w32 = w.astype(jnp.float32)
-    sw = jnp.max(jnp.abs(w32), axis=0, keepdims=True) / 127.0
-    sw = jnp.maximum(sw, 1e-12)
-    wq = jnp.round(w32 / sw).astype(jnp.int8)
+    if prequant:
+        wq, sw = w["q"], w["s"]
+    else:
+        w32 = w.astype(jnp.float32)
+        sw = jnp.max(jnp.abs(w32), axis=0, keepdims=True) / 127.0
+        sw = jnp.maximum(sw, 1e-12)
+        wq = jnp.round(w32 / sw).astype(jnp.int8)
     y = jax.lax.dot_general(
         xq, wq,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
@@ -229,6 +239,43 @@ def _linear(x, w, b, precision: str, act_scale=None, collector=None):
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def quantize_block_weights(params: Params) -> Params:
+    """Pre-quantize every block linear (qkv/out/fc/proj) to int8 + f32
+    per-output-channel scales, matching the in-kernel quantization
+    bit-for-bit — so the int8 forward stops re-reading and re-rounding
+    ~300M weight elements per batch (pure redundant bandwidth on the hot
+    embed path)."""
+    import copy
+
+    def q(w):
+        w32 = np.asarray(w, np.float32)
+        sw = np.maximum(np.abs(w32).max(axis=0, keepdims=True) / 127.0, 1e-12)
+        return {
+            "q": jnp.asarray(np.round(w32 / sw).astype(np.int8)),
+            "s": jnp.asarray(sw.astype(np.float32)),
+        }
+
+    out = copy.copy(params)
+    for tower in ("visual", "text"):
+        if tower not in params:
+            continue
+        tw = dict(params[tower])
+        blocks = []
+        for blk in tw["blocks"]:
+            nb = {
+                "ln_1": blk["ln_1"],
+                "ln_2": blk["ln_2"],
+                "attn": dict(blk["attn"], qkv_w=q(blk["attn"]["qkv_w"]),
+                             out_w=q(blk["attn"]["out_w"])),
+                "mlp": dict(blk["mlp"], fc_w=q(blk["mlp"]["fc_w"]),
+                            proj_w=q(blk["mlp"]["proj_w"])),
+            }
+            blocks.append(nb)
+        tw["blocks"] = blocks
+        out[tower] = tw
+    return out
 
 
 def _attention(x, p, heads: int, causal: bool, precision: str = "bf16",

@@ -129,6 +129,9 @@ class ClipImpl(InferenceModel):
             self.params = weights.load_clip_checkpoint(self.checkpoint, self.cfg)
         else:
             self.params = clip.init_params(jax.random.key(0), self.cfg)
+        if self.cfg.matmul_precision == "int8":
+            # Weight quantization happens ONCE here, not per forward.
+            self.params = clip.quantize_block_weights(self.params)
 
     def unload(self) -> None:
         self.params = None
@@ -144,7 +147,16 @@ class ClipImpl(InferenceModel):
                 (bucket, self.cfg.image_size, self.cfg.image_size, 3),
                 dtype=np.float32,
             )
-            clip.embed_images_jit(self.params, self.cfg, images)
+            if self.cfg.matmul_precision == "int8":
+                if self._act_scales is None:
+                    self._act_scales = clip.calibrate_image_scales(
+                        self.params, self.cfg, images
+                    )
+                clip.embed_images_scaled_jit(
+                    self.params, self.cfg, images, self._act_scales
+                )
+            else:
+                clip.embed_images_jit(self.params, self.cfg, images)
             ids = np.zeros((bucket, self.cfg.text_ctx), dtype=np.int32)
             clip.embed_texts_jit(self.params, self.cfg, ids)
 
@@ -910,8 +922,14 @@ class ApiEmbedImpl(InferenceModel):
             return [err for _ in inputs]
         outputs: list[Any] = []
         data = out.get("data", [])
+        # OpenAI/Jina-style responses may reorder or omit entries; the
+        # per-entry "index" field is authoritative for slot alignment.
+        by_index = {}
+        for pos, entry in enumerate(data):
+            if isinstance(entry, dict):
+                by_index[int(entry.get("index", pos))] = entry
         for i in range(len(inputs)):
-            entry = data[i] if i < len(data) else None
+            entry = by_index.get(i)
             if not entry or "embedding" not in entry:
                 outputs.append(
                     SlotError("input", "no embedding returned for slot").to_slot()

@@ -226,10 +226,17 @@ class ModelManager:
                 req.outputs = outputs[at : at + len(req.inputs)]
                 at += len(req.inputs)
                 req.done.set()
-        except Exception as exc:
-            if len(window) == 1:
-                window[0].error = exc
-                window[0].done.set()
+        except BaseException as exc:  # noqa: BLE001 — window-mates must
+            # never be left spinning on an unset done event (the window was
+            # already popped from the queue); fatal signals re-raise after
+            # every caller is released.
+            fatal = not isinstance(exc, Exception)
+            if fatal or len(window) == 1:
+                for req in window:
+                    req.error = exc
+                    req.done.set()
+                if fatal:
+                    raise
                 return
             # Merged failure → per-request fallback.
             for req in window:
@@ -241,8 +248,8 @@ class ModelManager:
                             f"{len(req.inputs)} inputs"
                         )
                     req.outputs = outputs
-                except Exception as exc:
-                    req.error = exc
+                except Exception as exc2:
+                    req.error = exc2
                 req.done.set()
 
     def unload_model(self, inference_id: str, cache_key: str | None = None) -> bool:

@@ -90,6 +90,17 @@ class InferencePool:
             except Exception:
                 pass
 
+    @property
+    def registry(self):
+        """The first upstream's model registry, when one is local — lets
+        preprocess resolve registry metadata (distance_func overrides)
+        through the pool exactly as through a bare manager."""
+        for u in self._upstreams:
+            r = getattr(u.backend, "registry", None)
+            if r is not None:
+                return r
+        return None
+
     def stats(self) -> list[dict]:
         with self._lock:
             return [
