@@ -345,7 +345,11 @@ def heal_blocked(db: Database, writer: IndexWriter) -> tuple[int, set[str]]:
             resolved,
         ).fetchall()
     ]
-    if not paths:
+    blocked_extractions = conn.execute(
+        f"SELECT COUNT(*) FROM extraction_errors WHERE blocker IN ({qmarks})",
+        resolved,
+    ).fetchone()[0]
+    if not paths and not blocked_extractions:
         return 0, set()
     # Blocked visual attempts heal only for items whose ledgered blocker is
     # among the now-resolved dependencies (the attempt row itself carries
@@ -379,7 +383,7 @@ def heal_blocked(db: Database, writer: IndexWriter) -> tuple[int, set[str]]:
             )
 
     writer.call(unit)
-    return len(paths), shas
+    return len(paths) + blocked_extractions, shas
 
 
 def rescan_folders(

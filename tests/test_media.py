@@ -264,3 +264,83 @@ class TestScanIntake:
         assert conn.execute(
             "SELECT COUNT(*) FROM scan_errors WHERE blocker='video-decoder'"
         ).fetchone()[0] == 0
+
+
+class TestScanRobustness:
+    def test_decoder_crash_does_not_abort_scan(self, env, monkeypatch):
+        """A corrupt video whose decoder RAISES (not MediaError) must fold
+        into the ledger as a failed attempt, never abort the rescan
+        (review finding r2: fut.result() used to re-raise)."""
+        def boom(path, **kw):
+            raise ValueError("codec exploded")
+
+        monkeypatch.setattr(media, "sample_video_frames", boom)
+        counters = scan.rescan_folders(env["db"], env["writer"])
+        # The scan completed; the video ledgered as failed, others intact.
+        assert counters.errors >= 1
+        conn = env["db"].reader()
+        sha = conn.execute(
+            "SELECT sha256 FROM items WHERE type='video/mp4'"
+        ).fetchone()[0]
+        outcome = conn.execute(
+            "SELECT outcome FROM storage.visual_attempts WHERE item_sha256=?",
+            (sha,),
+        ).fetchone()[0]
+        assert outcome == "failed"
+        # Still registered + scan finished (finish_file_scan ran).
+        assert conn.execute(
+            "SELECT COUNT(*) FROM file_scans WHERE end_time IS NOT NULL"
+        ).fetchone()[0] >= 1
+
+
+class TestBlockedAudioExtraction:
+    def test_mp3_without_ffmpeg_ledgers_blocker_and_heals(self, env, tmp_path):
+        if media.ffmpeg_available():
+            pytest.skip("ffmpeg present")
+        (env["media"] / "song.mp3").write_bytes(b"ID3" + b"\x00" * 64)
+        scan.rescan_folders(env["db"], env["writer"])
+        reg_dir = tmp_path / "regc"
+        reg_dir.mkdir()
+        (reg_dir / "00.toml").write_text("""
+[group.clap]
+config.impl_class = "clap"
+config.model_arch = "test-tiny"
+[group.clap.metadata]
+output_type = "clip"
+input_mime_types = ["audio/"]
+input_spec.handler = "audio_tracks"
+[group.clap.inference_ids.tiny-clap]
+""")
+        manager = ModelManager(Registry(reg_dir), IMPL_INDEX)
+        index = VectorIndex(chunk_rows=64)
+        try:
+            report = extraction.run_extraction_job(
+                db=env["db"], writer=env["writer"], index=index,
+                manager=manager, inference_id="clap/tiny-clap",
+                output_type="clip", batch_size=2,
+                mime_prefixes=("audio/",), input_handler="audio_tracks",
+            )
+            conn = env["db"].reader()
+            row = conn.execute(
+                """SELECT error_class, blocker FROM extraction_errors
+                   WHERE setter_name='clap/tiny-clap'
+                     AND blocker IS NOT NULL"""
+            ).fetchone()
+            # The mp3 ledgered with its blocker; the WAV processed fine.
+            assert row == ("input", "ffmpeg")
+            assert report.processed >= 1  # tone.wav went through
+            # Simulated heal: pretend ffmpeg appeared → ledger row clears.
+            import panoptikon_tpu.jobs.media as _m
+
+            orig = _m.capabilities
+            _m.capabilities = lambda: {"ffmpeg": True}
+            try:
+                healed, _shas = scan.heal_blocked(env["db"], env["writer"])
+            finally:
+                _m.capabilities = orig
+            left = conn.execute(
+                "SELECT COUNT(*) FROM extraction_errors WHERE blocker='ffmpeg'"
+            ).fetchone()[0]
+            assert left == 0
+        finally:
+            manager.shutdown()
