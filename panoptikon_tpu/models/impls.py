@@ -269,7 +269,15 @@ class TextEmbedImpl(InferenceModel):
         combine_at = []
         for inp in inputs:
             data = inp.data if isinstance(inp.data, dict) else {}
-            texts.append(str(data.get("text", "")))
+            text = str(data.get("text", ""))
+            # Task routing (reference sentence_transformers.py
+            # query_prompt_name_map): query-side embeds carry a task name
+            # (preprocess sends "s2s"); the mapped prompt prefixes the text
+            # so asymmetric models see their query prompt.
+            task = data.get("task")
+            if task and task in self.query_prompt_name_map:
+                text = f"{self.query_prompt_name_map[task]}{text}"
+            texts.append(text)
             combine_at.append(int(data.get("combine_threshold", self.combine_threshold)))
 
         # Chunk every text (rebalanced tail), track ownership.

@@ -139,3 +139,26 @@ class TestBatching:
             [list(range(100))], length_ladder=[8], batch_ladder=[1]
         )
         assert ids.shape == (1, 8) and mask[0].sum() == 8
+
+
+class TestTaskRouting:
+    def test_query_prompt_name_map_prefixes(self):
+        from panoptikon_tpu.models.base import PredictionInput
+        from panoptikon_tpu.models.impls import TextEmbedImpl
+        from panoptikon_tpu.utils import npy as _npy
+
+        impl = TextEmbedImpl(
+            model_arch="test-tiny",
+            query_prompt_name_map={"s2s": "query: "},
+        )
+        a = impl.predict([PredictionInput(data={"text": "hello", "task": "s2s"})])
+        b = impl.predict([PredictionInput(data={"text": "query: hello"})])
+        c = impl.predict([PredictionInput(data={"text": "hello"})])
+        va = _npy.parse_npy_matrix(a[0])
+        vb = _npy.parse_npy_matrix(b[0])
+        vc = _npy.parse_npy_matrix(c[0])
+        import numpy as np
+
+        np.testing.assert_array_equal(va, vb)  # routed == prefixed
+        assert not np.allclose(va, vc)  # and differs from unrouted
+        impl.unload()
