@@ -625,3 +625,57 @@ class TestConfidenceWeighting:
             np.sort(fused), rtol=1e-4,
         )
         writer.close()
+
+
+class TestOrComposition:
+    def test_or_unions_membership(self, env):
+        res = run(env["ex"], {
+            "query": {"or_": [
+                {"match": {"eq": {"type": "video/mp4"}}},
+                {"match_tags": {"tags": ["dog"]}},
+            ]},
+            "page_size": 100,
+        })
+        # videos (i % 3 == 0) ∪ item 5 (dog).
+        expected = {i for i in range(N_ITEMS) if i % 3 == 0} | {5}
+        got = {r["item_id"] for r in res.results}
+        assert got == {env["info"][i][0] for i in expected}
+        assert res.count == len(expected)
+
+    def test_or_within_and_refines(self, env):
+        res = run(env["ex"], {
+            "query": {"and_": [
+                {"match": {"gt": {"size": 1005}}},
+                {"or_": [
+                    {"match": {"eq": {"type": "video/mp4"}}},
+                    {"match_tags": {"tags": ["cat"]}},
+                ]},
+            ]},
+            "page_size": 100,
+        })
+        vids_or_cats = (
+            {i for i in range(N_ITEMS) if i % 3 == 0}
+            | {i for i in range(N_ITEMS) if i % 4 == 0}
+            | {5}
+        )
+        expected = {i for i in vids_or_cats if 1000 + i > 1005}
+        got = {r["item_id"] for r in res.results}
+        assert got == {env["info"][i][0] for i in expected}
+
+    def test_or_of_semantic_filters_ranks_union(self, env):
+        vecs = env["vecs"]
+        res = run(env["ex"], {
+            "query": {"or_": [
+                {"image_embeddings": {"query": b64_query(vecs[2]),
+                                      "model": "clip", "embed": None,
+                                      "index": "exact"}},
+                {"image_embeddings": {"query": b64_query(vecs[9]),
+                                      "model": "clip", "embed": None,
+                                      "index": "exact"}},
+            ]},
+            "page_size": 2,
+        })
+        # Both branches rank; the coalesced (min) order puts the two
+        # self-matches first.
+        top2 = {r["item_id"] for r in res.results}
+        assert top2 == {env["info"][2][0], env["info"][9][0]}
