@@ -285,6 +285,50 @@ class TestExtraction:
 
 
 class TestQueue:
+    def test_cancel_pending_job(self):
+        import threading
+
+        gate = threading.Event()
+
+        def runner(handle):
+            gate.wait(timeout=10)
+            return None
+
+        q = JobQueue({JobType.FOLDER_RESCAN: runner})
+        running = q.enqueue("dbx", JobType.FOLDER_RESCAN, {"n": 0})
+        pending = q.enqueue("dbx", JobType.FOLDER_RESCAN, {"n": 1})
+        assert q.cancel("dbx", pending.job_id)
+        gate.set()
+        assert q.wait_idle("dbx", timeout=10)
+        states = {h["job_id"]: h["state"] for h in q.status("dbx")["history"]}
+        assert states[running.job_id] == "completed"
+        assert states[pending.job_id] == "cancelled"
+        q.shutdown()
+
+    def test_cancel_running_job_cooperatively(self):
+        import threading
+
+        started = threading.Event()
+        progress = []
+
+        def runner(handle):
+            started.set()
+            for i in range(200):
+                if handle.cancelled:
+                    break
+                progress.append(i)
+                time.sleep(0.01)
+            return None
+
+        q = JobQueue({JobType.FOLDER_RESCAN: runner})
+        h = q.enqueue("dbx", JobType.FOLDER_RESCAN)
+        assert started.wait(timeout=10)
+        q.cancel("dbx", h.job_id)
+        assert q.wait_idle("dbx", timeout=10)
+        # Cooperative cancel stopped well short of the full run.
+        assert 0 < len(progress) < 200
+        q.shutdown()
+
     def test_serialized_execution_and_history(self):
         order = []
 
