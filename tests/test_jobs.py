@@ -495,3 +495,42 @@ class TestHashHandlers:
             """SELECT tg.name FROM tags_items ti JOIN tags tg ON tg.id=ti.tag_id"""
         ).fetchall()
         assert ("scenery",) in tagged
+
+
+class TestResumeAfterCancel:
+    def test_extraction_resumes_from_work_query(self, env, tmp_path):
+        """Cancellation loses only in-flight items; the re-run's work query
+        (NOT processed_by) finds the remainder — 'the data is the
+        checkpoint' (extraction.rs:483-501, SURVEY §5.4)."""
+        # Widen the corpus so cancellation bites mid-run.
+        for i in range(9):
+            make_png(env["media"] / f"extra{i}.png", (i * 20 % 255, 50, 90))
+        env["writer"].call(lambda c: store.add_folder(c, str(env["media"])))
+        scan.rescan_folders(env["db"], env["writer"])
+
+        calls = {"n": 0}
+
+        def cancel_after_two():
+            calls["n"] += 1
+            return calls["n"] > 2
+
+        first = extraction.run_extraction_job(
+            db=env["db"], writer=env["writer"], index=env["index"],
+            manager=env["manager"], inference_id="clip/tiny",
+            setter_name="tiny", output_type="clip", batch_size=2,
+            cancelled=cancel_after_two,
+        )
+        conn = env["db"].reader()
+        partial = conn.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+        assert 0 < partial < 12  # stopped mid-run, partial progress durable
+
+        second = extraction.run_extraction_job(
+            db=env["db"], writer=env["writer"], index=env["index"],
+            manager=env["manager"], inference_id="clip/tiny",
+            setter_name="tiny", output_type="clip", batch_size=4,
+        )
+        total = conn.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+        assert total == 12  # 3 originals + 9 extras, no duplicates
+        assert first.processed + second.processed == 12
+        # Device index converged too.
+        assert env["index"].snapshot("tiny").size == 12
