@@ -234,8 +234,11 @@ class Executor:
         # Device-resident copies of space arrays, keyed (space, generation,
         # arm): without this every query would re-upload the corpus from
         # host memory (2 GB per query at 1M×512 f32). Generation bumps
-        # invalidate naturally; stale generations are dropped eagerly.
+        # invalidate naturally; stale generations are dropped eagerly, and
+        # an LRU byte budget bounds total HBM held across spaces.
         self._device_cache: dict[tuple, dict] = {}
+        self._device_cache_bytes: dict[tuple, int] = {}
+        self.device_cache_budget = 8 << 30
 
     def _device_arrays(self, space: str, snap, use_quant: bool) -> dict:
         import jax
@@ -244,6 +247,9 @@ class Executor:
         with self._cache_lock:
             cached = self._device_cache.get(key)
             if cached is not None:
+                # Refresh recency (dict order is the LRU order).
+                self._device_cache[key] = self._device_cache.pop(key)
+                self._device_cache_bytes[key] = self._device_cache_bytes.pop(key)
                 return cached
         corpus = snap.codes if use_quant else snap.vectors
         arrays = {
@@ -252,12 +258,31 @@ class Executor:
             "group_ids": jax.device_put(snap.group_ids),
             "weights": jax.device_put(snap.weights),
         }
+        nbytes = int(corpus.nbytes) + int(snap.group_ids.nbytes) + int(
+            snap.weights.nbytes
+        )
         with self._cache_lock:
             # Drop stale generations of this space (both arms).
             for old in [k for k in self._device_cache if k[0] == space and k[1] != snap.generation]:
-                del self._device_cache[old]
+                self._device_cache.pop(old, None)
+                self._device_cache_bytes.pop(old, None)
             self._device_cache[key] = arrays
+            self._device_cache_bytes[key] = nbytes
+            self._evict_over_budget(keep=key)
         return arrays
+
+    def _evict_over_budget(self, keep: tuple) -> None:
+        """LRU eviction over the device-cache byte budget (lock held).
+        Plain dicts preserve insertion order; re-inserting on access keeps
+        the order LRU-ish without a separate structure."""
+        total = sum(self._device_cache_bytes.values())
+        for key in list(self._device_cache):
+            if total <= self.device_cache_budget:
+                break
+            if key == keep:
+                continue
+            total -= self._device_cache_bytes.pop(key, 0)
+            self._device_cache.pop(key, None)
 
     # -- base snapshot ------------------------------------------------------
 
@@ -828,17 +853,25 @@ class Executor:
         with self._cache_lock:
             cached = self._device_cache.get(key)
             if cached is not None:
+                self._device_cache[key] = self._device_cache.pop(key)
+                self._device_cache_bytes[key] = self._device_cache_bytes.pop(key)
                 return cached
         sp = shlib.build_sharded(
             snap, meshlib.index_mesh(), use_quant=use_quant, chunk_rows=8192
         )
+        nbytes = int(sp.corpus.nbytes) + int(sp.row_valid.nbytes) + int(
+            sp.group_ids.nbytes
+        ) + int(sp.weights.nbytes)
         with self._cache_lock:
             for old in [
                 k for k in self._device_cache
                 if k[0] == space and k[1] != snap.generation
             ]:
-                del self._device_cache[old]
+                self._device_cache.pop(old, None)
+                self._device_cache_bytes.pop(old, None)
             self._device_cache[key] = sp
+            self._device_cache_bytes[key] = nbytes
+            self._evict_over_budget(keep=key)
         return sp
 
     def _space_scores(

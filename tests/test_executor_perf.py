@@ -233,3 +233,19 @@ class TestHostCompositionPerf:
         assert res.count == n
         assert len(res.results) == 10
         assert best < 0.350, f"host composition too slow: {times}"
+
+
+class TestDeviceCacheBudget:
+    def test_lru_eviction_over_budget(self):
+        ex = make_executor(4)
+        ex.device_cache_budget = 100  # bytes — force eviction
+        a = {"corpus": np.zeros(60, np.int8)}
+        b = {"corpus": np.zeros(60, np.int8)}
+        with ex._cache_lock:
+            ex._device_cache[("a", 1, False)] = a
+            ex._device_cache_bytes[("a", 1, False)] = 60
+            ex._device_cache[("b", 1, False)] = b
+            ex._device_cache_bytes[("b", 1, False)] = 60
+            ex._evict_over_budget(keep=("b", 1, False))
+        assert ("a", 1, False) not in ex._device_cache
+        assert ("b", 1, False) in ex._device_cache
