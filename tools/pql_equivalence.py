@@ -28,8 +28,15 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # Differential checking is a CPU job; never contend for the TPU claim.
+# The 8-device virtual mesh makes the executor take its SHARDED serving
+# path (device_count > 1), so the oracle validates the multi-chip scan.
 if "--tpu" not in sys.argv:
     os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
