@@ -319,6 +319,8 @@ class TaggerImpl(InferenceModel):
         namespace: str = "danbooru",
         tag_vocab: Optional[list[str]] = None,
         rating_tags: Optional[list[str]] = None,
+        character_tags: Optional[list[str]] = None,
+        character_threshold: float = 0.75,
         batch_cap: int = 32,
         **_: Any,
     ):
@@ -327,6 +329,10 @@ class TaggerImpl(InferenceModel):
         self.namespace = namespace
         self.rating_tags = rating_tags or ["general", "safe", "sensitive", "questionable", "explicit"]
         self.tag_vocab = tag_vocab or [f"tag_{i}" for i in range(64)]
+        # The WD head layout is [ratings | general | characters]; character
+        # tags use a fixed threshold rather than mcut (impl/wd_tagger.py).
+        self.character_tags = character_tags or []
+        self.character_threshold = character_threshold
         self.batch_ladder = batching.bucket_ladder(batch_cap)
         self.params = None
         self.head = None
@@ -354,14 +360,24 @@ class TaggerImpl(InferenceModel):
             self.head = head_w
             self.head_bias = head_b
             n_out = head_w.shape[1]
-            if len(self.rating_tags) + len(self.tag_vocab) != n_out:
-                # Vocab must match the checkpoint's head width.
+            declared = (
+                len(self.rating_tags) + len(self.tag_vocab)
+                + len(self.character_tags)
+            )
+            if declared != n_out:
+                # Vocab must match the checkpoint's head width; absent a
+                # full tag list, synthesize general names and drop the
+                # character split.
+                self.character_tags = []
                 self.tag_vocab = [
                     f"tag_{i}" for i in range(n_out - len(self.rating_tags))
                 ]
             return
         self.params = clip.init_params(jax.random.key(2), self.cfg)
-        n_out = len(self.rating_tags) + len(self.tag_vocab)
+        n_out = (
+            len(self.rating_tags) + len(self.tag_vocab)
+            + len(self.character_tags)
+        )
         self.head = np.asarray(
             jax.random.normal(jax.random.key(3), (self.cfg.embed_dim, n_out))
         ) * self.cfg.embed_dim**-0.5
@@ -404,10 +420,12 @@ class TaggerImpl(InferenceModel):
             logits = feats[: len(images)] @ self.head + self.head_bias
             probs = 1.0 / (1.0 + np.exp(-logits))
             n_rating = len(self.rating_tags)
+            n_general = len(self.tag_vocab)
             for j, pos in enumerate(kept):
                 config = inputs[pos].data if isinstance(inputs[pos].data, dict) else {}
                 rating_probs = probs[j, :n_rating]
-                general_probs = probs[j, n_rating:]
+                general_probs = probs[j, n_rating : n_rating + n_general]
+                char_probs = probs[j, n_rating + n_general :]
                 thresh = config.get("threshold")
                 mcut = self.mcut_threshold(general_probs)
                 eff = mcut if not thresh else float(thresh)
@@ -415,12 +433,19 @@ class TaggerImpl(InferenceModel):
                     self.tag_vocab[t]: float(general_probs[t])
                     for t in np.flatnonzero(general_probs >= eff)
                 }
+                char_eff = float(
+                    config.get("character_threshold", self.character_threshold)
+                )
+                character = {
+                    self.character_tags[t]: float(char_probs[t])
+                    for t in np.flatnonzero(char_probs >= char_eff)
+                }
                 rating = {self.rating_tags[int(np.argmax(rating_probs))]: float(rating_probs.max())}
                 outputs[pos] = {
                     "namespace": self.namespace,
                     "tags": [
                         ("rating", rating),
-                        ("character", {}),
+                        ("character", character),
                         ("general", general),
                     ],
                     "mcut": mcut,

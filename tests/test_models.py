@@ -162,3 +162,33 @@ class TestTaskRouting:
         np.testing.assert_array_equal(va, vb)  # routed == prefixed
         assert not np.allclose(va, vc)  # and differs from unrouted
         impl.unload()
+
+
+class TestTaggerCategories:
+    def test_character_category_uses_fixed_threshold(self):
+        from panoptikon_tpu.models.base import PredictionInput
+        from panoptikon_tpu.models.impls import TaggerImpl
+
+        impl = TaggerImpl(
+            model_arch="test-tiny",
+            tag_vocab=[f"g{i}" for i in range(8)],
+            character_tags=["alice", "bob"],
+            character_threshold=0.0,  # everything passes → both emitted
+        )
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (32, 32), (120, 10, 10)).save(buf, format="PNG")
+        out = impl.predict([PredictionInput(file=buf.getvalue())])
+        cats = dict(out[0]["tags"])
+        assert set(cats["character"]) == {"alice", "bob"}
+        assert all(0.0 <= v <= 1.0 for v in cats["character"].values())
+        # High threshold empties the category.
+        out2 = impl.predict([
+            PredictionInput(file=buf.getvalue(),
+                            data={"character_threshold": 1.1})
+        ])
+        assert dict(out2[0]["tags"])["character"] == {}
+        impl.unload()
