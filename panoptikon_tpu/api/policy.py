@@ -64,15 +64,46 @@ class PolicyEngine:
         return False
 
 
-def policy_middleware(engine: PolicyEngine, listener_policy: Optional[str] = None):
+def policy_middleware(
+    engine: PolicyEngine,
+    listener_policy: Optional[str] = None,
+    token_key=None,
+):
+    """``token_key`` (api/policy_token.TokenKey) enables SSR policy tokens:
+    a verified ``x-panoptikon-policy`` header selects the named policy
+    instead of listener/host matching, so the UI's server-side renderer
+    acts with the authority of the browser request that minted the token
+    (policy_token.rs). Forged/expired/unknown-name tokens fall back
+    silently to listener/host selection."""
+
+    from panoptikon_tpu.api.policy_token import POLICY_TOKEN_HEADER, TokenError
+
     @web.middleware
     async def middleware(request: web.Request, handler):
-        policy = engine.select(request.headers.get("Host"), listener_policy)
+        policy = None
+        if token_key is not None:
+            presented = request.headers.get(POLICY_TOKEN_HEADER)
+            if presented:
+                try:
+                    name = token_key.verify(presented)
+                    policy = next(
+                        (p for p in engine.policies if p.name == name), None
+                    )
+                except TokenError as e:
+                    import logging
+
+                    logging.getLogger("panoptikon_tpu.api").debug(
+                        "policy token ignored: %s", e.kind
+                    )
+        if policy is None:
+            policy = engine.select(request.headers.get("Host"), listener_policy)
         if policy is None:
             # No policy claims this listener/host → unrestricted. Policies
             # are opt-in restrictions bound to listeners or hosts; the
             # pinned test listener stays locked down either way.
             return await handler(request)
+        # Surfaced so the UI proxy can mint an SSR token naming this policy.
+        request["policy_name"] = policy.name
         if not engine.check(policy, request.method, request.path):
             raise web.HTTPForbidden(reason=f"denied by policy {policy.name!r}")
         if policy.index_db is not None:

@@ -22,12 +22,19 @@ LOOP_GUARD_HEADER = "X-Panoptikon-Proxy-Hop"
 MAX_HOPS = 3
 
 
-def make_upstream_handler(upstream: str):
+def make_upstream_handler(upstream: str, token_key=None):
     """A catch-all handler forwarding to ``upstream`` (e.g. the UI server).
 
     Mount with ``app.router.add_route('*', '/{tail:.*}', handler)`` AFTER
     the API routes so the API always wins.
+
+    With ``token_key`` set, every forwarded request carries a freshly
+    minted SSR policy token naming the policy the gateway matched for it
+    (api/policy_token.py); any client-supplied token header is stripped
+    first — the browser must never be able to smuggle one through.
     """
+    from panoptikon_tpu.api.policy_token import POLICY_TOKEN_HEADER
+
     upstream = upstream.rstrip("/")
 
     async def handler(request: web.Request) -> web.StreamResponse:
@@ -43,8 +50,13 @@ def make_upstream_handler(upstream: str):
         headers = {
             k: v for k, v in request.headers.items()
             if k.lower() not in HOP_HEADERS
+            and k.lower() != POLICY_TOKEN_HEADER
         }
         headers[LOOP_GUARD_HEADER] = str(hops + 1)
+        if token_key is not None and request.get("policy_name"):
+            headers[POLICY_TOKEN_HEADER] = token_key.mint(
+                request["policy_name"]
+            )
         body = await request.read() if request.can_read_body else None
         timeout = ClientTimeout(total=120)
         async with ClientSession(timeout=timeout, auto_decompress=False) as session:

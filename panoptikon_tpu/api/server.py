@@ -1610,13 +1610,16 @@ def build_app(
     state: AppState,
     policies=None,
     listener_policy: str | None = None,
+    token_key=None,
 ) -> web.Application:
     middlewares = [trace_middleware]
     if policies:
         from panoptikon_tpu.api.policy import PolicyEngine, policy_middleware
 
         middlewares.append(
-            policy_middleware(PolicyEngine(policies), listener_policy)
+            policy_middleware(
+                PolicyEngine(policies), listener_policy, token_key=token_key
+            )
         )
     app = web.Application(
         client_max_size=16 * 1024 * 1024, middlewares=middlewares
@@ -1692,13 +1695,23 @@ async def serve_all(settings, state: AppState) -> list[web.AppRunner]:
     each with its policy-pinned app. When [upstreams].ui is configured, a
     catch-all reverse proxy mounts AFTER the API routes (proxy.rs)."""
     runners = []
+    # One HMAC key per boot shared by every listener: SSR tokens minted on
+    # UI-bound proxies verify at any listener's policy ingress
+    # (policy_token.rs; pinned via [server].policy_token_key).
+    from panoptikon_tpu.api.policy_token import TokenKey
+
+    token_key = TokenKey.from_config(settings.policy_token_key)
     for listener in settings.listeners:
-        app = build_app(state, settings.policies, listener.policy)
+        app = build_app(
+            state, settings.policies, listener.policy, token_key=token_key
+        )
         if settings.ui_upstream:
             from panoptikon_tpu.api.proxy import make_upstream_handler
 
             app.router.add_route(
-                "*", "/{tail:.*}", make_upstream_handler(settings.ui_upstream)
+                "*",
+                "/{tail:.*}",
+                make_upstream_handler(settings.ui_upstream, token_key=token_key),
             )
         runner = web.AppRunner(app)
         await runner.setup()

@@ -85,6 +85,9 @@ class Settings:
     # (bounded crash restarts, process-group teardown — src/ui.rs).
     ui_command: list[str] = field(default_factory=list)
     ui_cwd: str | None = None
+    # [server].policy_token_key — 64 hex chars pinning the HMAC key for
+    # SSR policy tokens (api/policy_token.py); random per boot when unset.
+    policy_token_key: str | None = None
 
     @classmethod
     def load(cls, path: str | Path | None = None, root: str | Path = ".") -> "Settings":
@@ -153,4 +156,6 @@ class Settings:
         ui = raw.get("ui", {})
         s.ui_command = [str(a) for a in ui.get("command", [])]
         s.ui_cwd = ui.get("cwd")
+        server = raw.get("server", {})
+        s.policy_token_key = server.get("policy_token_key")
         return s

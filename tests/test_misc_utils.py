@@ -4,7 +4,6 @@ import time
 
 import pytest
 
-from panoptikon_tpu.api.policy_token import TokenKey
 from panoptikon_tpu.utils.logging import PhaseTimer
 from panoptikon_tpu.utils.toml_edit import TomlDocument
 
@@ -60,24 +59,6 @@ class TestTomlEdit:
         doc.set("search.cache_bytes", 4096)
         doc.commit(path)
         assert "cache_bytes = 4096" in path.read_text()
-
-
-class TestPolicyToken:
-    def test_mint_verify_roundtrip(self):
-        key = TokenKey()
-        token = key.mint("stdtest", ttl_seconds=60)
-        assert key.verify(token) == "stdtest"
-
-    def test_tampered_rejected(self):
-        key = TokenKey()
-        token = key.mint("stdtest")
-        assert key.verify(token[:-4] + "AAAA") is None
-        assert TokenKey().verify(token) is None  # different key
-
-    def test_expired_rejected(self):
-        key = TokenKey()
-        token = key.mint("p", ttl_seconds=-1)
-        assert key.verify(token) is None
 
 
 class TestPhaseTimer:
