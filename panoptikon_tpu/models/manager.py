@@ -189,6 +189,27 @@ class ModelManager:
                         else float("inf")
                     )
 
+    @staticmethod
+    def _predict_split(entry: _LoadedModel, inputs: list, cap: int) -> list:
+        """Predict, splitting batches larger than the model's batch cap
+        into cap-sized worker batches (dispatch.rs oversized-request
+        splitting). Without this, one request bigger than the bucket
+        ladder's top would overflow ``batching.pad_batch`` instead of
+        simply taking several device steps."""
+        cap = max(1, cap or entry.default_batch)
+        if len(inputs) <= cap:
+            return list(entry.model.predict(inputs))
+        outputs: list = []
+        for at in range(0, len(inputs), cap):
+            chunk = inputs[at : at + cap]
+            got = list(entry.model.predict(chunk))
+            if len(got) != len(chunk):
+                raise RuntimeError(
+                    f"{len(got)} outputs for {len(chunk)} inputs"
+                )
+            outputs.extend(got)
+        return outputs
+
     def _drain_window(self, inference_id: str, entry: _LoadedModel) -> None:
         """Pop one FIFO window and run it as a single merged predict.
 
@@ -216,7 +237,7 @@ class ModelManager:
         for req in window:
             merged.extend(req.inputs)
         try:
-            outputs = list(entry.model.predict(merged))
+            outputs = self._predict_split(entry, merged, cap)
             if len(outputs) != len(merged):
                 raise RuntimeError(
                     f"{inference_id}: {len(outputs)} outputs for {len(merged)} inputs"
@@ -241,7 +262,10 @@ class ModelManager:
             # Merged failure → per-request fallback.
             for req in window:
                 try:
-                    outputs = list(entry.model.predict(list(req.inputs)))
+                    outputs = self._predict_split(
+                        entry, list(req.inputs),
+                        req.max_batch or entry.default_batch,
+                    )
                     if len(outputs) != len(req.inputs):
                         raise RuntimeError(
                             f"{inference_id}: {len(outputs)} outputs for "

@@ -339,3 +339,41 @@ class TestDispatchBatching:
             assert calls == ["load", "prepare"]
         finally:
             m.shutdown()
+
+
+class TestOversizedSplitting:
+    """dispatch.rs oversized-request splitting: one request larger than the
+    batch cap runs as several cap-sized worker batches, outputs in order."""
+
+    @pytest.fixture
+    def bmanager(self, tmp_path):
+        builtin = tmp_path / "b"
+        builtin.mkdir()
+        (builtin / "00.toml").write_text(BUILTIN + BATCH_TOML)
+        m = ModelManager(Registry(builtin), IMPL_INDEX)
+        yield m
+        m.shutdown()
+
+    def test_request_bigger_than_cap_splits(self, bmanager):
+        bmanager.load_model("fixtures/batchsize")
+        entry = bmanager._models["fixtures/batchsize"]
+        n = entry.default_batch * 2 + 3
+        out = bmanager.predict(
+            "fixtures/batchsize",
+            [PredictionInput(data={"i": i}) for i in range(n)],
+        )
+        assert len(out) == n
+        # The impl reports the batch it SAW — every chunk must respect the
+        # cap, and the tail chunk carries the remainder.
+        sizes = {o["observed_batch"] for o in out}
+        assert max(sizes) == entry.default_batch
+        assert 3 in sizes
+
+    def test_explicit_max_batch_caps_chunks(self, bmanager):
+        bmanager.load_model("fixtures/batchsize")
+        out = bmanager.predict(
+            "fixtures/batchsize",
+            [PredictionInput(data={}) for _ in range(10)],
+            max_batch=4,
+        )
+        assert {o["observed_batch"] for o in out} == {4, 2}
