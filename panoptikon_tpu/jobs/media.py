@@ -22,6 +22,7 @@ This build's decode ladder per capability:
 from __future__ import annotations
 
 import io
+import os
 import shutil
 import subprocess
 from dataclasses import dataclass
@@ -334,6 +335,270 @@ def wav_duration(path: str) -> Optional[float]:
             return w.getnframes() / rate if rate else None
     except Exception:
         return None
+
+
+# ---------------------------------------------------------------------------
+# Audio metadata (pure Python — the reference reads this via lofty,
+# files.rs:24 / get_audio_thumbnail files.rs:5163): duration + basic tags
+# + embedded cover art for WAV / FLAC / MP3 / OGG-Vorbis containers.
+# Infallible by contract: failures degrade to an empty AudioInfo.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AudioInfo:
+    duration: Optional[float] = None
+    sample_rate: Optional[int] = None
+    channels: Optional[int] = None
+    title: str = ""
+    artist: str = ""
+    album: str = ""
+    cover: Optional[bytes] = None  # embedded picture payload (APIC/PICTURE)
+
+
+def _flac_info(f) -> AudioInfo:
+    info = AudioInfo()
+    if f.read(4) != b"fLaC":
+        return info
+    last = False
+    while not last:
+        head = f.read(4)
+        if len(head) < 4:
+            break
+        last = bool(head[0] & 0x80)
+        btype = head[0] & 0x7F
+        size = int.from_bytes(head[1:4], "big")
+        body = f.read(size)
+        if btype == 0 and size >= 18:  # STREAMINFO
+            bits = int.from_bytes(body[10:18], "big")
+            info.sample_rate = (bits >> 44) & 0xFFFFF
+            info.channels = ((bits >> 41) & 0x7) + 1
+            total = bits & ((1 << 36) - 1)
+            if info.sample_rate and total:
+                info.duration = total / info.sample_rate
+        elif btype == 4:  # VORBIS_COMMENT
+            _parse_vorbis_comments(body, info)
+        elif btype == 6 and size > 32:  # PICTURE
+            at = 4
+            mime_len = int.from_bytes(body[at : at + 4], "big"); at += 4 + mime_len
+            desc_len = int.from_bytes(body[at : at + 4], "big"); at += 4 + desc_len
+            at += 16  # w/h/depth/colors
+            pic_len = int.from_bytes(body[at : at + 4], "big"); at += 4
+            info.cover = body[at : at + pic_len] or None
+    return info
+
+
+def _parse_vorbis_comments(body: bytes, info: AudioInfo) -> None:
+    at = 0
+    vendor_len = int.from_bytes(body[at : at + 4], "little"); at += 4 + vendor_len
+    count = int.from_bytes(body[at : at + 4], "little"); at += 4
+    for _ in range(count):
+        if at + 4 > len(body):
+            break
+        n = int.from_bytes(body[at : at + 4], "little"); at += 4
+        entry = body[at : at + n].decode("utf-8", "replace"); at += n
+        key, _, value = entry.partition("=")
+        key = key.upper()
+        if key == "TITLE" and not info.title:
+            info.title = value
+        elif key == "ARTIST" and not info.artist:
+            info.artist = value
+        elif key == "ALBUM" and not info.album:
+            info.album = value
+
+
+_MP3_BITRATES = {  # kbps, MPEG1 Layer III column of the spec table
+    1: 32, 2: 40, 3: 48, 4: 56, 5: 64, 6: 80, 7: 96, 8: 112,
+    9: 128, 10: 160, 11: 192, 12: 224, 13: 256, 14: 320,
+}
+_MP3_BITRATES_V2 = {
+    1: 8, 2: 16, 3: 24, 4: 32, 5: 40, 6: 48, 7: 56, 8: 64,
+    9: 80, 10: 96, 11: 112, 12: 128, 13: 144, 14: 160,
+}
+_MP3_RATES = {0: 44100, 1: 48000, 2: 32000}
+
+
+def _id3v2_tags(f, info: AudioInfo) -> int:
+    """Parse leading ID3v2 tags into ``info``; returns the audio offset."""
+    head = f.read(10)
+    if len(head) < 10 or head[:3] != b"ID3":
+        return 0
+    size = ((head[6] & 0x7F) << 21) | ((head[7] & 0x7F) << 14) \
+        | ((head[8] & 0x7F) << 7) | (head[9] & 0x7F)
+    body = f.read(size)
+    at = 0
+    wanted = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+    while at + 10 <= len(body):
+        fid = body[at : at + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break
+        if head[3] >= 4:  # v2.4: syncsafe frame sizes
+            fsz = ((body[at + 4] & 0x7F) << 21) | ((body[at + 5] & 0x7F) << 14) \
+                | ((body[at + 6] & 0x7F) << 7) | (body[at + 7] & 0x7F)
+        else:
+            fsz = int.from_bytes(body[at + 4 : at + 8], "big")
+        payload = body[at + 10 : at + 10 + fsz]
+        if fid in wanted and payload:
+            enc = payload[0]
+            text = payload[1:]
+            codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}.get(
+                enc, "latin-1"
+            )
+            setattr(info, wanted[fid],
+                    text.decode(codec, "replace").strip("\x00"))
+        elif fid == b"APIC" and payload:
+            # <enc><mime>\0<type><desc>\0<data>
+            p = payload[1:]
+            m_end = p.find(b"\x00")
+            if m_end >= 0:
+                p = p[m_end + 1 :][1:]  # skip picture type byte
+                d_end = p.find(b"\x00")
+                if d_end >= 0:
+                    info.cover = p[d_end + 1 :] or None
+        at += 10 + fsz
+    return 10 + size
+
+
+def _mp3_info(f, file_size: int) -> AudioInfo:
+    info = AudioInfo()
+    offset = _id3v2_tags(f, info)
+    f.seek(offset)
+    window = f.read(8192)
+    for i in range(len(window) - 4):
+        b0, b1, b2, b3 = window[i : i + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            continue
+        version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x3  # 1=Layer III
+        if layer != 1 or version == 1:
+            continue
+        bidx = (b2 >> 4) & 0xF
+        ridx = (b2 >> 2) & 0x3
+        if bidx in (0, 15) or ridx == 3:
+            continue
+        table = _MP3_BITRATES if version == 3 else _MP3_BITRATES_V2
+        bitrate = table[bidx] * 1000
+        rate = _MP3_RATES[ridx]
+        if version != 3:
+            rate //= 2 if version == 2 else 4
+        info.sample_rate = rate
+        # Channel mode rides header byte 3's top bits; 0b11 = mono.
+        info.channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+        # Xing/Info VBR header: exact frame count when present.
+        frame = window[i : i + 200]
+        for marker in (b"Xing", b"Info"):
+            x = frame.find(marker)
+            if x >= 0 and len(frame) >= x + 12:
+                flags = int.from_bytes(frame[x + 4 : x + 8], "big")
+                if flags & 1:
+                    frames = int.from_bytes(frame[x + 8 : x + 12], "big")
+                    spf = 1152 if version == 3 else 576
+                    info.duration = frames * spf / rate
+                    break
+        if info.duration is None and bitrate:
+            info.duration = (file_size - offset - i) * 8 / bitrate
+        break
+    return info
+
+
+def _ogg_info(f, file_size: int) -> AudioInfo:
+    info = AudioInfo()
+    head = f.read(4096)
+    if head[:4] != b"OggS":
+        return info
+    vid = head.find(b"\x01vorbis")
+    if vid >= 0 and len(head) >= vid + 16:
+        info.channels = head[vid + 11]
+        info.sample_rate = int.from_bytes(head[vid + 12 : vid + 16], "little")
+    cid = head.find(b"\x03vorbis")
+    if cid >= 0:
+        _parse_vorbis_comments(head[cid + 7 :], info)
+    # Duration = last page's granule position (absolute sample index).
+    f.seek(max(0, file_size - 65536))
+    tail = f.read()
+    last = tail.rfind(b"OggS")
+    if last >= 0 and len(tail) >= last + 14 and info.sample_rate:
+        granule = int.from_bytes(tail[last + 6 : last + 14], "little")
+        if granule:
+            info.duration = granule / info.sample_rate
+    return info
+
+
+def audio_info(path: str, mime: str = "") -> AudioInfo:
+    """Container-sniffed metadata: duration, rate, channels, TITLE/ARTIST/
+    ALBUM tags, embedded cover art. Never raises."""
+    try:
+        size = os.path.getsize(path)
+        with open(path, "rb") as f:
+            magic = f.read(4)
+            f.seek(0)
+            if magic == b"fLaC":
+                return _flac_info(f)
+            if magic == b"OggS":
+                return _ogg_info(f, size)
+            if magic[:3] == b"ID3" or (
+                len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0
+            ) or mime == "audio/mpeg":
+                return _mp3_info(f, size)
+            if magic == b"RIFF" or mime == "audio/wav":
+                dur = wav_duration(path)
+                import wave
+
+                info = AudioInfo(duration=dur)
+                try:
+                    with wave.open(path, "rb") as w:
+                        info.sample_rate = w.getframerate()
+                        info.channels = w.getnchannels()
+                except Exception:
+                    pass
+                return info
+    except Exception:
+        pass
+    return AudioInfo()
+
+
+AUDIO_THUMB_DIM = 1024
+
+
+def audio_thumbnail(path: str, mime: str = "") -> tuple[bytes, int, int]:
+    """Embedded cover art (capped at 1024², files.rs:5207) when present,
+    else a generated gradient placeholder labeled with artist/album/title
+    (build_audio_placeholder files.rs:5220). Infallible: tag-read failures
+    degrade to the placeholder with empty text."""
+    from io import BytesIO
+
+    from PIL import Image, ImageDraw
+
+    info = audio_info(path, mime)
+    if info.cover:
+        try:
+            im = Image.open(BytesIO(info.cover)).convert("RGB")
+            if max(im.size) > AUDIO_THUMB_DIM:
+                im.thumbnail((AUDIO_THUMB_DIM, AUDIO_THUMB_DIM))
+            out = BytesIO()
+            im.save(out, format="JPEG", quality=FRAME_JPEG_QUALITY)
+            return out.getvalue(), im.width, im.height
+        except Exception:
+            pass
+    # Vertical gradient canvas (the reference's fixed colors).
+    top = np.array([35.0, 35.0, 75.0])
+    bottom = np.array([175.0, 225.0, 225.0])
+    t = np.linspace(0.0, 1.0, AUDIO_THUMB_DIM)[:, None]
+    grad = (top[None, :] + (bottom - top)[None, :] * t).astype(np.uint8)
+    canvas = np.broadcast_to(
+        grad[:, None, :], (AUDIO_THUMB_DIM, AUDIO_THUMB_DIM, 3)
+    ).copy()
+    im = Image.fromarray(canvas)
+    draw = ImageDraw.Draw(im)
+    kind = (mime.rsplit("/", 1)[-1] or "audio").upper()
+    lines = [s for s in (kind, info.title, info.artist, info.album) if s]
+    y = AUDIO_THUMB_DIM // 3
+    for line in lines[:4]:
+        draw.text((64, y), line[:48], fill=(255, 255, 255))
+        y += 40
+    out = BytesIO()
+    im.save(out, format="JPEG", quality=FRAME_JPEG_QUALITY)
+    return out.getvalue(), AUDIO_THUMB_DIM, AUDIO_THUMB_DIM
 
 
 # ---------------------------------------------------------------------------

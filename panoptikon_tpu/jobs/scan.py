@@ -321,8 +321,17 @@ def process_path(
             row.error = ("frames", "input", None, f"decode crashed: {exc}")
         row.metadata_time = time.perf_counter() - t0
     elif mime.startswith("audio/"):
-        row.duration = media.wav_duration(path) if mime == "audio/wav" else None
+        # Container-level metadata (the reference reads it via lofty,
+        # files.rs:3596): duration for WAV/FLAC/MP3/OGG, plus a thumbnail
+        # from embedded cover art or a tagged gradient placeholder.
+        info = media.audio_info(path, mime)
+        row.duration = info.duration
         row.audio_tracks = 1
+        if make_thumbnails:
+            try:
+                row.thumb = media.audio_thumbnail(path, mime)
+            except Exception:  # pragma: no cover — placeholder is infallible
+                row.thumb = None
         row.metadata_time = time.perf_counter() - t0
     else:
         row.metadata_time = time.perf_counter() - t0

@@ -344,3 +344,128 @@ input_spec.handler = "audio_tracks"
             assert left == 0
         finally:
             manager.shutdown()
+
+
+def _tiny_png() -> bytes:
+    from io import BytesIO
+
+    from PIL import Image
+
+    buf = BytesIO()
+    Image.new("RGB", (8, 8), (200, 40, 40)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_flac(path, title="Song", artist="Band", cover=None):
+    """Minimal valid-enough FLAC: STREAMINFO + VORBIS_COMMENT (+ PICTURE)."""
+    bits = (44100 << 44) | (1 << 41) | (15 << 36) | 441000  # 2ch, 10 s
+    streaminfo = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+    comments = [f"TITLE={title}".encode(), f"ARTIST={artist}".encode()]
+    vc = (0).to_bytes(4, "little") + len(comments).to_bytes(4, "little")
+    for c in comments:
+        vc += len(c).to_bytes(4, "little") + c
+    blocks = [(0, streaminfo), (4, vc)]
+    if cover:
+        pic = (
+            (3).to_bytes(4, "big")
+            + (9).to_bytes(4, "big") + b"image/png"
+            + (0).to_bytes(4, "big")
+            + b"\x00" * 16
+            + len(cover).to_bytes(4, "big") + cover
+        )
+        blocks.append((6, pic))
+    out = b"fLaC"
+    for i, (btype, body) in enumerate(blocks):
+        last = 0x80 if i == len(blocks) - 1 else 0
+        out += bytes([last | btype]) + len(body).to_bytes(3, "big") + body
+    path.write_bytes(out)
+
+
+def make_mp3(path, title="Hello"):
+    """ID3v2.3 TIT2 tag + one MPEG1 Layer III frame with a Xing header
+    declaring 1000 frames (≈26.12 s at 44100)."""
+    payload = b"\x00" + title.encode("latin-1")
+    tit2 = b"TIT2" + len(payload).to_bytes(4, "big") + b"\x00\x00" + payload
+    body = tit2
+    size = len(body)
+    syncsafe = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                      (size >> 7) & 0x7F, size & 0x7F])
+    id3 = b"ID3\x03\x00\x00" + syncsafe + body
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 32
+    frame += b"Xing" + (1).to_bytes(4, "big") + (1000).to_bytes(4, "big")
+    frame += b"\x00" * 300
+    path.write_bytes(id3 + frame)
+
+
+def make_ogg(path, title="Ogg Song"):
+    ident = b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2]) \
+        + (48000).to_bytes(4, "little") + b"\x00" * 16
+    page1 = b"OggS" + b"\x00\x02" + b"\x00" * 8 + b"\x00" * 12 \
+        + b"\x01" + bytes([len(ident)]) + ident
+    comment = f"TITLE={title}".encode()
+    vc = (0).to_bytes(4, "little") + (1).to_bytes(4, "little") \
+        + len(comment).to_bytes(4, "little") + comment
+    cpkt = b"\x03vorbis" + vc
+    page2 = b"OggS" + b"\x00\x00" + b"\x00" * 8 + b"\x00" * 12 \
+        + b"\x01" + bytes([len(cpkt)]) + cpkt
+    last = b"OggS" + b"\x00\x04" + (480000).to_bytes(8, "little") \
+        + b"\x00" * 12 + b"\x00"
+    path.write_bytes(page1 + page2 + last)
+
+
+class TestAudioInfo:
+    """Pure-Python container metadata (the reference reads via lofty,
+    files.rs:24): duration + tags + cover art for FLAC/MP3/OGG/WAV."""
+
+    def test_flac(self, tmp_path):
+        p = tmp_path / "a.flac"
+        make_flac(p, title="Song", artist="Band", cover=_tiny_png())
+        info = media.audio_info(str(p))
+        assert info.sample_rate == 44100 and info.channels == 2
+        assert info.duration == pytest.approx(10.0)
+        assert info.title == "Song" and info.artist == "Band"
+        assert info.cover == _tiny_png()
+
+    def test_mp3_xing(self, tmp_path):
+        p = tmp_path / "a.mp3"
+        make_mp3(p, title="Hello")
+        info = media.audio_info(str(p))
+        assert info.sample_rate == 44100
+        assert info.title == "Hello"
+        assert info.duration == pytest.approx(1000 * 1152 / 44100)
+
+    def test_ogg(self, tmp_path):
+        p = tmp_path / "a.ogg"
+        make_ogg(p, title="Ogg Song")
+        info = media.audio_info(str(p))
+        assert info.sample_rate == 48000 and info.channels == 2
+        assert info.duration == pytest.approx(10.0)
+        assert info.title == "Ogg Song"
+
+    def test_garbage_never_raises(self, tmp_path):
+        p = tmp_path / "x.mp3"
+        p.write_bytes(b"\x00\x01garbage")
+        info = media.audio_info(str(p))
+        assert info.duration is None
+        assert media.audio_info(str(tmp_path / "missing.mp3")).title == ""
+
+    def test_thumbnail_cover_art(self, tmp_path):
+        p = tmp_path / "a.flac"
+        make_flac(p, cover=_tiny_png())
+        jpeg, w, h = media.audio_thumbnail(str(p), "audio/flac")
+        assert (w, h) == (8, 8) and jpeg[:2] == b"\xff\xd8"
+
+    def test_thumbnail_placeholder(self, tmp_path):
+        p = tmp_path / "a.mp3"
+        make_mp3(p)
+        jpeg, w, h = media.audio_thumbnail(str(p), "audio/mpeg")
+        assert (w, h) == (media.AUDIO_THUMB_DIM, media.AUDIO_THUMB_DIM)
+        assert jpeg[:2] == b"\xff\xd8"
+
+    def test_scan_row_gets_duration_and_thumb(self, tmp_path):
+        p = tmp_path / "a.flac"
+        make_flac(p)
+        row = scan.process_path(str(p), None, make_thumbnails=True)
+        assert row.mime.startswith("audio/")
+        assert row.duration == pytest.approx(10.0)
+        assert row.thumb is not None and row.audio_tracks == 1
