@@ -83,7 +83,92 @@ def capabilities() -> dict:
         "video-decoder": cv2_available() or ffmpeg_available(),
         "ffmpeg": ffmpeg_available(),
         "pdfium": pdf_renderer_available(),
+        "html-renderer": html_renderer_available(),
     }
+
+
+# ---------------------------------------------------------------------------
+# HTML → screenshot (the reference replaces weasyprint with a headless
+# browser viewport capture, files.rs:4692 render_html_screenshot_classified;
+# absence is a heal-able blocker like pdfium/ffmpeg).
+# ---------------------------------------------------------------------------
+
+HTML_RENDER_TIMEOUT_S = 60
+HTML_VIEWPORT = (1024, 1024)
+
+
+def html_renderer_path() -> Optional[str]:
+    for name in (
+        "chromium", "chromium-browser", "google-chrome", "chrome",
+        "headless_shell",
+    ):
+        found = shutil.which(name)
+        if found:
+            return found
+    return None
+
+
+def html_renderer_available() -> bool:
+    return html_renderer_path() is not None
+
+
+def render_html_screenshot(path: str) -> list[tuple[bytes, int, int]]:
+    """Screenshot an HTML file with a local headless browser → one
+    ``(jpeg, w, h)`` frame (the PDF-pages shape, so scan plumbing reuses
+    the frames path).
+
+    Scanned HTML can carry live script and remote references, so ALL
+    network traffic — including localhost via the ``<-loopback>`` bypass —
+    routes into a dead proxy: no beaconing, no SSRF. file:// subresources
+    still load (what the reference's weasyprint predecessor could reach);
+    a runaway script only burns CPU until the timeout kills the browser.
+    """
+    import tempfile
+    from pathlib import Path as _P
+
+    browser = html_renderer_path()
+    if browser is None:
+        raise MediaError(
+            "no headless browser on PATH for HTML rendering",
+            error_class="input",
+            blocker="html-renderer",
+        )
+    with tempfile.TemporaryDirectory(prefix="pk_html_") as tmp:
+        out = f"{tmp}/shot.png"
+        url = _P(path).resolve().as_uri()
+        cmd = [
+            browser, "--headless=new", "--disable-gpu", "--no-first-run",
+            "--no-default-browser-check", "--disable-background-networking",
+            "--disable-component-update", "--disable-default-apps",
+            "--disable-extensions", "--disable-sync",
+            "--metrics-recording-only", "--hide-scrollbars",
+            "--proxy-server=127.0.0.1:0", "--proxy-bypass-list=<-loopback>",
+            "--default-background-color=FFFFFFFF",
+            f"--user-data-dir={tmp}/profile",
+            f"--window-size={HTML_VIEWPORT[0]},{HTML_VIEWPORT[1]}",
+            f"--screenshot={out}", url,
+        ]
+        try:
+            subprocess.run(
+                cmd, capture_output=True, timeout=HTML_RENDER_TIMEOUT_S,
+                check=False,
+            )
+        except subprocess.TimeoutExpired as exc:
+            raise MediaError(
+                f"html render timed out after {HTML_RENDER_TIMEOUT_S}s",
+                error_class="input",
+            ) from exc
+        try:
+            from PIL import Image
+
+            im = Image.open(out).convert("RGB")
+        except Exception as exc:
+            raise MediaError(
+                f"html render produced no screenshot: {exc}",
+                error_class="input",
+            ) from exc
+        rgb = np.asarray(im)
+        return [(_encode_jpeg(rgb), im.width, im.height)]
 
 
 # ---------------------------------------------------------------------------

@@ -320,6 +320,25 @@ def process_path(
             row.attempt = ("frames", "failed", str(exc))
             row.error = ("frames", "input", None, f"decode crashed: {exc}")
         row.metadata_time = time.perf_counter() - t0
+    elif mime == "text/html":
+        # Browser viewport capture (files.rs:4692); absence of a headless
+        # browser is a heal-able blocker like pdfium. New HTML items need
+        # this first render; failures fold into the per-path ledger.
+        try:
+            row.frames = media.render_html_screenshot(path)
+            row.attempt = ("frames", "ok", None)
+            if make_thumbnails and row.frames:
+                row.thumb = _video_thumb(row.frames[0])
+            if row.frames:
+                row.width, row.height = row.frames[0][1], row.frames[0][2]
+        except media.MediaError as exc:
+            outcome = "blocked" if exc.blocker else "failed"
+            row.attempt = ("frames", outcome, str(exc))
+            row.error = ("frames", exc.error_class, exc.blocker, str(exc))
+        except Exception as exc:  # noqa: BLE001
+            row.attempt = ("frames", "failed", str(exc))
+            row.error = ("frames", "input", None, f"render crashed: {exc}")
+        row.metadata_time = time.perf_counter() - t0
     elif mime.startswith("audio/"):
         # Container-level metadata (the reference reads it via lofty,
         # files.rs:3596): duration for WAV/FLAC/MP3/OGG, plus a thumbnail

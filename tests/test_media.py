@@ -469,3 +469,30 @@ class TestAudioInfo:
         assert row.mime.startswith("audio/")
         assert row.duration == pytest.approx(10.0)
         assert row.thumb is not None and row.audio_tracks == 1
+
+
+class TestHtmlIntake:
+    """HTML → headless-browser screenshot (files.rs:4692), blocker-gated
+    like pdfium: absent browser = 'blocked' ledger row that heals when one
+    appears."""
+
+    def test_blocked_without_browser(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(media, "html_renderer_path", lambda: None)
+        p = tmp_path / "page.html"
+        p.write_text("<html><body><h1>hi</h1></body></html>")
+        row = scan.process_path(str(p), None, make_thumbnails=True)
+        assert row.mime == "text/html"
+        assert row.attempt[1] == "blocked"
+        assert row.error[2] == "html-renderer"
+
+    def test_capability_key_exists(self):
+        assert "html-renderer" in media.capabilities()
+
+    @pytest.mark.skipif(
+        not media.html_renderer_available(), reason="no headless browser"
+    )
+    def test_renders_when_browser_present(self, tmp_path):
+        p = tmp_path / "page.html"
+        p.write_text("<html><body style='background:#f00'>x</body></html>")
+        frames = media.render_html_screenshot(str(p))
+        assert frames and frames[0][1] > 0
