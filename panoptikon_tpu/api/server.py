@@ -34,6 +34,7 @@ from panoptikon_tpu.index.vector_index import VectorIndex
 from panoptikon_tpu.jobs import index_sync, reconcile, scan
 from panoptikon_tpu.jobs.cron import CronScheduler
 from panoptikon_tpu.jobs.extraction import run_extraction_job
+from panoptikon_tpu.utils import rootlock
 from panoptikon_tpu.jobs.queue import ChangeSummary, JobQueue, JobType
 from panoptikon_tpu.models.base import PredictionInput
 from panoptikon_tpu.models.impls import IMPL_INDEX
@@ -69,6 +70,9 @@ class AppState:
         from panoptikon_tpu.models.pool import InferencePool
 
         state = cls(data_root=Path(data_root))
+        # One serving process per root (main.rs RootLock): fail fast before
+        # touching any database another process may be writing.
+        rootlock.acquire(state.data_root)
         state.databases = DatabaseRegistry(state.data_root / "databases")
         state.writers = WriterRegistry()
         state.model_registry = Registry(registry_dir, user_registry_dir)
@@ -118,7 +122,18 @@ class AppState:
     # -- per-db accessors ---------------------------------------------------
 
     def db(self, name: str) -> Database:
-        return self.databases.get(name)
+        first_open = name not in self.databases._dbs
+        db = self.databases.get(name)
+        if first_open:
+            # Startup incomplete-job cleanup (extraction.rs:271): a killed
+            # process leaves data_jobs/file_scans rows forever "running";
+            # mark them incomplete before anything reads job history. The
+            # root lock guarantees no other process has live jobs here.
+            try:
+                self.writers.get(db).call(store.remove_incomplete_jobs)
+            except Exception:
+                pass
+        return db
 
     def index(self, name: str) -> VectorIndex:
         idx = self.indexes.get(name)
@@ -247,7 +262,29 @@ class AppState:
         inference_id = params["inference_id"]
         group = inference_id.split("/", 1)[0]
         meta = self.model_registry.group_metadata(group)
-        report = run_extraction_job(
+        try:
+            report = self._extraction_body(handle, db, writer, inference_id, meta)
+        except BaseException:
+            # The reference's IncompleteJobCleanup drop guard
+            # (extraction.rs:266): a failed/cancelled job must not show as
+            # forever-running in history. One job runs per DB at a time, so
+            # the DB-wide mark hits exactly this job.
+            try:
+                writer.call(store.remove_incomplete_jobs)
+            except Exception:
+                pass
+            raise
+        handle.result = {
+            "processed": report.processed,
+            "segments": report.segments,
+            "input_errors": report.input_errors,
+            "transient_errors": report.transient_errors,
+        }
+        return report.summary
+
+    def _extraction_body(self, handle, db, writer, inference_id, meta):
+        params = handle.params
+        return run_extraction_job(
             db=db,
             writer=writer,
             index=self.index(handle.db_name),
@@ -270,13 +307,6 @@ class AppState:
             input_handler_opts=(meta.get("input_spec") or {}).get("opts"),
             cancelled=lambda: handle.cancelled,
         )
-        handle.result = {
-            "processed": report.processed,
-            "segments": report.segments,
-            "input_errors": report.input_errors,
-            "transient_errors": report.transient_errors,
-        }
-        return report.summary
 
     def _run_reconcile(self, handle):
         db = self.db(handle.db_name)
@@ -320,6 +350,7 @@ class AppState:
         self.queue.shutdown()
         self.manager.shutdown()
         self.writers.close_all()
+        rootlock.release(self.data_root)
 
 
 def _db_name(request) -> str:

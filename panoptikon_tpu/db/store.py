@@ -151,6 +151,25 @@ def complete_data_job(conn: sqlite3.Connection, job_id: int) -> None:
     conn.execute("UPDATE data_jobs SET completed = 1 WHERE id = ?", (job_id,))
 
 
+def remove_incomplete_jobs(conn: sqlite3.Connection) -> int:
+    """Mark phantom in-progress work left behind by a killed process
+    (extraction_write.rs:61 remove_incomplete_jobs): data_jobs/data_log
+    rows stuck at completed=0 become -1 so job history shows them as
+    incomplete rather than forever-running, and dangling file_scans rows
+    get an end time. Partial outputs are KEPT — the keyset-cursor re-run's
+    NOT-processed predicate finds the remainder ('the data is the
+    checkpoint'), so nothing needs deleting."""
+    marked = conn.execute(
+        "UPDATE data_jobs SET completed = -1 WHERE completed = 0"
+    ).rowcount
+    conn.execute("UPDATE data_log SET completed = -1 WHERE completed = 0")
+    conn.execute(
+        "UPDATE file_scans SET end_time = ? WHERE end_time IS NULL",
+        (now_iso(),),
+    )
+    return marked
+
+
 def add_data_log(
     conn: sqlite3.Connection,
     job_id: int,

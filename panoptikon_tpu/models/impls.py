@@ -1130,6 +1130,34 @@ class BatchSizeImpl(InferenceModel):
         return [{"observed_batch": len(inputs)} for _ in inputs]
 
 
+class OomImpl(InferenceModel):
+    """Raises a device-OOM-shaped error for batches above ``oom_above`` —
+    exercises the dispatch layer's batch-halving retry (the reference's
+    run_with_oom_retry, impl/utils.py)."""
+
+    def __init__(self, oom_above: int = 2, **_: Any):
+        self.oom_above = oom_above
+        self.calls: list[int] = []
+
+    @classmethod
+    def name(cls) -> str:
+        return "oom_impl"
+
+    def load(self) -> None:
+        pass
+
+    def unload(self) -> None:
+        pass
+
+    def predict(self, inputs):
+        self.calls.append(len(inputs))
+        if len(inputs) > self.oom_above:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory allocating 9999 bytes"
+            )
+        return [{"n": len(inputs)} for _ in inputs]
+
+
 class FailBatchImpl(InferenceModel):
     """Fails any merged batch (>1 input) — exercises the per-request
     fallback (dispatch.rs:28-35)."""
@@ -1232,6 +1260,7 @@ IMPL_INDEX: dict[str, type[InferenceModel]] = {
         EchoImpl,
         BatchSizeImpl,
         FailBatchImpl,
+        OomImpl,
         ErrorSlotImpl,
         SlowImpl,
         BrokenLoadImpl,

@@ -48,6 +48,13 @@ class ModelLoadError(RuntimeError):
     pass
 
 
+def _is_oom(exc: BaseException) -> bool:
+    """Device out-of-memory, by message: XLA raises XlaRuntimeError with
+    RESOURCE_EXHAUSTED; TPU allocator messages mention HBM."""
+    s = str(exc)
+    return "RESOURCE_EXHAUSTED" in s or "out of memory" in s.lower()
+
+
 @dataclass
 class _Request:
     """One caller's slice of a dispatch window."""
@@ -198,11 +205,19 @@ class ModelManager:
         simply taking several device steps."""
         cap = max(1, cap or entry.default_batch)
         if len(inputs) <= cap:
-            return list(entry.model.predict(inputs))
+            try:
+                return list(entry.model.predict(inputs))
+            except Exception as exc:
+                # Device-OOM → batch-halving retry (the reference's
+                # impl/utils.py run_with_oom_retry): smaller buckets
+                # compile smaller activations; anything else re-raises.
+                if not _is_oom(exc) or len(inputs) == 1:
+                    raise
+                cap = max(1, len(inputs) // 2)
         outputs: list = []
         for at in range(0, len(inputs), cap):
             chunk = inputs[at : at + cap]
-            got = list(entry.model.predict(chunk))
+            got = ModelManager._predict_split(entry, chunk, cap)
             if len(got) != len(chunk):
                 raise RuntimeError(
                     f"{len(got)} outputs for {len(chunk)} inputs"

@@ -534,3 +534,45 @@ class TestResumeAfterCancel:
         assert first.processed + second.processed == 12
         # Device index converged too.
         assert env["index"].snapshot("tiny").size == 12
+
+
+class TestIncompleteJobCleanup:
+    """remove_incomplete_jobs (extraction_write.rs:61): a killed process's
+    phantom in-progress rows get marked incomplete; partial outputs stay
+    (the keyset re-run finds the remainder)."""
+
+    def test_marks_phantom_rows(self, env):
+        db, writer = env["db"], env["writer"]
+        job_id = writer.call(store.create_data_job)
+        log_id = writer.call(
+            lambda c: store.add_data_log(
+                c, job_id, log_type="clip", setter="s", batch_size=4
+            )
+        )
+        writer.call(
+            lambda c: c.execute(
+                "INSERT INTO file_scans (start_time, path) VALUES (?, ?)",
+                (store.now_iso(), "/x"),
+            )
+        )
+        marked = writer.call(store.remove_incomplete_jobs)
+        assert marked == 1
+        conn = db.reader()
+        assert conn.execute(
+            "SELECT completed FROM data_jobs WHERE id=?", (job_id,)
+        ).fetchone()[0] == -1
+        assert conn.execute(
+            "SELECT completed FROM data_log WHERE id=?", (log_id,)
+        ).fetchone()[0] == -1
+        assert conn.execute(
+            "SELECT COUNT(*) FROM file_scans WHERE end_time IS NULL"
+        ).fetchone()[0] == 0
+
+    def test_completed_jobs_untouched(self, env):
+        db, writer = env["db"], env["writer"]
+        job_id = writer.call(store.create_data_job)
+        writer.call(lambda c: store.complete_data_job(c, job_id))
+        assert writer.call(store.remove_incomplete_jobs) == 0
+        assert db.reader().execute(
+            "SELECT completed FROM data_jobs WHERE id=?", (job_id,)
+        ).fetchone()[0] == 1

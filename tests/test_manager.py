@@ -377,3 +377,38 @@ class TestOversizedSplitting:
             max_batch=4,
         )
         assert {o["observed_batch"] for o in out} == {4, 2}
+
+
+class TestOomRetry:
+    """Device-OOM → batch-halving retry (impl/utils.py run_with_oom_retry):
+    the dispatch layer halves the batch until it fits, never surfacing the
+    OOM unless a single item alone overflows."""
+
+    @pytest.fixture
+    def omanager(self, tmp_path):
+        builtin = tmp_path / "b"
+        builtin.mkdir()
+        (builtin / "00.toml").write_text(
+            BUILTIN
+            + "[group.fixtures.inference_ids.oom]\n"
+            + "config.impl_class = 'oom_impl'\n"
+            + "config.oom_above = 2\n"
+        )
+        m = ModelManager(Registry(builtin), IMPL_INDEX)
+        yield m
+        m.shutdown()
+
+    def test_halves_until_it_fits(self, omanager):
+        out = omanager.predict(
+            "fixtures/oom", [PredictionInput(data={}) for _ in range(8)]
+        )
+        assert len(out) == 8
+        model = omanager._models["fixtures/oom"].model
+        assert max(c for c in model.calls if c <= 2) <= 2
+        assert 8 in model.calls  # the first attempt DID try the full batch
+
+    def test_single_item_oom_surfaces(self, omanager):
+        omanager.load_model("fixtures/oom")
+        omanager._models["fixtures/oom"].model.oom_above = 0
+        with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+            omanager.predict("fixtures/oom", [PredictionInput(data={})])

@@ -87,3 +87,38 @@ class TestPhaseTimer:
         report = timer.report()
         # 4 overlapping spans: work ≈ 4×busy.
         assert report["inference"]["parallelism"] > 2.0
+
+
+class TestRootLock:
+    def test_reacquire_same_process_ok(self, tmp_path):
+        from panoptikon_tpu.utils import rootlock
+
+        rootlock.acquire(tmp_path)
+        rootlock.acquire(tmp_path)  # idempotent
+        rootlock.release(tmp_path)
+
+    def test_second_process_fails_fast(self, tmp_path):
+        import subprocess
+        import sys
+        import textwrap
+
+        from panoptikon_tpu.utils import rootlock
+
+        rootlock.acquire(tmp_path)
+        try:
+            code = textwrap.dedent(f"""
+                from panoptikon_tpu.utils import rootlock
+                try:
+                    rootlock.acquire({str(tmp_path)!r})
+                except rootlock.RootLockError as e:
+                    print("LOCKED", e)
+                else:
+                    print("ACQUIRED")
+            """)
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                cwd="/root/repo",
+            )
+            assert "LOCKED" in out.stdout, out.stdout + out.stderr
+        finally:
+            rootlock.release(tmp_path)
