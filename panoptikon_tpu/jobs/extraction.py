@@ -21,9 +21,20 @@ The reference's streaming extraction job (jobs/extraction.rs:237
 
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass, field
 from typing import Any, Optional
+
+logger = logging.getLogger("panoptikon_tpu.jobs")
+
+
+class SystemicExtractionFailure(RuntimeError):
+    """Every attempted item failed and at least one failure was NOT an
+    input-media verdict — an inference outage, not bad files. The job must
+    fail loudly (the queue marks it failed; the incomplete-job guard marks
+    its log row) instead of soft-completing a run that did nothing
+    (extraction.rs:582-600 classify_extraction_job_failure)."""
 
 import numpy as np
 
@@ -306,6 +317,22 @@ def run_extraction_job(
         weights = np.array([p[3] for p in pending_vectors], dtype=np.float32)
         index.add(setter, items, rows, vecs, weights)
         report.summary.needs_analyze = True
+
+    # Failure classification (extraction.rs:218): a run where EVERY
+    # attempted item failed and any failure was systemic (transient) did
+    # nothing useful — fail loudly, leaving the log row for the incomplete
+    # guard. Input-only failure runs did all they could: complete, warn.
+    attempted = report.processed + report.input_errors + report.transient_errors
+    if attempted > 0 and report.processed == 0 and not cancelled():
+        if report.transient_errors > 0:
+            raise SystemicExtractionFailure(
+                f"{setter}: all {attempted} attempted items failed "
+                f"({report.transient_errors} systemic) — inference outage?"
+            )
+        logger.warning(
+            "%s: %d items failed on input media; not an inference outage",
+            setter, report.input_errors,
+        )
 
     writer.call(
         lambda c: store.finish_data_log(

@@ -47,6 +47,14 @@ config.max_tokens = 8
 output_type = "text"
 input_mime_types = ["audio/"]
 [group.whisper.inference_ids.tiny-stt]
+
+[group.oomfix]
+config.impl_class = "oom_impl"
+config.oom_above = 0
+[group.oomfix.metadata]
+output_type = "clip"
+input_mime_types = ["image/"]
+[group.oomfix.inference_ids.dead]
 """
 
 
@@ -576,3 +584,39 @@ class TestIncompleteJobCleanup:
         assert db.reader().execute(
             "SELECT completed FROM data_jobs WHERE id=?", (job_id,)
         ).fetchone()[0] == 1
+
+
+class TestFailureClassification:
+    """extraction.rs:218 classify_extraction_job_failure: all-systemic runs
+    fail the job loudly; input-only runs complete with the errors counted."""
+
+    def _scan(self, env):
+        scan.rescan_folders(env["db"], env["writer"], folders=[str(env["media"])])
+
+    def test_all_systemic_fails_loudly(self, env):
+        self._scan(env)
+        with pytest.raises(extraction.SystemicExtractionFailure, match="outage"):
+            extraction.run_extraction_job(
+                db=env["db"], writer=env["writer"], index=env["index"],
+                manager=env["manager"], inference_id="oomfix/dead",
+                output_type="clip", mime_prefixes=("image/",), batch_size=4,
+            )
+        # The drop-guard path marks the phantom job row incomplete.
+        env["writer"].call(store.remove_incomplete_jobs)
+        row = env["db"].reader().execute(
+            "SELECT MAX(completed) FROM data_jobs"
+        ).fetchone()
+        assert row[0] <= 0
+
+    def test_input_only_completes(self, env, tmp_path):
+        # A PNG-magic file with a corrupt body: sniffs as image/png, decode
+        # fails with an input-class slot.
+        bad = env["media"] / "corrupt.png"
+        bad.write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+        self._scan(env)
+        report = extraction.run_extraction_job(
+            db=env["db"], writer=env["writer"], index=env["index"],
+            manager=env["manager"], inference_id="clip/tiny",
+            output_type="clip", mime_prefixes=("image/",), batch_size=4,
+        )
+        assert report.processed > 0 and report.input_errors >= 1
