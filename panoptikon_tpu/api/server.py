@@ -91,8 +91,18 @@ class AppState:
                 weight=int(up.get("weight", 1)),
                 name=up.get("name", up["url"]),
             )
+        def _persist_owed(db_name: str, snapshot) -> None:
+            # Durable owed-maintenance marker (job-boundary doc:5-9): owed
+            # ANALYZE/recount work survives a process kill and re-arms at
+            # the next open (see AppState.db seed).
+            owed_db = state.databases.get(db_name)
+            state.writers.get(owed_db).call(
+                lambda c: store.set_config(c, "maintenance_state", snapshot or {})
+            )
+
         state.queue = JobQueue(
-            {
+            persist_owed=_persist_owed,
+            runners={
                 JobType.FOLDER_RESCAN: state._run_rescan,
                 JobType.FOLDER_UPDATE: state._run_folder_update,
                 JobType.DATA_EXTRACTION: state._run_extraction,
@@ -133,6 +143,18 @@ class AppState:
                 self.writers.get(db).call(store.remove_incomplete_jobs)
             except Exception:
                 pass
+            # Re-arm owed maintenance the previous process never repaid.
+            if self.queue is not None:
+                try:
+                    stored = store.get_config(
+                        db.reader(), "maintenance_state", None
+                    )
+                    if stored:
+                        self.queue.seed_owed(
+                            name, ChangeSummary.from_dict(stored)
+                        )
+                except Exception:
+                    pass
         return db
 
     def index(self, name: str) -> VectorIndex:

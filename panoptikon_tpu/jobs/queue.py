@@ -47,6 +47,15 @@ class ChangeSummary:
     def any(self) -> bool:
         return self.wrote_data or self.tags_dirty or self.needs_analyze
 
+    def to_dict(self) -> dict:
+        return {"wrote_data": self.wrote_data, "tags_dirty": self.tags_dirty,
+                "needs_analyze": self.needs_analyze}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ChangeSummary":
+        return cls(bool(d.get("wrote_data")), bool(d.get("tags_dirty")),
+                   bool(d.get("needs_analyze")))
+
 
 @dataclass
 class JobHandle:
@@ -81,8 +90,14 @@ JobRunner = Callable[[JobHandle], Optional[ChangeSummary]]
 class JobQueue:
     """One runner thread per database; jobs execute strictly serially."""
 
-    def __init__(self, runners: dict[JobType, JobRunner]):
+    def __init__(self, runners: dict[JobType, JobRunner], persist_owed=None):
+        """``persist_owed(db_name, summary_dict | None)`` makes owed
+        maintenance DURABLE (the reference's maintenance_state marker,
+        job-boundary doc:5-9): called with the merged summary whenever owed
+        work accrues, and with None once the maintenance job that repays it
+        completes. A killed process re-seeds from storage via seed_owed."""
         self.runners = runners
+        self._persist_owed = persist_owed
         self._lock = threading.Lock()
         self._queues: dict[str, list[JobHandle]] = {}
         self._history: dict[str, list[JobHandle]] = {}
@@ -158,6 +173,24 @@ class JobQueue:
         for thread in list(self._threads.values()):
             thread.join(timeout=30)
 
+    def seed_owed(self, db_name: str, summary: ChangeSummary) -> None:
+        """Re-arm owed maintenance recovered from durable storage (called
+        at DB open after a restart)."""
+        if not summary.any:
+            return
+        self._ensure_thread(db_name)
+        with self._lock:
+            self._owed.setdefault(db_name, ChangeSummary()).merge(summary)
+            self._wake[db_name].set()
+
+    def _persist(self, db_name: str, snapshot) -> None:
+        if self._persist_owed is None:
+            return
+        try:
+            self._persist_owed(db_name, snapshot)
+        except Exception:  # pragma: no cover — persistence is best-effort
+            pass
+
     # -- internals ----------------------------------------------------------
 
     def _ensure_thread(self, db_name: str) -> None:
@@ -211,7 +244,16 @@ class JobQueue:
                     handle.state = "cancelled" if handle.cancelled else "completed"
                     if summary is not None and summary.any:
                         with self._lock:
-                            self._owed.setdefault(db_name, ChangeSummary()).merge(summary)
+                            merged = self._owed.setdefault(db_name, ChangeSummary())
+                            merged.merge(summary)
+                            snapshot = merged.to_dict()
+                        self._persist(db_name, snapshot)
+                    if (
+                        handle.job_type is JobType.DB_MAINTENANCE
+                        and handle.state == "completed"
+                    ):
+                        # Owed work repaid — clear the durable marker.
+                        self._persist(db_name, None)
             except Exception as exc:
                 handle.state = "failed"
                 handle.error = f"{exc}\n{traceback.format_exc(limit=5)}"

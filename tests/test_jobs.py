@@ -620,3 +620,47 @@ class TestFailureClassification:
             output_type="clip", mime_prefixes=("image/",), batch_size=4,
         )
         assert report.processed > 0 and report.input_errors >= 1
+
+
+class TestDurableOwedMaintenance:
+    """Owed maintenance survives a process kill (the reference's
+    maintenance_state durable marker): persisted when owed accrues, cleared
+    when the maintenance job repays it, re-seeded at the next open."""
+
+    def test_persist_merge_and_clear(self, env):
+        saved = []
+        done = {"n": 0}
+
+        def runner(handle):
+            return ChangeSummary(needs_analyze=True)
+
+        def maint(handle):
+            done["n"] += 1
+            return None
+
+        q = JobQueue(
+            runners={JobType.FOLDER_RESCAN: runner,
+                     JobType.DB_MAINTENANCE: maint},
+            persist_owed=lambda db, snap: saved.append((db, snap)),
+        )
+        q.enqueue("d", JobType.FOLDER_RESCAN)
+        deadline = time.time() + 10
+        while time.time() < deadline and done["n"] == 0:
+            time.sleep(0.02)
+        q.shutdown()
+        assert done["n"] == 1
+        # First an accrual snapshot, then the post-maintenance clear.
+        assert saved[0][1]["needs_analyze"] is True
+        assert saved[-1] == ("d", None)
+
+    def test_seed_owed_triggers_maintenance(self):
+        done = {"n": 0}
+        q = JobQueue(
+            runners={JobType.DB_MAINTENANCE: lambda h: done.__setitem__("n", done["n"] + 1)},
+        )
+        q.seed_owed("d", ChangeSummary(tags_dirty=True))
+        deadline = time.time() + 10
+        while time.time() < deadline and done["n"] == 0:
+            time.sleep(0.02)
+        q.shutdown()
+        assert done["n"] == 1
