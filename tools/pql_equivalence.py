@@ -97,6 +97,11 @@ def seed_db(root, n_items, rng):
                 for t in rng.choice(tags, size=rng.integers(1, 4), replace=False):
                     tid = store.upsert_tag(conn, "general", str(t))
                     store.tag_item(conn, gdid, item, tid, float(rng.uniform(0.2, 1.0)))
+            if i in (5, 9):
+                store.record_extraction_error(
+                    conn, item, "clip/test", stage="inference",
+                    error_class="input", message="synthetic",
+                )
             rows.append((item, sha, mime))
         return rows
 
@@ -209,6 +214,31 @@ def oracle_rows(db, payload, rows, vecs):
         item_ids = [r[0] for r in rows]
         dist = {item_ids[i]: float(d) for i, d in enumerate(1 - vecs @ qv)}
         order_key = lambda fid: (dist[by_file[fid][1]], fid)
+    elif "not_" in q and "match" in q["not_"]:
+        col, val = next(iter(q["not_"]["match"]["eq"].items()))
+        idx = {"type": 2, "size": 3, "path": 4}[col]
+        restrict(lambda r: r[idx] != val)
+    elif "or_" in q:
+        keep = set()
+        for child in q["or_"]:
+            col, val = next(iter(child["match"]["eq"].items()))
+            idx = {"type": 2, "size": 3, "path": 4}[col]
+            keep |= {fid for fid in members if by_file[fid][idx] == val}
+        members = keep
+    elif "match" in q and "startswith" in q["match"]:
+        col, val = next(iter(q["match"]["startswith"].items()))
+        idx = {"type": 2, "size": 3, "path": 4}[col]
+        restrict(lambda r: str(r[idx]).startswith(val))
+    elif "failed_for" in q:
+        ok = {
+            r[0]
+            for r in conn.execute(
+                """SELECT item_id FROM extraction_errors
+                   WHERE setter_name=? AND error_class='input'""",
+                (q["failed_for"],),
+            ).fetchall()
+        }
+        restrict(lambda r: r[1] in ok)
     elif "processed_by" in q:
         ok = {
             r[0]
@@ -223,6 +253,14 @@ def oracle_rows(db, payload, rows, vecs):
         return None
 
     ordered = sorted(members) if order_key is None else sorted(members, key=order_key)
+    if payload.get("partition_by") == ["item_id"]:
+        seen, kept = set(), []
+        for fid in ordered:
+            iid = by_file[fid][1]
+            if iid not in seen:
+                seen.add(iid)
+                kept.append(fid)
+        ordered = kept
     if payload.get("order_by") == [{"order_by": "size"}]:
         ordered = sorted(members, key=lambda fid: (by_file[fid][3], fid))
     if payload.get("order_by") == [{"order_by": "random"}]:
@@ -278,6 +316,16 @@ def main() -> int:
             ]}, "page_size": 10_000},
             {"page_size": 10_000, "order_by": [{"order_by": "random"}],
              "seed": 424242},
+            {"query": {"not_": {"match": {"eq": {"type": "image/png"}}}},
+             "page_size": 10_000},
+            {"query": {"or_": [
+                {"match": {"eq": {"type": "image/png"}}},
+                {"match": {"eq": {"type": "video/mp4"}}},
+            ]}, "page_size": 10_000},
+            {"query": {"match": {"startswith": {"path": "/corpus/d3/"}}},
+             "page_size": 10_000},
+            {"query": {"failed_for": "clip/test"}, "page_size": 10_000},
+            {"page_size": 10_000, "partition_by": ["item_id"]},
         ]
         failures, checked = [], 0
         for payload in queries:
