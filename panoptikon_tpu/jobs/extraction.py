@@ -26,16 +26,6 @@ import time
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
-logger = logging.getLogger("panoptikon_tpu.jobs")
-
-
-class SystemicExtractionFailure(RuntimeError):
-    """Every attempted item failed and at least one failure was NOT an
-    input-media verdict — an inference outage, not bad files. The job must
-    fail loudly (the queue marks it failed; the incomplete-job guard marks
-    its log row) instead of soft-completing a run that did nothing
-    (extraction.rs:582-600 classify_extraction_job_failure)."""
-
 import numpy as np
 
 from panoptikon_tpu.db import store
@@ -46,8 +36,18 @@ from panoptikon_tpu.jobs.queue import ChangeSummary
 from panoptikon_tpu.models.base import PredictionInput, is_error_slot, parse_error_slot
 from panoptikon_tpu.utils import npy
 
+logger = logging.getLogger("panoptikon_tpu.jobs")
+
 WORK_CHUNK_ROWS = 1024
 LOADER_BUDGET_BYTES = 256 << 20  # in-flight payload cap (budget_slots KiB)
+
+
+class SystemicExtractionFailure(RuntimeError):
+    """Every attempted item failed and at least one failure was NOT an
+    input-media verdict — an inference outage, not bad files. The job must
+    fail loudly (the queue marks it failed; the incomplete-job guard marks
+    its log row) instead of soft-completing a run that did nothing
+    (extraction.rs:582-600 classify_extraction_job_failure)."""
 
 
 @dataclass

@@ -645,7 +645,9 @@ def audio_info(path: str, mime: str = "") -> AudioInfo:
 AUDIO_THUMB_DIM = 1024
 
 
-def audio_thumbnail(path: str, mime: str = "") -> tuple[bytes, int, int]:
+def audio_thumbnail(
+    path: str, mime: str = "", info: Optional[AudioInfo] = None
+) -> tuple[bytes, int, int]:
     """Embedded cover art (capped at 1024², files.rs:5207) when present,
     else a generated gradient placeholder labeled with artist/album/title
     (build_audio_placeholder files.rs:5220). Infallible: tag-read failures
@@ -654,7 +656,8 @@ def audio_thumbnail(path: str, mime: str = "") -> tuple[bytes, int, int]:
 
     from PIL import Image, ImageDraw
 
-    info = audio_info(path, mime)
+    if info is None:
+        info = audio_info(path, mime)
     if info.cover:
         try:
             im = Image.open(BytesIO(info.cover)).convert("RGB")

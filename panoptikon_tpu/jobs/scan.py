@@ -348,7 +348,7 @@ def process_path(
         row.audio_tracks = 1
         if make_thumbnails:
             try:
-                row.thumb = media.audio_thumbnail(path, mime)
+                row.thumb = media.audio_thumbnail(path, mime, info=info)
             except Exception:  # pragma: no cover — placeholder is infallible
                 row.thumb = None
         row.metadata_time = time.perf_counter() - t0
