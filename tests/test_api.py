@@ -539,3 +539,43 @@ class TestHistoryAndLedgers:
         assert errs == []
         _, scan_errs = call("GET", "/api/jobs/failures/scan")
         assert isinstance(scan_errs, list)
+
+
+class TestMediaIntakeThroughApi:
+    """End-to-end: HTML (blocked on the missing browser) and FLAC (audio
+    metadata) ride the real scan job; outcomes surface through the
+    failures ledger and item metadata APIs."""
+
+    def test_html_blocked_and_flac_duration(self, client_env, monkeypatch):
+        from panoptikon_tpu.jobs import media as media_mod
+        from tests.test_media import make_flac
+
+        monkeypatch.setattr(media_mod, "html_renderer_path", lambda: None)
+        call, state = client_env["call"], client_env["state"]
+        (client_env["media"] / "page.html").write_text(
+            "<html><body>hello</body></html>"
+        )
+        make_flac(client_env["media"] / "song.flac", title="Song")
+
+        status, _ = call(
+            "PUT", "/api/jobs/folders",
+            json={"included": [str(client_env["media"])]},
+        )
+        assert status == 200
+        wait_jobs(state)
+
+        # The HTML file is ledgered as blocked on the html-renderer dep.
+        status, errs = call("GET", "/api/jobs/failures/scan")
+        assert status == 200
+        blocked = [e for e in errs if e.get("blocker") == "html-renderer"]
+        assert blocked and blocked[0]["path"].endswith("page.html")
+
+        # The FLAC carries container duration into item metadata.
+        status, res = call(
+            "POST", "/api/search/pql",
+            json={"query": {"match": {"eq": {"type": "audio/flac"}}},
+                  "select": ["sha256", "duration"], "page_size": 5},
+        )
+        assert status == 200
+        assert res["results"], res
+        assert res["results"][0]["duration"] == pytest.approx(10.0)
