@@ -11,6 +11,7 @@ reject mutating methods.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 from aiohttp import web
@@ -90,8 +91,6 @@ def policy_middleware(
                         (p for p in engine.policies if p.name == name), None
                     )
                 except TokenError as e:
-                    import logging
-
                     logging.getLogger("panoptikon_tpu.api").debug(
                         "policy token ignored: %s", e.kind
                     )
