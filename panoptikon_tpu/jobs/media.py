@@ -544,6 +544,22 @@ def _id3v2_tags(f, info: AudioInfo) -> int:
     return 10 + size
 
 
+def _id3v1_tags(f, file_size: int, info: AudioInfo) -> None:
+    """Trailing 128-byte ID3v1 block — the fallback when no v2 tag led the
+    file (old rips)."""
+    if file_size < 128:
+        return
+    f.seek(file_size - 128)
+    block = f.read(128)
+    if block[:3] != b"TAG":
+        return
+    def txt(lo, hi):
+        return block[lo:hi].split(b"\x00", 1)[0].decode("latin-1").strip()
+    info.title = info.title or txt(3, 33)
+    info.artist = info.artist or txt(33, 63)
+    info.album = info.album or txt(63, 93)
+
+
 def _mp3_info(f, file_size: int) -> AudioInfo:
     info = AudioInfo()
     offset = _id3v2_tags(f, info)
@@ -583,6 +599,8 @@ def _mp3_info(f, file_size: int) -> AudioInfo:
         if info.duration is None and bitrate:
             info.duration = (file_size - offset - i) * 8 / bitrate
         break
+    if not (info.title or info.artist or info.album):
+        _id3v1_tags(f, file_size, info)
     return info
 
 

@@ -496,3 +496,15 @@ class TestHtmlIntake:
         p.write_text("<html><body style='background:#f00'>x</body></html>")
         frames = media.render_html_screenshot(str(p))
         assert frames and frames[0][1] > 0
+
+
+def test_mp3_id3v1_fallback(tmp_path):
+    p = tmp_path / "old.mp3"
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 400
+    tag = b"TAG" + b"Old Title".ljust(30, b"\x00") \
+        + b"Old Artist".ljust(30, b"\x00") + b"Old Album".ljust(30, b"\x00") \
+        + b"\x00" * 35
+    p.write_bytes(frame + tag)
+    info = media.audio_info(str(p))
+    assert info.title == "Old Title" and info.artist == "Old Artist"
+    assert info.album == "Old Album"
