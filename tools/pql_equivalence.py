@@ -106,6 +106,19 @@ def seed_db(root, n_items, rng):
         return rows
 
     rows = writer.call(unit)
+    # user_data: bookmark every 4th item for the in_bookmarks shape.
+    uconn = db.user_data_write_connection()
+    try:
+        with uconn:
+            for i in range(0, n_items, 4):
+                uconn.execute(
+                    """INSERT INTO bookmarks
+                       (user, namespace, sha256, time_added, metadata)
+                       VALUES ('u1', 'favs', ?, ?, NULL)""",
+                    (rows[i][1], f"2026-01-01T00:00:{i % 60:02d}"),
+                )
+    finally:
+        uconn.close()
     item_ids = np.array([r[0] for r in rows], dtype=np.int64)
     index.add("clip/test", item_ids, np.arange(n_items), vecs)
     index.build_quant("clip/test")
@@ -229,6 +242,18 @@ def oracle_rows(db, payload, rows, vecs):
         col, val = next(iter(q["match"]["startswith"].items()))
         idx = {"type": 2, "size": 3, "path": 4}[col]
         restrict(lambda r: str(r[idx]).startswith(val))
+    elif "in_bookmarks" in q:
+        args = q["in_bookmarks"]
+        ok = {
+            r[0]
+            for r in conn.execute(
+                """SELECT i.id FROM user_data.bookmarks b
+                   JOIN items i ON i.sha256 = b.sha256
+                   WHERE b.user IN (?, '*') AND b.namespace = ?""",
+                (args["user"], args["namespaces"][0]),
+            ).fetchall()
+        }
+        restrict(lambda r: r[1] in ok)
     elif "failed_for" in q:
         ok = {
             r[0]
@@ -326,6 +351,8 @@ def main() -> int:
              "page_size": 10_000},
             {"query": {"failed_for": "clip/test"}, "page_size": 10_000},
             {"page_size": 10_000, "partition_by": ["item_id"]},
+            {"query": {"in_bookmarks": {"user": "u1", "namespaces": ["favs"]}},
+             "page_size": 10_000},
         ]
         failures, checked = [], 0
         for payload in queries:
