@@ -627,14 +627,37 @@ def _ogg_info(f, file_size: int) -> AudioInfo:
     return info
 
 
+def _mp4_info(f) -> AudioInfo:
+    """ISO-BMFF (M4A/MP4 audio): duration from the moov/mvhd box —
+    timescale (u32) + duration (u32/u64 by version)."""
+    info = AudioInfo()
+    head = f.read(1 << 20)
+    at = head.find(b"mvhd")
+    if at < 0 or at + 28 > len(head):
+        return info
+    version = head[at + 4]
+    if version == 1 and at + 36 <= len(head):
+        timescale = int.from_bytes(head[at + 24 : at + 28], "big")
+        duration = int.from_bytes(head[at + 28 : at + 36], "big")
+    else:
+        timescale = int.from_bytes(head[at + 16 : at + 20], "big")
+        duration = int.from_bytes(head[at + 20 : at + 24], "big")
+    if timescale and duration not in (0, 0xFFFFFFFF):
+        info.duration = duration / timescale
+    return info
+
+
 def audio_info(path: str, mime: str = "") -> AudioInfo:
     """Container-sniffed metadata: duration, rate, channels, TITLE/ARTIST/
     ALBUM tags, embedded cover art. Never raises."""
     try:
         size = os.path.getsize(path)
         with open(path, "rb") as f:
-            magic = f.read(4)
+            magic = f.read(12)
             f.seek(0)
+            if magic[4:8] == b"ftyp" or mime in ("audio/mp4", "video/mp4"):
+                return _mp4_info(f)
+            magic = magic[:4]
             if magic == b"fLaC":
                 return _flac_info(f)
             if magic == b"OggS":

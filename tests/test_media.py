@@ -508,3 +508,44 @@ def test_mp3_id3v1_fallback(tmp_path):
     info = media.audio_info(str(p))
     assert info.title == "Old Title" and info.artist == "Old Artist"
     assert info.album == "Old Album"
+
+
+def test_m4a_mvhd_duration(tmp_path):
+    p = tmp_path / "a.m4a"
+    # ftyp box + moov/mvhd (version 0): timescale 600, duration 6000 → 10 s.
+    ftyp = (16).to_bytes(4, "big") + b"ftypM4A " + b"\x00" * 4
+    mvhd = b"mvhd" + b"\x00" * 12 + (600).to_bytes(4, "big") \
+        + (6000).to_bytes(4, "big") + b"\x00" * 4
+    moov = (8 + 4 + len(mvhd)).to_bytes(4, "big") + b"moov" \
+        + (4 + len(mvhd)).to_bytes(4, "big") + mvhd
+    p.write_bytes(ftyp + moov)
+    info = media.audio_info(str(p), "audio/mp4")
+    assert info.duration == pytest.approx(10.0)
+
+
+def test_heal_clears_html_blocker(tmp_path, monkeypatch):
+    """scan_errors rows blocked on html-renderer heal once a browser
+    appears (the generic heal pass keyed on capabilities())."""
+    from panoptikon_tpu.db.connection import Database
+    from panoptikon_tpu.db.writer import IndexWriter
+
+    db = Database(tmp_path / "data", "heal")
+    writer = IndexWriter(db)
+    try:
+        monkeypatch.setattr(media, "html_renderer_path", lambda: None)
+        page = tmp_path / "page.html"
+        page.write_text("<html/>")
+        scan.rescan_folders(db, writer, folders=[str(tmp_path)])
+        n = db.reader().execute(
+            "SELECT COUNT(*) FROM scan_errors WHERE blocker='html-renderer'"
+        ).fetchone()[0]
+        assert n == 1
+        monkeypatch.setattr(media, "html_renderer_path", lambda: "/bin/true")
+        healed, shas = scan.heal_blocked(db, writer)
+        assert healed >= 1
+        n = db.reader().execute(
+            "SELECT COUNT(*) FROM scan_errors WHERE blocker='html-renderer'"
+        ).fetchone()[0]
+        assert n == 0
+    finally:
+        writer.close()
