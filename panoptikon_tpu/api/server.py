@@ -335,6 +335,7 @@ class AppState:
         report = reconcile.run_reconcile(
             db, self.writers.get(db), self.index(handle.db_name),
             cancelled=lambda: handle.cancelled,
+            force_rescale=bool(handle.params.get("force_rescale")),
         )
         handle.result = report.__dict__
         return None
@@ -355,11 +356,37 @@ class AppState:
         writer = self.writers.get(db)
         summary: ChangeSummary = handle.params.get("summary") or ChangeSummary()
 
+        ex = self.executors.get(handle.db_name)
+        watermark = ex.change_log_watermark() if ex is not None else None
+
         def unit(conn):
             if summary.tags_dirty:
                 store.recount_tags(conn)
             if summary.needs_analyze:
                 conn.execute("ANALYZE")
+            # Prune the base change log up to the lowest seq any cached
+            # snapshot still needs (no executor/snapshot → prune all). The
+            # durable bcl_pruned_to marker closes the race with an in-flight
+            # snapshot build: a refresh whose watermark predates the prune
+            # falls back to a full rebuild instead of missing deltas.
+            if watermark is None:
+                # fetchall: an open cursor on the table would make the
+                # DELETE below fail with "database table is locked".
+                rows = conn.execute("SELECT MAX(seq) FROM base_change_log").fetchall()
+                pruned_to = int(rows[0][0] or 0)
+                conn.execute("DELETE FROM base_change_log")
+            else:
+                pruned_to = int(watermark)
+                conn.execute(
+                    "DELETE FROM base_change_log WHERE seq <= ?", (watermark,)
+                )
+            if pruned_to:
+                store.set_config(conn, "bcl_pruned_to", pruned_to)
+            # wal_checkpoint cannot run inside the unit's open write
+            # transaction ("database table is locked"); commit the
+            # maintenance writes first (the unit's closing commit becomes a
+            # no-op).
+            conn.commit()
             conn.execute("PRAGMA wal_checkpoint(PASSIVE)")
 
         writer.call(unit)
@@ -1207,8 +1234,20 @@ async def quants_status(request: web.Request) -> web.Response:
 
 
 async def quants_reconcile(request: web.Request) -> web.Response:
+    """Enqueue a reconcile. ``{"force_rescale": true}`` re-derives the
+    artifact (explicit rebuild — the ONLY path that churns frozen codes,
+    mirroring the reference's requant rebuild, vector_quants.rs:585)."""
     state: AppState = request.app["state"]
-    handle = state.queue.enqueue(_db_name(request), JobType.VECTOR_QUANT_RECONCILE)
+    body = {}
+    if request.can_read_body:
+        try:
+            body = await request.json()
+        except Exception:
+            body = {}
+    handle = state.queue.enqueue(
+        _db_name(request), JobType.VECTOR_QUANT_RECONCILE,
+        params={"force_rescale": bool(body.get("force_rescale"))},
+    )
     return web.json_response({"job_id": handle.job_id})
 
 

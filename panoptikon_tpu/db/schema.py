@@ -275,6 +275,68 @@ INDEX_MIGRATIONS: list[tuple[int, str]] = [
         );
         """,
     ),
+    (
+        2,
+        # Base-snapshot change log: every write that can alter a PQL base
+        # row logs the affected item id; the executor applies these as an
+        # incremental delta (tombstone + refetch) instead of
+        # re-materializing the whole base per epoch (the reference's caches
+        # invalidate but its query path never re-scans the world —
+        # search_cache.rs epoch discipline). item_id NULL = global change
+        # (e.g. setter rename reflected in joined columns) → full rebuild.
+        #
+        # Item-level granularity deliberately over-approximates: FK
+        # cascades (item_data/extracted_text under a deleted item) may not
+        # fire row triggers, but the item-level rows logged here cover
+        # everything beneath them.
+        """
+        CREATE TABLE base_change_log (
+            seq INTEGER PRIMARY KEY AUTOINCREMENT,
+            item_id INTEGER
+        );
+        CREATE TRIGGER bcl_files_ai AFTER INSERT ON files BEGIN
+            INSERT INTO base_change_log(item_id) VALUES (new.item_id);
+        END;
+        CREATE TRIGGER bcl_files_au AFTER UPDATE ON files BEGIN
+            INSERT INTO base_change_log(item_id) VALUES (new.item_id);
+            INSERT INTO base_change_log(item_id)
+            SELECT old.item_id WHERE old.item_id != new.item_id;
+        END;
+        CREATE TRIGGER bcl_files_ad AFTER DELETE ON files BEGIN
+            INSERT INTO base_change_log(item_id) VALUES (old.item_id);
+        END;
+        CREATE TRIGGER bcl_items_au AFTER UPDATE ON items BEGIN
+            INSERT INTO base_change_log(item_id) VALUES (new.id);
+        END;
+        CREATE TRIGGER bcl_items_ad AFTER DELETE ON items BEGIN
+            INSERT INTO base_change_log(item_id) VALUES (old.id);
+        END;
+        CREATE TRIGGER bcl_item_data_ai AFTER INSERT ON item_data BEGIN
+            INSERT INTO base_change_log(item_id) VALUES (new.item_id);
+        END;
+        CREATE TRIGGER bcl_item_data_au AFTER UPDATE ON item_data BEGIN
+            INSERT INTO base_change_log(item_id) VALUES (new.item_id);
+        END;
+        CREATE TRIGGER bcl_item_data_ad AFTER DELETE ON item_data BEGIN
+            INSERT INTO base_change_log(item_id) VALUES (old.item_id);
+        END;
+        CREATE TRIGGER bcl_text_ai AFTER INSERT ON extracted_text BEGIN
+            INSERT INTO base_change_log(item_id)
+            SELECT item_id FROM item_data WHERE id = new.id;
+        END;
+        CREATE TRIGGER bcl_text_au AFTER UPDATE ON extracted_text BEGIN
+            INSERT INTO base_change_log(item_id)
+            SELECT item_id FROM item_data WHERE id = new.id;
+        END;
+        CREATE TRIGGER bcl_text_ad AFTER DELETE ON extracted_text BEGIN
+            INSERT INTO base_change_log(item_id)
+            SELECT item_id FROM item_data WHERE id = old.id;
+        END;
+        CREATE TRIGGER bcl_setters_au AFTER UPDATE ON setters BEGIN
+            INSERT INTO base_change_log(item_id) VALUES (NULL);
+        END;
+        """,
+    ),
 ]
 
 STORAGE_MIGRATIONS: list[tuple[int, str]] = [

@@ -95,6 +95,10 @@ class _SpaceState:
     scale: float | None = None
     codes: np.ndarray | None = None
     quant_revision: int = 0
+    # Rows [0:codes_covered] hold valid codes under `scale`; appended rows
+    # past it await a backfill (the reference's coverage-row discipline,
+    # vector_quants.rs:585 — old codes stay byte-stable across backfills).
+    codes_covered: int = 0
 
 
 class VectorIndex:
@@ -186,23 +190,59 @@ class VectorIndex:
             self._snapshots.pop(space, None)
             return cleared
 
-    def build_quant(self, space: str) -> float:
-        """(Re)build the int8 arm: freeze scale from the live corpus absmax,
-        quantize every valid row. The reconcile job calls this; mirrors
+    def build_quant(self, space: str, scale: float | None = None) -> float:
+        """(Re)build the int8 arm: freeze scale from the live corpus absmax
+        (or quantize under a caller-supplied frozen ``scale``), quantize
+        every valid row. The reconcile job calls this; mirrors
         compute_int8_scale_artifact + backfill (jobs/vector_quants.rs:49).
-        Returns the frozen scale."""
+        A scale derivation bumps the quant revision (codes may churn); a
+        supplied scale re-emits byte-identical codes and keeps the
+        revision. Returns the scale in effect."""
         with self._lock:
             st = self._require(space)
-            live = st.vectors[: st.size][st.row_valid[: st.size]]
-            scale = codec.scale_from_absmax(codec.corpus_absmax(live))
+            if scale is None:
+                live = st.vectors[: st.size][st.row_valid[: st.size]]
+                scale = codec.scale_from_absmax(codec.corpus_absmax(live))
+                st.quant_revision += 1
             codes = np.zeros((st.capacity, st.dim), dtype=np.int8)
             codes[: st.size] = codec.quantize_int8(st.vectors[: st.size], scale)
             st.scale = scale
             st.codes = codes
-            st.quant_revision += 1
+            st.codes_covered = st.size
             st.generation += 1
             self._snapshots.pop(space, None)
             return scale
+
+    def backfill_quant(self, space: str, scale: float) -> int:
+        """Quantize only rows appended since the last build/backfill, under
+        the FROZEN scale — existing codes stay byte-identical (the
+        reference's incremental backfill, vector_quants.rs:1024,1119).
+        Returns the number of rows backfilled."""
+        with self._lock:
+            st = self._require(space)
+            if st.codes is None or st.scale != scale:
+                # Arm missing or scale drifted: full (re)quantize under the
+                # frozen scale — per-row deterministic, so rows already
+                # coded at this scale come out byte-identical anyway.
+                codes = np.zeros((st.capacity, st.dim), dtype=np.int8)
+                codes[: st.size] = codec.quantize_int8(st.vectors[: st.size], scale)
+                st.codes = codes
+                done = st.size
+            elif st.codes_covered >= st.size:
+                return 0
+            else:
+                # In-place fill past the covered prefix: rows below it are
+                # untouched (older snapshots never score rows beyond their
+                # own size, so the shared-array mutation is invisible to
+                # them — same invariant as `add`).
+                lo, hi = st.codes_covered, st.size
+                st.codes[lo:hi] = codec.quantize_int8(st.vectors[lo:hi], scale)
+                done = hi - lo
+            st.scale = scale
+            st.codes_covered = st.size
+            st.generation += 1
+            self._snapshots.pop(space, None)
+            return done
 
     def drop_space(self, space: str) -> None:
         """Remove a space entirely (its durable rows were deleted; a later
@@ -231,12 +271,14 @@ class VectorIndex:
                 [st.item_of_group[g] for g in st.group_ids[: st.size][live]],
                 dtype=np.int64,
             )
-            had_quant = st.scale is not None
+            frozen_scale = st.scale
             self._spaces.pop(space)
             self._snapshots.pop(space, None)
         self.add(space, items, row_ids, vectors, weights)
-        if had_quant:
-            self.build_quant(space)
+        if frozen_scale is not None:
+            # Re-quantize under the PRESERVED scale: surviving rows' codes
+            # stay byte-identical and the artifact revision is untouched.
+            self.build_quant(space, scale=frozen_scale)
 
     def snapshot(self, space: str) -> SpaceSnapshot:
         with self._lock:

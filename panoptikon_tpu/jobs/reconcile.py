@@ -60,11 +60,21 @@ def desired_spaces(db: Database) -> dict[str, bool]:
 
 
 def reconcile_space(
-    db: Database, writer: IndexWriter, index: VectorIndex, setter: str
+    db: Database, writer: IndexWriter, index: VectorIndex, setter: str,
+    force_rescale: bool = False,
 ) -> bool:
     """Converge one space: sync rows from the durable store into the device
-    index if missing, freeze/refresh the artifact, build codes, flip ready.
-    Returns True when the quant arm is ready after the call."""
+    index if missing, freeze/honor the artifact, build/backfill codes, flip
+    ready. Returns True when the quant arm is ready after the call.
+
+    Artifact freeze semantics (vector_quants.rs:585,1024,1119): once a
+    coverage row is ``ready`` with an artifact frozen over at least
+    ``ARTIFACT_MIN_VECTORS`` rows, later reconciles quantize ONLY the new
+    rows under the frozen scale — existing codes (and any golden quant_ab
+    dumps) stay byte-stable. The artifact revision bumps only when the
+    scale is actually (re)derived: below the freeze threshold, or on an
+    explicit ``force_rescale`` rebuild.
+    """
     from panoptikon_tpu.jobs.index_sync import sync_space
 
     sync_space(db, index, setter)
@@ -78,6 +88,12 @@ def reconcile_space(
     def begin(conn):
         pid = _ensure_profile(conn)
         sid = store.upsert_setter(conn, setter)
+        row = conn.execute(
+            """SELECT artifact, n_at_artifact, dim, state
+               FROM vector_quant_coverage
+               WHERE profile_id=? AND setter_id=?""",
+            (pid, sid),
+        ).fetchone()
         conn.execute(
             """INSERT INTO vector_quant_coverage (profile_id, setter_id, state, dim)
                VALUES (?,?, 'building', ?)
@@ -85,19 +101,49 @@ def reconcile_space(
                  state='building', dim=excluded.dim""",
             (pid, sid, snap.dim),
         )
-        return pid, sid
+        return pid, sid, row
 
-    pid, sid = writer.call(begin)
+    pid, sid, row = writer.call(begin)
+    frozen_scale = None
+    if not force_rescale and row is not None:
+        artifact, n_at_artifact, dim, state = row
+        if (
+            state == "ready"
+            and artifact is not None
+            and dim == snap.dim
+            and (n_at_artifact or 0) >= codec.ARTIFACT_MIN_VECTORS
+        ):
+            frozen_scale = codec.artifact_scale(artifact)
+
+    if frozen_scale is not None:
+        index.backfill_quant(setter, frozen_scale)
+
+        def complete(conn):
+            # Ready flips back in the completing transaction; the frozen
+            # artifact and its revision are untouched.
+            conn.execute(
+                """UPDATE vector_quant_coverage SET state='ready'
+                   WHERE profile_id=? AND setter_id=?""",
+                (pid, sid),
+            )
+
+        writer.call(complete)
+        return True
+
     scale = index.build_quant(setter)
     artifact = codec.scale_artifact(scale)
     n = snap.size
+    unchanged = row is not None and row[0] == artifact
 
     def complete(conn):
         # Ready flips only in the completing transaction; the frozen
-        # artifact + revision land atomically with it.
+        # artifact + revision land atomically with it. A re-derive that
+        # lands on the identical artifact keeps its revision (codes are
+        # byte-identical, nothing churned).
         conn.execute(
-            """UPDATE vector_quant_coverage
-               SET state='ready', artifact=?, artifact_rev=artifact_rev+1,
+            f"""UPDATE vector_quant_coverage
+               SET state='ready', artifact=?,
+                   artifact_rev=artifact_rev{'' if unchanged else '+1'},
                    n_at_artifact=?
                WHERE profile_id=? AND setter_id=?""",
             (artifact, n, pid, sid),
@@ -108,7 +154,8 @@ def reconcile_space(
 
 
 def run_reconcile(
-    db: Database, writer: IndexWriter, index: VectorIndex, cancelled=lambda: False
+    db: Database, writer: IndexWriter, index: VectorIndex,
+    cancelled=lambda: False, force_rescale: bool = False,
 ) -> ReconcileReport:
     desired = desired_spaces(db)
     report = ReconcileReport(built=[], dropped=[], ready=[])
@@ -116,7 +163,8 @@ def run_reconcile(
         if cancelled():
             break
         if wanted:
-            if reconcile_space(db, writer, index, setter):
+            if reconcile_space(db, writer, index, setter,
+                               force_rescale=force_rescale):
                 report.built.append(setter)
                 report.ready.append(setter)
         else:

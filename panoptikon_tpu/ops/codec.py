@@ -42,7 +42,11 @@ def scale_from_absmax(absmax: float) -> float:
     """
     absmax = float(absmax)
     if absmax > 0.0 and np.isfinite(absmax):
-        return absmax / INT8_MAX_CODE
+        # Canonicalize through f32: the artifact stores the scale as a
+        # 4-byte LE f32, and freeze semantics require codes built at
+        # derivation time to be byte-identical to codes backfilled under
+        # the artifact-round-tripped scale.
+        return float(np.float32(absmax / INT8_MAX_CODE))
     return 1.0
 
 

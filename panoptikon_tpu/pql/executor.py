@@ -50,17 +50,17 @@ XMODAL_PREFIX = "t"  # the reference's `t`-sibling naming (vector_quants.rs:51)
 # Base snapshot
 # ---------------------------------------------------------------------------
 
-_FILE_SQL = """
+_FILE_SQL_TPL = """
 SELECT f.id, f.item_id, f.sha256, f.path, f.filename, f.last_modified,
        i.md5, i.type, i.size, i.width, i.height, i.duration,
        i.audio_tracks, i.video_tracks, i.subtitle_tracks, i.blurhash,
        i.time_added
 FROM files f JOIN items i ON i.id = f.item_id
-WHERE f.available = 1
+WHERE f.available = 1 {extra}
 ORDER BY f.id
 """
 
-_TEXT_SQL = """
+_TEXT_SQL_TPL = """
 SELECT f.id, f.item_id, f.sha256, f.path, f.filename, f.last_modified,
        i.md5, i.type, i.size, i.width, i.height, i.duration,
        i.audio_tracks, i.video_tracks, i.subtitle_tracks, i.blurhash,
@@ -73,9 +73,12 @@ JOIN items i ON i.id = f.item_id
 JOIN item_data d ON d.item_id = i.id
 JOIN extracted_text t ON t.id = d.id
 JOIN setters s ON s.id = d.setter_id
-WHERE f.available = 1
+WHERE f.available = 1 {extra}
 ORDER BY f.id, d.id
 """
+
+_FILE_SQL = _FILE_SQL_TPL.format(extra="")
+_TEXT_SQL = _TEXT_SQL_TPL.format(extra="")
 
 _FILE_COLS = [
     "file_id", "item_id", "sha256", "path", "filename", "last_modified",
@@ -97,31 +100,141 @@ _NUMERIC = {
 
 
 @dataclass
+class _BaseState:
+    """Mutable append-only backing store for base snapshots.
+
+    The contract that makes concurrent readers safe without copies:
+    column values of rows ``< n`` are IMMUTABLE for the life of the state —
+    a row update tombstones the old row (``dead`` flips, values untouched)
+    and appends the refetched row past ``n``. A snapshot captures ``n`` and
+    a copy of ``~dead[:n]`` at creation, so later deltas are invisible to
+    it. Full rebuilds create a whole new state object; old snapshots keep
+    the old one alive.
+    """
+
+    entity: str
+    n: int  # valid row count (monotonic within one state)
+    capacity: int
+    columns: dict[str, np.ndarray]  # capacity-length arrays
+    dead: np.ndarray  # (capacity,) bool
+    epoch: int
+    last_seq: int  # high-water mark consumed from base_change_log
+    n_dead: int = 0
+    lock: threading.Lock = field(default_factory=threading.Lock)
+    # Lazy per-column caches, extended (never rewritten in place) as rows
+    # append. `_uniques` pins the sorted unique values that rank codes
+    # index into; appended values get exact or fractional (order-correct)
+    # codes via searchsorted.
+    _uniques: dict = field(default_factory=dict)
+    _codes: dict = field(default_factory=dict)
+    _codes_n: dict = field(default_factory=dict)
+    _bytes: dict = field(default_factory=dict)
+    _bytes_n: dict = field(default_factory=dict)
+
+    def sort_codes(self, name: str, n: int) -> np.ndarray:
+        col = self.columns[name]
+        with self.lock:
+            codes = self._codes.get(name)
+            if codes is None:
+                uniq, inv = np.unique(col[:n].astype(str), return_inverse=True)
+                codes = np.empty(self.capacity, dtype=np.float64)
+                codes[:n] = inv
+                self._uniques[name] = uniq
+                self._codes[name] = codes
+                self._codes_n[name] = n
+                return codes[:n]
+            filled = self._codes_n[name]
+            if n > filled:
+                if codes.shape[0] < self.capacity:
+                    grown = np.empty(self.capacity, dtype=np.float64)
+                    grown[:filled] = codes[:filled]
+                    codes = grown
+                    self._codes[name] = codes
+                uniq = self._uniques[name]
+                vals = col[filled:n].astype(str)
+                pos = np.searchsorted(uniq, vals)
+                cpos = np.minimum(pos, len(uniq) - 1)
+                exact = uniq[cpos] == vals
+                # Fractional codes keep new strings order-correct relative
+                # to every existing code without refactorizing the column.
+                codes[filled:n] = np.where(exact, cpos, pos - 0.5)
+                self._codes_n[name] = n
+            return codes[:n]
+
+    def bytes_col(self, name: str, n: int) -> np.ndarray:
+        col = self.columns[name]
+        with self.lock:
+            arr = self._bytes.get(name)
+            if arr is None:
+                head = col[:n].astype(bytes)
+                width = max(head.dtype.itemsize, 1)
+                arr = np.zeros(self.capacity, dtype=f"S{width}")
+                arr[:n] = head
+                self._bytes[name] = arr
+                self._bytes_n[name] = n
+                return arr[:n]
+            filled = self._bytes_n[name]
+            if n > filled:
+                tail = col[filled:n].astype(bytes)
+                width = max(arr.dtype.itemsize, tail.dtype.itemsize)
+                if width > arr.dtype.itemsize or arr.shape[0] < self.capacity:
+                    grown = np.zeros(self.capacity, dtype=f"S{width}")
+                    grown[:filled] = arr[:filled]
+                    arr = grown
+                    self._bytes[name] = arr
+                arr[filled:n] = tail
+                self._bytes_n[name] = n
+            return arr[:n]
+
+
+@dataclass
 class BaseSnapshot:
     entity: str
     epoch: int
-    columns: dict[str, np.ndarray]
+    columns: dict[str, np.ndarray]  # arrays of length >= n (views taken per access)
     n: int
+    state: Optional[_BaseState] = None
+    live: Optional[np.ndarray] = None  # (n,) bool; None = all rows live
     _rank_codes: dict[str, np.ndarray] = field(default_factory=dict)
 
     def col(self, name: str) -> np.ndarray:
-        if name not in self.columns:
+        arr = self.columns.get(name)
+        if arr is None:
             raise pql.PqlError(f"column {name!r} not available for entity {self.entity!r}")
-        return self.columns[name]
+        return arr if arr.shape[0] == self.n else arr[: self.n]
+
+    def live_mask(self) -> np.ndarray:
+        if self.live is None:
+            return np.ones(self.n, dtype=bool)
+        return self.live.copy()
 
     def sort_col(self, name: str) -> np.ndarray:
         """Column as a numeric sort key. String columns are factorized to
-        rank codes ONCE per snapshot — a per-query np.unique over 1M object
-        strings costs ~0.4 s, so the codes live with the epoch cache."""
+        rank codes ONCE per state (extended incrementally for appended
+        rows) — a per-query np.unique over 1M object strings costs ~0.4 s,
+        so the codes live with the epoch cache."""
         col = self.col(name)
         if col.dtype != object:
             return col
+        if self.state is not None:
+            return self.state.sort_codes(name, self.n)
         codes = self._rank_codes.get(name)
         if codes is None:
             _, codes = np.unique(col.astype(str), return_inverse=True)
             codes = codes.astype(np.float64)
             self._rank_codes[name] = codes
         return codes
+
+    def bytes_col(self, name: str) -> np.ndarray:
+        """String column as fixed-width bytes (vectorized-join key)."""
+        if self.state is not None:
+            return self.state.bytes_col(name, self.n)
+        key = "\x00bytes:" + name
+        arr = self._rank_codes.get(key)
+        if arr is None:
+            arr = self.col(name).astype(bytes)
+            self._rank_codes[key] = arr
+        return arr
 
 
 @dataclass
@@ -166,6 +279,39 @@ class SearchResult:
     metrics: SearchMetrics
 
 
+def _convert_base_columns(
+    rows: list, cols: list[str], capacity: int
+) -> dict[str, np.ndarray]:
+    """SQL rows → capacity-padded column arrays (first ``len(rows)`` slots
+    filled). One C-speed transpose; per-column conversion via fromiter
+    instead of building intermediate Python lists per column."""
+    n = len(rows)
+    col_tuples = list(zip(*rows)) if rows else [() for _ in cols]
+    columns: dict[str, np.ndarray] = {}
+    for ci, name in enumerate(cols):
+        values = col_tuples[ci]
+        if name in _NUMERIC:
+            head = np.fromiter(
+                (np.nan if v is None else v for v in values),
+                dtype=np.float64,
+                count=n,
+            )
+            if name in ("file_id", "item_id", "data_id", "setter_id", "job_id",
+                        "source_id", "data_index"):
+                head = np.where(np.isnan(head), -1, head).astype(np.int64)
+            arr = np.empty(capacity, dtype=head.dtype)
+            arr[:n] = head
+        else:
+            arr = np.empty(capacity, dtype=object)
+            arr[:n] = np.fromiter(
+                ("" if v is None else str(v) for v in values),
+                dtype=object,
+                count=n,
+            )
+        columns[name] = arr
+    return columns
+
+
 def _escape_fts(query: str) -> str:
     """Quote every term — the non-raw FTS5 escape (pql utils)."""
     terms = [t.replace('"', '""') for t in query.split()]
@@ -185,19 +331,20 @@ def _sort_key(k: np.ndarray, descending: bool) -> np.ndarray:
     return np.where(np.isnan(k), np.asarray(np.inf, dtype=k.dtype), k)
 
 
-def _join_i64(
-    ids: np.ndarray, keys: np.ndarray, vals: np.ndarray
+def _join_pos(
+    ids: np.ndarray, keys: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized hash-join substitute: map ``ids`` → ``vals`` by sorted-key
-    binary search. Returns (values float64 with NaN misses, hit mask).
+    """Vectorized hash-join substitute: position of each ``id`` within
+    ``keys`` (indices into the ORIGINAL keys order) by dense LUT or
+    sorted-key binary search. Returns (positions int64, hit mask);
+    positions are unspecified where ``hit`` is False.
 
     This replaces the per-row Python dict loops the round-1 executor used —
     at 1M base rows those loops dominated end-to-end latency by orders of
     magnitude over the device scan.
     """
-    values = np.full(ids.shape, np.nan, dtype=np.result_type(vals.dtype, np.float32))
     if len(keys) == 0:
-        return values, np.zeros(ids.shape, dtype=bool)
+        return np.zeros(ids.shape, dtype=np.int64), np.zeros(ids.shape, dtype=bool)
     lo = int(keys.min())
     hi = int(keys.max())
     span = hi - lo + 1
@@ -209,19 +356,52 @@ def _join_i64(
         in_range = (ids >= lo) & (ids <= hi)
         pos = lut[np.where(in_range, ids - lo, 0)]
         hit = in_range & (pos >= 0)
-        values[hit] = vals[pos[hit]]
-        return values, hit
+        return pos, hit
     if len(keys) > 1 and np.any(np.diff(keys) < 0):
         order = np.argsort(keys, kind="stable")
         sk = keys[order]
-        sv = vals[order]
     else:
-        sk, sv = keys, vals
+        order = None
+        sk = keys
     pos = np.searchsorted(sk, ids)
     pos = np.minimum(pos, len(sk) - 1)
     hit = sk[pos] == ids
-    values[hit] = sv[pos[hit]]
+    if order is not None:
+        pos = order[pos]
+    return pos, hit
+
+
+def _join_i64(
+    ids: np.ndarray, keys: np.ndarray, vals: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """``_join_pos`` with value gather: (values float64 with NaN misses,
+    hit mask)."""
+    values = np.full(ids.shape, np.nan, dtype=np.result_type(vals.dtype, np.float32))
+    pos, hit = _join_pos(ids, keys)
+    values[hit] = vals[pos[hit]]
     return values, hit
+
+
+def _join_bytes(
+    ids_b: np.ndarray, keys_b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted binary-search join over fixed-width byte keys (sha256 hex as
+    ``S64``) — the vectorized replacement for per-row ``s in set`` loops
+    over object-string columns. Returns (positions into keys_b, hit)."""
+    if len(keys_b) == 0:
+        return np.zeros(ids_b.shape, dtype=np.int64), np.zeros(ids_b.shape, dtype=bool)
+    width = max(ids_b.dtype.itemsize, keys_b.dtype.itemsize)
+    dt = np.dtype(f"S{width}")
+    if ids_b.dtype != dt:
+        ids_b = ids_b.astype(dt)
+    if keys_b.dtype != dt:
+        keys_b = keys_b.astype(dt)
+    order = np.argsort(keys_b, kind="stable")
+    sk = keys_b[order]
+    pos = np.searchsorted(sk, ids_b)
+    pos = np.minimum(pos, len(sk) - 1)
+    hit = sk[pos] == ids_b
+    return order[pos], hit
 
 
 class Executor:
@@ -290,38 +470,149 @@ class Executor:
         epoch = EPOCHS.index_epoch(self.db.name)
         with self._cache_lock:
             snap = self._base_cache.get(entity)
-            if snap is not None and snap.epoch == epoch:
-                return snap
+        if snap is not None and snap.epoch == epoch:
+            return snap
         conn = self.db.reader()
-        sql, cols = (_FILE_SQL, _FILE_COLS) if entity == "file" else (_TEXT_SQL, _TEXT_COLS)
+        if snap is not None and snap.state is not None:
+            refreshed = self._refresh_base(snap.state, epoch, conn)
+            if refreshed is not None:
+                with self._cache_lock:
+                    self._base_cache[entity] = refreshed
+                return refreshed
+        return self._full_base_build(entity, epoch, conn)
+
+    def _full_base_build(self, entity: str, epoch: int, conn) -> BaseSnapshot:
+        # Capture the change-log watermark BEFORE the data read: a commit
+        # landing mid-read leaves rows with seq > last_seq, and the delta
+        # re-application (tombstone + refetch) is idempotent.
+        last_seq = self._change_log_max(conn)
+        sql, cols = (
+            (_FILE_SQL, _FILE_COLS) if entity == "file" else (_TEXT_SQL, _TEXT_COLS)
+        )
         rows = conn.execute(sql).fetchall()
         n = len(rows)
-        # One C-speed transpose; per-column conversion via fromiter instead
-        # of building intermediate Python lists per column.
-        col_tuples = list(zip(*rows)) if rows else [() for _ in cols]
-        columns: dict[str, np.ndarray] = {}
-        for ci, name in enumerate(cols):
-            values = col_tuples[ci]
-            if name in _NUMERIC:
-                arr = np.fromiter(
-                    (np.nan if v is None else v for v in values),
-                    dtype=np.float64,
-                    count=n,
-                )
-                if name in ("file_id", "item_id", "data_id", "setter_id", "job_id",
-                            "source_id", "data_index"):
-                    arr = np.where(np.isnan(arr), -1, arr).astype(np.int64)
-            else:
-                arr = np.fromiter(
-                    ("" if v is None else str(v) for v in values),
-                    dtype=object,
-                    count=n,
-                )
-            columns[name] = arr
-        snap = BaseSnapshot(entity=entity, epoch=epoch, columns=columns, n=len(rows))
+        columns = _convert_base_columns(rows, cols, capacity=max(n, 1024))
+        state = _BaseState(
+            entity=entity,
+            n=n,
+            capacity=max(n, 1024),
+            columns=columns,
+            dead=np.zeros(max(n, 1024), dtype=bool),
+            epoch=epoch,
+            last_seq=last_seq,
+        )
+        snap = self._make_base_snapshot(state)
         with self._cache_lock:
             self._base_cache[entity] = snap
         return snap
+
+    def _make_base_snapshot(self, state: _BaseState) -> BaseSnapshot:
+        live = None
+        if state.n_dead:
+            live = ~state.dead[: state.n]
+        return BaseSnapshot(
+            entity=state.entity,
+            epoch=state.epoch,
+            columns=state.columns,
+            n=state.n,
+            state=state,
+            live=live,
+        )
+
+    def _change_log_max(self, conn) -> int:
+        try:
+            row = conn.execute("SELECT MAX(seq) FROM base_change_log").fetchone()
+        except Exception:
+            return 0
+        return int(row[0] or 0)
+
+    def change_log_watermark(self) -> Optional[int]:
+        """Lowest change-log seq still needed by a cached snapshot; pruning
+        ``seq <= watermark`` is always safe (None = nothing cached, prune
+        all)."""
+        with self._cache_lock:
+            seqs = [
+                s.state.last_seq
+                for s in self._base_cache.values()
+                if s.state is not None
+            ]
+        return min(seqs) if seqs else None
+
+    def _refresh_base(self, st: _BaseState, epoch: int, conn) -> Optional[BaseSnapshot]:
+        """Apply the change-log delta since ``st.last_seq`` in place
+        (tombstone + append). Returns the refreshed snapshot, or None when
+        a full rebuild is warranted (global change, huge delta, or dead-row
+        bloat past half the state)."""
+        with st.lock:
+            if st.epoch == epoch:
+                return self._make_base_snapshot(st)
+            try:
+                pruned = conn.execute(
+                    "SELECT value FROM system_config WHERE key='bcl_pruned_to'"
+                ).fetchone()
+                if pruned is not None and int(pruned[0]) > st.last_seq:
+                    # Maintenance pruned log entries this state never
+                    # consumed — the delta is unrecoverable, rebuild.
+                    return None
+                rows = conn.execute(
+                    "SELECT seq, item_id FROM base_change_log WHERE seq > ?",
+                    (st.last_seq,),
+                ).fetchall()
+            except Exception:
+                return None
+            if not rows:
+                # Epoch bumped by writes that don't touch base columns
+                # (bookmarks, tags, config…): the snapshot is still exact.
+                st.epoch = epoch
+                return self._make_base_snapshot(st)
+            items = {r[1] for r in rows}
+            if None in items:
+                return None  # global change (setter rename) → full rebuild
+            if len(items) > max(4096, st.n // 8):
+                return None
+            max_seq = max(r[0] for r in rows)
+            affected = np.fromiter(items, dtype=np.int64, count=len(items))
+            item_col = st.columns["item_id"][: st.n]
+            kill = np.isin(item_col, affected) & ~st.dead[: st.n]
+            n_kill = int(kill.sum())
+            if (st.n_dead + n_kill) * 2 > st.n and st.n > 8192:
+                return None  # compact via full rebuild before mutating
+            tpl = _FILE_SQL_TPL if st.entity == "file" else _TEXT_SQL_TPL
+            cols = _FILE_COLS if st.entity == "file" else _TEXT_COLS
+            placeholders = ",".join("?" * len(items))
+            new_rows = conn.execute(
+                tpl.format(extra=f"AND i.id IN ({placeholders})"),
+                sorted(items),
+            ).fetchall()
+            if st.n + len(new_rows) > st.capacity:
+                self._grow_base(st, st.n + len(new_rows))
+            st.dead[: st.n][kill] = True
+            st.n_dead += n_kill
+            if new_rows:
+                fresh = _convert_base_columns(new_rows, cols, capacity=len(new_rows))
+                sl = slice(st.n, st.n + len(new_rows))
+                for name in cols:
+                    st.columns[name][sl] = fresh[name][: len(new_rows)]
+                st.n += len(new_rows)
+            st.epoch = epoch
+            st.last_seq = max_seq
+            return self._make_base_snapshot(st)
+
+    @staticmethod
+    def _grow_base(st: _BaseState, need: int) -> None:
+        cap = max(st.capacity, 1024)
+        while cap < need:
+            cap *= 2
+        for name, arr in list(st.columns.items()):
+            grown = np.empty(cap, dtype=arr.dtype)
+            grown[: st.n] = arr[: st.n]
+            if arr.dtype == object:
+                grown[st.n :] = None
+            st.columns[name] = grown
+        dead = np.zeros(cap, dtype=bool)
+        dead[: st.n] = st.dead[: st.n]
+        st.dead = dead
+        st.capacity = cap
 
     # -- public entry -------------------------------------------------------
 
@@ -331,7 +622,7 @@ class Executor:
         prep.preprocess_query(query, manager=self.manager, index=self.index)
         base = self.base_snapshot(query.entity)
         state = EvalState()
-        ctx = np.ones(base.n, dtype=bool)
+        ctx = base.live_mask()
         if query.query is not None:
             ctx = self._eval(query.query, ctx, base, state)
         compile_s = time.perf_counter() - t0
@@ -671,10 +962,13 @@ class Executor:
         values, hit = _join_i64(ids, keys, vals)
         mask = hit & ctx
         if want_snippet:
+            # Vectorized snippet gather: position-join the base ids against
+            # the FTS result keys, then one fancy-index per matched row (the
+            # round-2 per-row dict loop was O(matched) Python).
             snips = np.full(base.n, None, dtype=object)
-            by_key = {int(r[0]): r[2] for r in rows if r[2] is not None}
-            for i in np.flatnonzero(mask):
-                snips[i] = by_key.get(int(ids[i]))
+            snip_vals = np.fromiter((r[2] for r in rows), dtype=object, count=n_hits)
+            pos, _ = _join_pos(ids, keys)
+            snips[mask] = snip_vals[pos[mask]]
             state.string_cols[args.select_snippet_as] = snips
         return self._sortable(el.sort, mask, values, base, state)
 
@@ -773,13 +1067,25 @@ class Executor:
             f"WHERE {' AND '.join(wheres)} GROUP BY b.sha256",
             params,
         ).fetchall()
-        times = {r[0]: r[1] for r in rows}
-        shas = base.col("sha256")
-        mask = np.array([s in times for s in shas], dtype=bool) & ctx
+        # Vectorized byte-key join (sha256 hex → S64) + time-rank values:
+        # the round-2 per-row `s in dict` membership loop and rank-fill loop
+        # were O(N) Python at 1M base rows.
+        n_hits = len(rows)
         values = np.full(base.n, np.nan)
-        order_vals = {s: i for i, s in enumerate(sorted(times, key=times.get))}
-        for i in np.flatnonzero(mask):
-            values[i] = order_vals[shas[i]]
+        if n_hits == 0:
+            return self._sortable(
+                el.sort, np.zeros(base.n, dtype=bool), values, base, state
+            )
+        keys_b = np.array([r[0].encode() for r in rows], dtype=bytes)
+        times_b = np.array(
+            [("" if r[1] is None else str(r[1])).encode() for r in rows],
+            dtype=bytes,
+        )
+        rank = np.empty(n_hits, dtype=np.float64)
+        rank[np.argsort(times_b, kind="stable")] = np.arange(n_hits)
+        pos, hit = _join_bytes(base.bytes_col("sha256"), keys_b)
+        mask = hit & ctx
+        values[mask] = rank[pos[mask]]
         return self._sortable(el.sort, mask, values, base, state)
 
     def _leaf_in_pinboard(self, el: pql.InPinboard, ctx, base, state):
@@ -801,9 +1107,9 @@ class Executor:
                 WHERE {' AND '.join(wheres)}""",
             params,
         ).fetchall()
-        shas = {r[0] for r in rows}
-        mask = np.array([s in shas for s in base.col("sha256")], dtype=bool) & ctx
-        return self._sortable(el.sort, mask, None, base, state)
+        keys_b = np.array([r[0].encode() for r in rows], dtype=bytes)
+        _, hit = _join_bytes(base.bytes_col("sha256"), keys_b)
+        return self._sortable(el.sort, hit & ctx, None, base, state)
 
     def _leaf_processed_by(self, el: pql.ProcessedBy, ctx, base, state):
         conn = self.db.reader()
