@@ -57,26 +57,39 @@ def make_upstream_handler(upstream: str, token_key=None):
             headers[POLICY_TOKEN_HEADER] = token_key.mint(
                 request["policy_name"]
             )
-        body = await request.read() if request.can_read_body else None
-        timeout = ClientTimeout(total=120)
-        async with ClientSession(timeout=timeout, auto_decompress=False) as session:
-            try:
-                async with session.request(
-                    request.method, target, headers=headers, data=body,
-                    allow_redirects=False,
-                ) as resp:
-                    out_headers = {
-                        k: v for k, v in resp.headers.items()
-                        if k.lower() not in HOP_HEADERS
-                    }
-                    payload = await resp.read()
-                    return web.Response(
-                        status=resp.status, headers=out_headers, body=payload
-                    )
-            except Exception as exc:
-                return web.json_response(
-                    {"error": f"upstream unavailable: {exc}"}, status=502
-                )
+        # Stream both directions (proxy.rs streams via hyper bodies): the
+        # request body forwards as the socket's StreamReader and the
+        # response is relayed chunk-by-chunk — a multi-GB file or UI asset
+        # pass-through never materializes in proxy memory.
+        body = request.content if request.can_read_body else None
+        timeout = ClientTimeout(total=None, sock_connect=30, sock_read=120)
+        session = ClientSession(timeout=timeout, auto_decompress=False)
+        try:
+            resp = await session.request(
+                request.method, target, headers=headers, data=body,
+                allow_redirects=False,
+            )
+        except Exception as exc:
+            await session.close()
+            return web.json_response(
+                {"error": f"upstream unavailable: {exc}"}, status=502
+            )
+        try:
+            out = web.StreamResponse(
+                status=resp.status,
+                headers={
+                    k: v for k, v in resp.headers.items()
+                    if k.lower() not in HOP_HEADERS
+                },
+            )
+            await out.prepare(request)
+            async for chunk in resp.content.iter_chunked(1 << 16):
+                await out.write(chunk)
+            await out.write_eof()
+            return out
+        finally:
+            resp.release()
+            await session.close()
 
     return handler
 

@@ -149,7 +149,7 @@ def render_html_screenshot(path: str) -> list[tuple[bytes, int, int]]:
             f"--screenshot={out}", url,
         ]
         try:
-            subprocess.run(
+            proc = subprocess.run(
                 cmd, capture_output=True, timeout=HTML_RENDER_TIMEOUT_S,
                 check=False,
             )
@@ -158,6 +158,14 @@ def render_html_screenshot(path: str) -> list[tuple[bytes, int, int]]:
                 f"html render timed out after {HTML_RENDER_TIMEOUT_S}s",
                 error_class="input",
             ) from exc
+        if proc.returncode != 0:
+            # A crashed browser with a stale/partial screenshot file must
+            # not pass as success (VERDICT r2 weak #10).
+            tail = (proc.stderr or b"")[-300:].decode(errors="replace")
+            raise MediaError(
+                f"html renderer exited {proc.returncode}: {tail}",
+                error_class="input",
+            )
         try:
             from PIL import Image
 
