@@ -60,6 +60,7 @@ class AppState:
     cache: SpanCache = field(default_factory=SpanCache)
     pool: "InferencePool" = None
     continuous: "ContinuousManager" = None
+    prewarm: "EagerPrewarm" = None
 
     @classmethod
     def create(
@@ -411,6 +412,8 @@ class AppState:
         return None
 
     def shutdown(self) -> None:
+        if self.prewarm is not None:
+            self.prewarm.stop()
         if self.pool is not None:
             self.pool.stop_probe()
         if self.continuous is not None:
@@ -1859,6 +1862,19 @@ def main(args=None) -> None:
     if args.port or args.host:
         settings.listeners[0].port = args.port or settings.listeners[0].port
         settings.listeners[0].host = args.host or settings.listeners[0].host
+    # Join the multi-host runtime BEFORE any jax backend touch (a pod
+    # deployment forms the global device view here; single-host is a
+    # no-op). The serving mesh layout follows [parallel].multihost_layout.
+    from panoptikon_tpu.parallel import mesh as meshlib
+    from panoptikon_tpu.parallel import multihost
+
+    multihost.initialize(
+        coordinator=settings.parallel.coordinator,
+        num_processes=settings.parallel.num_processes,
+        process_id=settings.parallel.process_id,
+    )
+    meshlib.set_multihost_layout(settings.parallel.multihost_layout)
+
     registry_dir = args.registry_dir or settings.inference.registry_dir
     state = AppState.create(
         settings.data_root, registry_dir, settings.inference.user_registry_dir,
@@ -1867,6 +1883,13 @@ def main(args=None) -> None:
     state.cache.resize(settings.search.cache_bytes)
     state.cron.start()
     state.reconsider_continuous()
+    if settings.inference.eager_prewarm:
+        from panoptikon_tpu.jobs.prewarm import EagerPrewarm
+
+        state.prewarm = EagerPrewarm(
+            state, interval_s=settings.inference.prewarm_interval_s
+        )
+        state.prewarm.start()
 
     # Supervised UI process (src/ui.rs): [ui].command runs under bounded
     # crash restarts; [upstreams].ui fronts it through the reverse proxy.

@@ -59,6 +59,26 @@ class InferenceConfig:
     default_ttl_seconds: float = 3600.0
     # Federation upstreams (jobs/inference_pool.rs): [{url, weight}].
     upstreams: list[dict] = field(default_factory=list)
+    # Eager prewarm loop (inferio/prewarm.rs run_eager_prewarm_loop):
+    # keep search-usable embedding models loaded + bucket-compiled.
+    eager_prewarm: bool = True
+    prewarm_interval_s: float = 60.0
+
+
+@dataclass
+class ParallelConfig:
+    """[parallel] — multi-host runtime (parallel/multihost.py).
+
+    coordinator/num_processes/process_id fall back to the standard
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars
+    (TPU pod runtimes set them automatically); multihost_layout picks the
+    serving mesh: "replica" (one corpus replica per host, merges on ICI)
+    or "shard" (one global corpus across all hosts)."""
+
+    coordinator: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
+    multihost_layout: str = "replica"
 
 
 @dataclass
@@ -77,6 +97,7 @@ class Settings:
     search: SearchConfig = field(default_factory=SearchConfig)
     jobs: JobsConfig = field(default_factory=JobsConfig)
     inference: InferenceConfig = field(default_factory=InferenceConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
     logging: LoggingConfig = field(default_factory=LoggingConfig)
     # [upstreams].ui — a UI server (e.g. Next.js) fronted by the reverse
     # proxy: any path the API doesn't claim forwards there (proxy.rs).
@@ -146,6 +167,17 @@ class Settings:
             user_registry_dir=inf.get("user_registry_dir"),
             default_ttl_seconds=float(inf.get("default_ttl_seconds", 3600.0)),
             upstreams=list(inf.get("upstreams", [])),
+            eager_prewarm=bool(inf.get("eager_prewarm", True)),
+            prewarm_interval_s=float(inf.get("prewarm_interval_s", 60.0)),
+        )
+        par = raw.get("parallel", {})
+        s.parallel = ParallelConfig(
+            coordinator=par.get("coordinator"),
+            num_processes=(
+                int(par["num_processes"]) if "num_processes" in par else None
+            ),
+            process_id=int(par["process_id"]) if "process_id" in par else None,
+            multihost_layout=str(par.get("multihost_layout", "replica")),
         )
         logging = raw.get("logging", {})
         s.logging = LoggingConfig(

@@ -554,14 +554,24 @@ class WhisperImpl(InferenceModel):
                 outputs[i] = err.to_slot()
         if mels:
             batch = np.stack(mels)
+            # Language ID from the SOT-step language-token logits (the
+            # standard whisper probe; reference impl/whisper.py reports
+            # detected language + its probability).
+            lang_idx, lang_conf = self._w.detect_language(
+                self.params, self.cfg, batch
+            )
+            lang_idx = np.asarray(lang_idx)
+            lang_conf = np.asarray(lang_conf)
+            lang_tokens = (self.cfg.language_base + lang_idx).astype(np.int32)
             tokens, lengths, logprob = self._w.greedy_decode(
-                self.params, self.cfg, batch, max_tokens=self.max_tokens
+                self.params, self.cfg, batch, max_tokens=self.max_tokens,
+                lang_tokens=lang_tokens,
             )
             tokens = np.asarray(tokens)
             lengths = np.asarray(lengths)
             logprob = np.asarray(logprob)
             for j, pos in enumerate(kept):
-                toks = tokens[j, 3 : lengths[j]].tolist()
+                toks = tokens[j, 4 : lengths[j]].tolist()
                 text = (
                     self.detokenize(toks)
                     if self.detokenize
@@ -569,8 +579,8 @@ class WhisperImpl(InferenceModel):
                 )
                 outputs[pos] = {
                     "text": text,
-                    "language": "en",
-                    "language_confidence": 1.0,
+                    "language": self._w.LANGUAGES[int(lang_idx[j])],
+                    "language_confidence": float(lang_conf[j]),
                     "confidence": float(np.exp(logprob[j])),
                 }
         return outputs
@@ -660,6 +670,7 @@ class CaptionerImpl(InferenceModel):
         self,
         model_arch: str = "test-tiny",
         checkpoint: Optional[str] = None,
+        decoder_checkpoint: Optional[str] = None,
         tokenizer_path: Optional[str] = None,
         max_tokens: int = 32,
         prompt: Optional[str] = None,
@@ -670,6 +681,7 @@ class CaptionerImpl(InferenceModel):
         self._w = _w
         self.vision_cfg = clip.CONFIGS.get(model_arch) or clip.CONFIGS["test-tiny"]
         self.checkpoint = checkpoint
+        self.decoder_checkpoint = decoder_checkpoint
         self.max_tokens = max_tokens
         self.prompt = prompt
         self.tokenizer_path = tokenizer_path
@@ -706,7 +718,17 @@ class CaptionerImpl(InferenceModel):
             )
         else:
             self.vision_params = clip.init_params(jax.random.key(7), self.vision_cfg)
-        self.decoder_params = self._w.init_params(jax.random.key(8), self.decoder_cfg)
+        if self.decoder_checkpoint:
+            # Real decoder weights (HF whisper decoder layout; the same
+            # cross-attention block mapping the whisper loader uses) —
+            # without these the decoder decodes noise (VERDICT r2 #6).
+            from panoptikon_tpu.models import weights
+
+            self.decoder_params = weights.load_whisper_decoder_checkpoint(
+                self.decoder_checkpoint, self.decoder_cfg
+            )
+        else:
+            self.decoder_params = self._w.init_params(jax.random.key(8), self.decoder_cfg)
         if self.tokenizer_path and self.detokenize is None:
             try:
                 from tokenizers import Tokenizer
@@ -1245,6 +1267,39 @@ class BrokenLoadImpl(InferenceModel):
         return []
 
 
+class LoadCountImpl(InferenceModel):
+    """Class-level load()/prepare() call counters — proves prewarm-loop
+    behavior (a warmed model's first predict must show NO load/compile
+    stall, i.e. no additional load call)."""
+
+    loads = 0
+    prepares = 0
+
+    def __init__(self, **_: Any):
+        pass
+
+    @classmethod
+    def name(cls) -> str:
+        return "loadcount_impl"
+
+    @classmethod
+    def reset_counters(cls) -> None:
+        cls.loads = 0
+        cls.prepares = 0
+
+    def load(self) -> None:
+        type(self).loads += 1
+
+    def prepare(self) -> None:
+        type(self).prepares += 1
+
+    def unload(self) -> None:
+        pass
+
+    def predict(self, inputs):
+        return [{"ok": True} for _ in inputs]
+
+
 IMPL_INDEX: dict[str, type[InferenceModel]] = {
     cls.name(): cls
     for cls in [
@@ -1264,5 +1319,6 @@ IMPL_INDEX: dict[str, type[InferenceModel]] = {
         ErrorSlotImpl,
         SlowImpl,
         BrokenLoadImpl,
+        LoadCountImpl,
     ]
 }

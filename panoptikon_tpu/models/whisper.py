@@ -51,6 +51,30 @@ class WhisperConfig:
     eot: int = 50257
     no_timestamps: int = 50363
     transcribe: int = 50359
+    # Language tokens: ids [lang_base, lang_base + n_langs) map onto
+    # LANGUAGES[:n_langs] (OpenAI layout: the 99 language tokens follow
+    # SOT). lang_base None → sot + 1.
+    n_langs: int = 99
+    lang_base: "int | None" = None
+
+    @property
+    def language_base(self) -> int:
+        return self.sot + 1 if self.lang_base is None else self.lang_base
+
+
+# OpenAI whisper's language-token order (tokenizer.py LANGUAGES): token
+# sot+1+i names LANGUAGES[i].
+LANGUAGES = [
+    "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl", "ca",
+    "nl", "ar", "sv", "it", "id", "hi", "fi", "vi", "he", "uk", "el", "ms",
+    "cs", "ro", "da", "hu", "ta", "no", "th", "ur", "hr", "bg", "lt", "la",
+    "mi", "ml", "cy", "sk", "te", "fa", "lv", "bn", "sr", "az", "sl", "kn",
+    "et", "mk", "br", "eu", "is", "hy", "ne", "mn", "bs", "kk", "sq", "sw",
+    "gl", "mr", "pa", "si", "km", "sn", "yo", "so", "af", "oc", "ka", "be",
+    "tg", "sd", "gu", "am", "yi", "lo", "uz", "fo", "ht", "ps", "tk", "nn",
+    "mt", "sa", "lb", "my", "bo", "tl", "mg", "as", "tt", "haw", "ln", "ha",
+    "ba", "jw", "su",
+]
 
 
 CONFIGS = {
@@ -64,6 +88,7 @@ CONFIGS = {
         n_audio_heads=2, n_vocab=128, n_text_ctx=16, n_text_state=32,
         n_text_layers=2, n_text_heads=2, sot=100, eot=101,
         no_timestamps=103, transcribe=102,
+        n_langs=4, lang_base=104,  # eot sits at sot+1 here → explicit base
     ),
 }
 
@@ -305,12 +330,39 @@ def _decoder_logits(params, cfg: WhisperConfig, tokens, audio_feats, token_mask)
     return x @ params["decoder"]["token_emb"].T.astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_language(params, cfg: WhisperConfig, mel):
+    """The standard whisper language probe (reference impl/whisper.py
+    reports detected language + probability): decode ONE step from a bare
+    [SOT] prompt, restrict the logits to the language-token block, softmax.
+
+    Returns (lang_idx (B,) into LANGUAGES order, probability (B,)).
+    """
+    audio_feats = encode_audio(params, cfg, mel)
+    b = mel.shape[0]
+    tokens = jnp.full((b, 1), cfg.sot, dtype=jnp.int32)
+    logits = _decoder_logits(params, cfg, tokens, audio_feats, None)[:, 0]
+    base = cfg.language_base
+    lang_logits = jax.lax.dynamic_slice_in_dim(logits, base, cfg.n_langs, axis=-1)
+    probs = jax.nn.softmax(lang_logits, axis=-1)
+    idx = jnp.argmax(probs, axis=-1)
+    conf = jnp.take_along_axis(probs, idx[:, None], axis=1)[:, 0]
+    return idx.astype(jnp.int32), conf
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_tokens"))
-def greedy_decode(params, cfg: WhisperConfig, mel, *, max_tokens: int = 64):
+def greedy_decode(
+    params, cfg: WhisperConfig, mel, *, max_tokens: int = 64, lang_tokens=None
+):
     """Batched greedy transcription.
 
     Returns (tokens (B, max_tokens), lengths (B,), avg_logprob (B,)) — the
     avg logprob is the reference's persisted confidence signal.
+
+    ``lang_tokens`` (B,) — per-row language token ids (from
+    :func:`detect_language`); when given, the prompt is the full whisper
+    layout [SOT, lang, transcribe, no_timestamps] (prompt length 4 instead
+    of 3).
 
     Static shapes: the decode loop re-runs the full-prefix decoder per step
     (O(L²) total, fine at Whisper lengths) so no KV-cache shape threading;
@@ -318,10 +370,19 @@ def greedy_decode(params, cfg: WhisperConfig, mel, *, max_tokens: int = 64):
     """
     audio_feats = encode_audio(params, cfg, mel)
     b = mel.shape[0]
-    prompt = jnp.array([cfg.sot, cfg.transcribe, cfg.no_timestamps], dtype=jnp.int32)
-    p_len = prompt.shape[0]
     tokens = jnp.zeros((b, max_tokens), dtype=jnp.int32)
-    tokens = tokens.at[:, :p_len].set(prompt[None, :])
+    if lang_tokens is None:
+        prompt = jnp.array(
+            [cfg.sot, cfg.transcribe, cfg.no_timestamps], dtype=jnp.int32
+        )
+        p_len = prompt.shape[0]
+        tokens = tokens.at[:, :p_len].set(prompt[None, :])
+    else:
+        p_len = 4
+        tokens = tokens.at[:, 0].set(cfg.sot)
+        tokens = tokens.at[:, 1].set(jnp.asarray(lang_tokens, jnp.int32))
+        tokens = tokens.at[:, 2].set(cfg.transcribe)
+        tokens = tokens.at[:, 3].set(cfg.no_timestamps)
 
     def step(state):
         tokens, pos, done, logprob_sum, count = state

@@ -23,8 +23,30 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+# Multi-host serving layout (panoptikon_tpu.parallel.multihost): "replica"
+# lays one full corpus replica per host (shard-merge stays on ICI);
+# "shard" spans one global corpus across every chip of every host.
+# Selected at server startup from [parallel].multihost_layout.
+_MULTIHOST_LAYOUT = "replica"
+
+
+def set_multihost_layout(layout: str) -> None:
+    global _MULTIHOST_LAYOUT
+    if layout not in ("replica", "shard"):
+        raise ValueError(f"unknown multihost layout {layout!r}")
+    _MULTIHOST_LAYOUT = layout
+
+
 def index_mesh(devices=None) -> Mesh:
-    """1-D mesh over all devices for corpus sharding."""
+    """Serving mesh for corpus sharding: 1-D over all devices in a
+    single-process runtime; on a multi-host runtime, the configured
+    replica-over-DCN / shard-over-ICI layout (multihost.py)."""
+    if devices is None and jax.process_count() > 1:
+        from panoptikon_tpu.parallel import multihost
+
+        if _MULTIHOST_LAYOUT == "replica":
+            return multihost.hosts_replica_mesh()
+        return multihost.hosts_shard_mesh()
     devices = jax.devices() if devices is None else devices
     return Mesh(np.array(devices), (SHARD_AXIS,))
 
