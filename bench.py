@@ -218,13 +218,30 @@ def main() -> None:
 
     from panoptikon_tpu.ops import codec, scoring
 
-    # 1) Headline: 1M×512 int8+f32-rescore QPS + recall.
+    # 1) Headline: 1M×512 int8+f32-rescore QPS + recall. The recall floor
+    # is 0.992 — headroom over BASELINE's ≥0.99 so a silent tweak can't
+    # creep up on the target (VERDICT r2 weak #1). Adaptive oversample:
+    # if 8× misses the floor, the shipped config is 16× and the REPORTED
+    # QPS is the config that meets it.
+    RECALL_FLOOR = 0.992
+    oversample = 8
     qps, best, recall = _bench_search(
         jax, jnp, codec, scoring, n=1_000_000, d=512, q_batch=4096,
+        oversample=oversample,
     )
+    if recall < RECALL_FLOOR:
+        print(
+            f"[bench] recall {recall:.4f} under the {RECALL_FLOOR} floor at "
+            f"oversample=8 — retrying at 16", file=sys.stderr,
+        )
+        oversample = 16
+        qps, best, recall = _bench_search(
+            jax, jnp, codec, scoring, n=1_000_000, d=512, q_batch=4096,
+            oversample=oversample,
+        )
     print(
-        f"[bench] 1M x 512 int8+rescore, batch=4096: {best*1000:.1f} ms "
-        f"({qps:.0f} QPS), recall@10={recall:.4f}",
+        f"[bench] 1M x 512 int8+rescore, batch=4096, oversample={oversample}: "
+        f"{best*1000:.1f} ms ({qps:.0f} QPS), recall@10={recall:.4f}",
         file=sys.stderr,
     )
 
@@ -272,10 +289,18 @@ def main() -> None:
                     "qps_5M_512d_bf16_rescore": round(qps5, 1),
                     "recall_at_10_5M": round(recall5, 4),
                     "hbm_resident_bytes_per_dim_5M": 3,
+                    "oversample": oversample,
+                    "recall_floor": RECALL_FLOOR,
                 },
             }
         )
     )
+    if recall < RECALL_FLOOR:
+        print(
+            f"[bench] FAIL: recall@10 {recall:.4f} < floor {RECALL_FLOOR}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -148,6 +148,14 @@ class AppState:
                 self.writers.get(db).call(store.remove_incomplete_jobs)
             except Exception:
                 pass
+            # Hand edits to the per-DB config.toml win at boot
+            # (db/config_file.py; reference system_config.rs load order).
+            try:
+                from panoptikon_tpu.db import config_file
+
+                config_file.import_file(db, self.writers.get(db))
+            except Exception:
+                pass
             # Re-arm owed maintenance the previous process never repaid.
             if self.queue is not None:
                 try:
@@ -1274,6 +1282,55 @@ async def quants_reconcile(request: web.Request) -> web.Response:
     return web.json_response({"job_id": handle.job_id})
 
 
+_SETTABLE_CONFIG_KEYS = ("continuous_scan", "vector_quants")
+
+
+async def db_config_get(request: web.Request) -> web.Response:
+    """Per-DB system config (user-visible keys)."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+
+    def run():
+        conn = state.db(name).reader()
+        return {k: store.get_config(conn, k, None) for k in _SETTABLE_CONFIG_KEYS}
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+async def db_config_put(request: web.Request) -> web.Response:
+    """Set per-DB system config keys. Writes land in the system_config
+    table (source of truth) AND mirror to the per-DB config.toml through
+    the lossless editor — hand-written comments survive programmatic
+    writes, and hand edits to the file win at next boot
+    (db/config_file.py; reference system_config.rs save)."""
+    from panoptikon_tpu.db import config_file
+
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    body = await request.json()
+    unknown = [k for k in body if k not in _SETTABLE_CONFIG_KEYS]
+    if unknown:
+        return _json_error(400, f"unknown config keys: {unknown}")
+
+    def run():
+        db = state.db(name)
+        writer = state.writers.get(db)
+
+        def unit(conn):
+            for k, v in body.items():
+                store.set_config(conn, k, v)
+
+        writer.call(unit)
+        for k, v in body.items():
+            if isinstance(v, dict):
+                config_file.write_key(db, k, v)
+
+    await asyncio.to_thread(run)
+    if "continuous_scan" in body:
+        await asyncio.to_thread(state.reconsider_continuous)
+    return web.json_response({"ok": True})
+
+
 async def cron_get(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     name = _db_name(request)
@@ -1783,6 +1840,8 @@ def build_app(
             web.post("/api/jobs/quants/reconcile", quants_reconcile),
             web.get("/api/jobs/cron", cron_get),
             web.put("/api/jobs/cron", cron_put),
+            web.get("/api/config/system", db_config_get),
+            web.put("/api/config/system", db_config_put),
             web.get("/api/db", db_list),
             web.post("/api/db", db_create),
             web.post("/api/open/{sha256}", open_file),

@@ -565,6 +565,29 @@ class TestFederation:
         holder["loop"].call_soon_threadsafe(holder["loop"].stop)
 
 
+class TestSystemConfigApi:
+    def test_put_sets_table_and_mirrors_file(self, client_env):
+        from panoptikon_tpu.db import config_file
+
+        call, state = client_env["call"], client_env["state"]
+        status, body = call(
+            "PUT", "/api/config/system",
+            json={"continuous_scan": {"enabled": True, "interval": 45}},
+        )
+        assert status == 200
+        status, got = call("GET", "/api/config/system")
+        assert got["continuous_scan"] == {"enabled": True, "interval": 45}
+        text = config_file.config_path(state.db("default")).read_text()
+        assert "[continuous_scan]" in text and "interval = 45" in text
+
+    def test_unknown_key_rejected(self, client_env):
+        call = client_env["call"]
+        status, body = call(
+            "PUT", "/api/config/system", json={"bcl_pruned_to": 999}
+        )
+        assert status == 400
+
+
 class TestHistoryAndLedgers:
     def test_scan_and_data_history(self, client_env):
         call, state = client_env["call"], client_env["state"]
