@@ -1282,6 +1282,15 @@ async def quants_reconcile(request: web.Request) -> web.Response:
     return web.json_response({"job_id": handle.job_id})
 
 
+async def builtin_ui(request: web.Request) -> web.Response:
+    """Zero-dependency built-in search UI (api/ui.html). The reference's
+    full UI remains a separate supervised app fronted by the reverse proxy
+    ([upstreams].ui); this page makes a bare server usable from a browser
+    — search, thumbnails, paging, job controls."""
+    path = Path(__file__).resolve().parent / "ui.html"
+    return web.Response(text=path.read_text(), content_type="text/html")
+
+
 _SETTABLE_CONFIG_KEYS = ("continuous_scan", "vector_quants")
 
 
@@ -1842,6 +1851,7 @@ def build_app(
             web.put("/api/jobs/cron", cron_put),
             web.get("/api/config/system", db_config_get),
             web.put("/api/config/system", db_config_put),
+            web.get("/ui", builtin_ui),
             web.get("/api/db", db_list),
             web.post("/api/db", db_create),
             web.post("/api/open/{sha256}", open_file),

@@ -565,6 +565,15 @@ class TestFederation:
         holder["loop"].call_soon_threadsafe(holder["loop"].stop)
 
 
+class TestBuiltinUi:
+    def test_ui_page_serves(self, client_env):
+        call = client_env["call"]
+        status, body = call("GET", "/ui")
+        assert status == 200
+        text = bytes(body).decode()
+        assert "panoptikon_tpu" in text and "/api/search/pql" in text
+
+
 class TestSystemConfigApi:
     def test_put_sets_table_and_mirrors_file(self, client_env):
         from panoptikon_tpu.db import config_file
