@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from panoptikon_tpu.ops import ln_quant, vit_attention
+
 Params = dict[str, Any]
 
 
@@ -288,15 +290,59 @@ def _attention(x, p, heads: int, causal: bool, precision: str = "bf16",
     q = q.reshape(b, n, heads, head_dim)
     k = k.reshape(b, n, heads, head_dim)
     v = v.reshape(b, n, heads, head_dim)
-    # XLA's fused attention path; f32 softmax internally.
-    out = jax.nn.dot_product_attention(q, k, v, is_causal=causal)
+    # VMEM-resident Pallas attention on TPU (the XLA path materializes the
+    # (B, H, N, N) softmax surface in HBM — measured ~196 ms of a 397 ms
+    # ViT-L/14 embed batch; the kernel removes it). XLA fused path off-TPU.
+    out = vit_attention.attention(q, k, v, causal=causal)
     out = out.reshape(b, n, w)
     return _linear(out, p["out_w"], p["out_b"], precision,
                    scales[1] if scales is not None else None, collector)
 
 
+def _linear_prequant(xq, act_scale, w, b):
+    """int8 GEMM with an already-quantized activation (the fused
+    LN→quantize path): y = (xq·wq)·sx·sw + b, bf16 out. ``w`` must be a
+    pre-quantized {"q", "s"} dict (quantize_block_weights)."""
+    y = jax.lax.dot_general(
+        xq, w["q"],
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    sx = jnp.maximum(jnp.asarray(act_scale, jnp.float32) / 127.0, 1e-12)
+    y = y.astype(jnp.float32) * sx * w["s"]
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(jnp.bfloat16)
+
+
+def _block_int8_static(x, p, heads: int, causal: bool, scales):
+    """The serving embed path: fused LN→quantize (one pass emitting int8,
+    ops/ln_quant.py) feeding prequantized int8 GEMMs, Pallas attention.
+    Same math as the generic path modulo quantizing from f32 LN output
+    instead of its bf16 round-trip (strictly less rounding)."""
+    aq = ln_quant.ln_quant(x, p["ln_1"], scales[0])
+    qkv = _linear_prequant(aq, scales[0], p["attn"]["qkv_w"], p["attn"]["qkv_b"])
+    b, n, w = x.shape
+    head_dim = w // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = vit_attention.attention(
+        q.reshape(b, n, heads, head_dim), k.reshape(b, n, heads, head_dim),
+        v.reshape(b, n, heads, head_dim), causal=causal)
+    att = _linear(out.reshape(b, n, w), p["attn"]["out_w"], p["attn"]["out_b"],
+                  "int8", scales[1])
+    x = x + att
+    hq = ln_quant.ln_quant(x, p["ln_2"], scales[2])
+    h = _linear_prequant(hq, scales[2], p["mlp"]["fc_w"], p["mlp"]["fc_b"])
+    h = jax.nn.gelu(h, approximate=True)
+    h = _linear(h, p["mlp"]["proj_w"], p["mlp"]["proj_b"], "int8", scales[3])
+    return x + h
+
+
 def _block(x, p, heads: int, causal: bool, precision: str = "bf16",
            scales=None, collector=None):
+    if (precision == "int8" and scales is not None and collector is None
+            and isinstance(p["attn"]["qkv_w"], dict)):
+        return _block_int8_static(x, p, heads, causal, scales)
     x = x + _attention(_layernorm(x, p["ln_1"]), p["attn"], heads, causal,
                        precision, scales, collector)
     h = _layernorm(x, p["ln_2"])

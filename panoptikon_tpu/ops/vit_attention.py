@@ -1,0 +1,150 @@
+"""VMEM-resident multi-head attention for short sequences (ViT towers).
+
+Why this kernel exists (measured on the target chip, tools/attn_decomp_probe.py
+and tools/attn_inprogram_ab.py): at ViT-L/14 shapes (B=256, H=16, N=257,
+D=64) XLA materializes the (B, H, N, N) logits/probs surface in HBM and
+runs softmax as multiple padded passes over it — the attention core costs
+~196 ms of a 397 ms int8-static embed batch while its GEMMs are <1 ms of
+MXU time. Keeping the whole per-(batch, head-group) working set — q/k/v
+slices plus one (N, N) logits tile at a time — in VMEM removes every HBM
+round-trip beyond reading q/k/v once and writing the output once. Measured
+in-program: 392 ms → 288 ms (653 → 887 img/s) on the full ViT-L/14
+int8-static embed.
+
+Form notes (each alternative was measured and lost):
+- Heads ride the LANE axis: blocks are (1, N, hps·D) slices of the
+  natural (B, N, H·D) activation layout, and each head is a 64-lane
+  in-VMEM slice. The (B, N, H, D)-blocked form with an in-kernel
+  ``swapaxes`` relayout ran 1.5× SLOWER than XLA (bf16 relayouts at these
+  tile shapes are expensive: 441 ms vs 392 baseline).
+- Logits are computed TRANSPOSED (``Kh @ Qhᵀ`` → (N_k, N_q)) so softmax
+  reduces over SUBLANES and the ``probs ᵀ@ V`` contraction needs no
+  transpose: both contract over axis 0.
+- The head loop is unrolled Python; per-head ops are 2D only — Mosaic's
+  batched ``tpu.matmul`` requires batch dims at position 0 and pays a
+  relayout to get there.
+
+Layout: (B, N, H·D) in/out — exactly what the towers produce from the
+fused qkv GEMM split, so no HBM transposes are introduced on either side.
+
+Reference anchor: the reference runs torch SDPA inside its CLIP/tagger
+workers (python/inferio/impl/clip.py); this is the TPU-native equivalent
+of that fused path, built for the MXU/VPU/VMEM geometry instead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _pick_heads_per_step(num_heads: int, head_dim: int, seq: int) -> int:
+    """Largest legal divisor of ``num_heads`` whose per-step working set
+    stays well under VMEM.
+
+    Legality (Mosaic block constraints on the (1, N, hps·D) block): the
+    minor block dim hps·D must be a multiple of 128, or cover the whole
+    H·D axis. VMEM sizing uses the PADDED (8,128)-tiled f32 logits tile
+    with a ~3× multiplier for softmax temporaries (hps=16 at N=257
+    demanded 17.3 MB of scoped VMEM and was rejected by the compiler)."""
+    n_sub = -(-seq // 8) * 8
+    n_lane = -(-seq // 128) * 128
+    # One (N, N) logits tile is live per unrolled head iteration; the
+    # blocks themselves scale with hps.
+    tile = n_sub * n_lane * 4 * 3
+    best = None
+    for hps in range(1, num_heads + 1):
+        if num_heads % hps:
+            continue
+        if hps != num_heads and (hps * head_dim) % 128:
+            continue
+        blocks = 4 * seq * hps * head_dim * 2 * 2  # q/k/v/o, double-buffered
+        if tile + blocks <= 12 * 1024 * 1024 or best is None:
+            best = hps
+    return best
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int,
+                 scale: float, causal: bool):
+    n = q_ref.shape[1]
+
+    def qk(h):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        # Transposed logits: (N_k, N_q); softmax reduces over sublanes.
+        lt = jax.lax.dot_general(
+            k_ref[0, :, sl], q_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if causal:
+            krow = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            lt = jnp.where(krow <= qcol, lt, -jnp.inf)
+        return lt
+
+    # Software-pipelined head loop: head h+1's QKᵀ is issued between head
+    # h's softmax (VPU) and AV (MXU), so the units overlap across the
+    # otherwise-serial per-head chains — measured 5.33 → 4.31 ms/call at
+    # ViT-L/14 shapes (tools/attn_kernel_tune.py).
+    lt = qk(0)
+    for h in range(heads):
+        m = jnp.max(lt, axis=0, keepdims=True)
+        e = jnp.exp(lt - m)
+        s = jnp.sum(e, axis=0, keepdims=True)
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        vh = v_ref[0, :, sl]
+        p = (e / s).astype(vh.dtype)
+        if h + 1 < heads:
+            lt_next = qk(h + 1)
+        out = jax.lax.dot_general(
+            p, vh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N_q, D)
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+        if h + 1 < heads:
+            lt = lt_next
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "heads_per_step", "interpret")
+)
+def mha(q, k, v, *, causal: bool = False, heads_per_step: int | None = None,
+        interpret: bool = False):
+    """Fused multi-head attention: q, k, v (B, N, H, D) → (B, N, H, D).
+
+    Softmax runs in f32 regardless of input dtype; probs are cast to the
+    value dtype for the AV matmul (bf16 in production — the MXU's native
+    rate; XLA's SDPA does the same). ``heads_per_step`` must divide H and
+    keep hps·D a multiple of 128 (auto-picked when None). Sequence length
+    is arbitrary — Mosaic masks tile padding, reductions see logical N.
+    """
+    b, n, h, d = q.shape
+    hps = heads_per_step or _pick_heads_per_step(h, d, n)
+    assert h % hps == 0, (h, hps)
+    scale = float(d) ** -0.5
+    kernel = functools.partial(_attn_kernel, heads=hps, head_dim=d,
+                               scale=scale, causal=causal)
+    block = pl.BlockSpec((1, n, hps * d), lambda bi, gi: (bi, 0, gi))
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // hps),
+        in_specs=[block, block, block],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((b, n, h * d), q.dtype),
+        interpret=interpret,
+    )(q.reshape(b, n, h * d), k.reshape(b, n, h * d), v.reshape(b, n, h * d))
+    return out.reshape(b, n, h, d)
+
+
+def attention(q, k, v, *, causal: bool = False):
+    """Dispatch: the Pallas kernel on TPU, XLA's fused path elsewhere.
+
+    The trace-time backend decides — CPU test runs (and the virtual-mesh
+    multichip dryrun) take the XLA path; the kernel itself is covered by
+    interpret-mode equivalence tests (tests/test_vit_attention.py).
+    """
+    if jax.default_backend() == "tpu":
+        return mha(q, k, v, causal=causal)
+    return jax.nn.dot_product_attention(q, k, v, is_causal=causal)

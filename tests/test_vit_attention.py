@@ -1,0 +1,85 @@
+"""Equivalence tests for the VMEM-resident attention kernel
+(ops/vit_attention.py) against XLA's reference attention, in Pallas
+interpret mode (the TPU lowering itself is exercised by the embed bench
+and its fidelity gate on real hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panoptikon_tpu.ops import vit_attention
+
+
+def _ref(q, k, v, causal):
+    return jax.nn.dot_product_attention(q, k, v, is_causal=causal)
+
+
+@pytest.mark.parametrize(
+    "b,n,h,d,causal",
+    [
+        (2, 257, 16, 64, False),  # ViT-L/14 vision tower shape (odd N)
+        (2, 77, 8, 64, True),     # CLIP text tower (causal)
+        (1, 50, 12, 64, False),   # ViT-B/32 vision tower
+        (3, 16, 4, 32, True),
+    ],
+)
+def test_matches_xla_attention(b, n, h, d, causal):
+    ks = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(ks[0], (b, n, h, d), dtype=jnp.float32)
+    k = jax.random.normal(ks[1], (b, n, h, d), dtype=jnp.float32)
+    v = jax.random.normal(ks[2], (b, n, h, d), dtype=jnp.float32)
+    got = vit_attention.mha(q, k, v, causal=causal, interpret=True)
+    want = _ref(q, k, v, causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_inputs_f32_softmax():
+    ks = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(ks[0], (2, 33, 4, 64), dtype=jnp.bfloat16)
+    k = jax.random.normal(ks[1], (2, 33, 4, 64), dtype=jnp.bfloat16)
+    v = jax.random.normal(ks[2], (2, 33, 4, 64), dtype=jnp.bfloat16)
+    got = vit_attention.mha(q, k, v, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = _ref(q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), False)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=0.02, atol=0.02
+    )
+
+
+def test_head_group_blocking_invariant():
+    # Result must not depend on the heads_per_step blocking choice.
+    ks = jax.random.split(jax.random.key(2), 3)
+    q = jax.random.normal(ks[0], (1, 29, 8, 32), dtype=jnp.float32)
+    k = jax.random.normal(ks[1], (1, 29, 8, 32), dtype=jnp.float32)
+    v = jax.random.normal(ks[2], (1, 29, 8, 32), dtype=jnp.float32)
+    full = vit_attention.mha(q, k, v, heads_per_step=8, interpret=True)
+    for hps in (1, 2, 4):
+        part = vit_attention.mha(q, k, v, heads_per_step=hps, interpret=True)
+        np.testing.assert_allclose(np.asarray(part), np.asarray(full),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_heads_per_step_autopick():
+    # ViT-L/14 vision tower: 16 heads x 64d at N=257 -> all 16 per step
+    # (the head loop keeps one logits tile live at a time; measured 896
+    # img/s vs 884 at hps=8 in the full embed).
+    assert vit_attention._pick_heads_per_step(16, 64, 257) == 16
+    # ViT-B towers: 12 heads x 64d -> only hps=12 is block-legal.
+    assert vit_attention._pick_heads_per_step(12, 64, 257) == 12
+    assert vit_attention._pick_heads_per_step(8, 64, 77) == 8
+    # Huge N: the logits tile alone dominates; smallest legal hps.
+    assert vit_attention._pick_heads_per_step(16, 64, 4096) == 2
+
+
+def test_dispatch_takes_xla_path_off_tpu():
+    ks = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(ks[0], (1, 9, 2, 16), dtype=jnp.float32)
+    k = jax.random.normal(ks[1], (1, 9, 2, 16), dtype=jnp.float32)
+    v = jax.random.normal(ks[2], (1, 9, 2, 16), dtype=jnp.float32)
+    got = vit_attention.attention(q, k, v, causal=True)
+    want = _ref(q, k, v, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
