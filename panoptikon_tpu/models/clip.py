@@ -324,12 +324,21 @@ def _block_int8_static(x, p, heads: int, causal: bool, scales):
     qkv = _linear_prequant(aq, scales[0], p["attn"]["qkv_w"], p["attn"]["qkv_b"])
     b, n, w = x.shape
     head_dim = w // heads
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    out = vit_attention.attention(
-        q.reshape(b, n, heads, head_dim), k.reshape(b, n, heads, head_dim),
-        v.reshape(b, n, heads, head_dim), causal=causal)
-    att = _linear(out.reshape(b, n, w), p["attn"]["out_w"], p["attn"]["out_b"],
-                  "int8", scales[1])
+    if jax.default_backend() == "tpu":
+        # One pallas input for the unsplit qkv (no split copies) and int8
+        # out in-register (the out-projection's input quant).
+        att_q = vit_attention.mha_qkv(qkv, heads=heads, causal=causal,
+                                      out_scale=scales[1])
+        att = _linear_prequant(att_q, scales[1], p["attn"]["out_w"],
+                               p["attn"]["out_b"])
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = vit_attention.attention(
+            q.reshape(b, n, heads, head_dim),
+            k.reshape(b, n, heads, head_dim),
+            v.reshape(b, n, heads, head_dim), causal=causal)
+        att = _linear(out.reshape(b, n, w), p["attn"]["out_w"],
+                      p["attn"]["out_b"], "int8", scales[1])
     x = x + att
     hq = ln_quant.ln_quant(x, p["ln_2"], scales[2])
     h = _linear_prequant(hq, scales[2], p["mlp"]["fc_w"], p["mlp"]["fc_b"])

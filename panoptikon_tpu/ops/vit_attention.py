@@ -84,27 +84,30 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int,
             lt = jnp.where(krow <= qcol, lt, -jnp.inf)
         return lt
 
-    # Software-pipelined head loop: head h+1's QKᵀ is issued between head
-    # h's softmax (VPU) and AV (MXU), so the units overlap across the
-    # otherwise-serial per-head chains — measured 5.33 → 4.31 ms/call at
-    # ViT-L/14 shapes (tools/attn_kernel_tune.py).
-    lt = qk(0)
+    # Software-pipelined head loop, 2-deep lookahead: heads h+1/h+2's QKᵀ
+    # MXU work is issued between head h's softmax (VPU) and AV (MXU), so
+    # the units overlap across the otherwise-serial per-head chains —
+    # measured 5.33 (serial) → 4.31 (1-deep) → 3.80 ms/call (2-deep) at
+    # ViT-L/14 shapes (tools/attn_kernel_tune.py). Two logits tiles are
+    # live at once (+1 padded (N,N) f32 tile of VMEM).
+    lts = [qk(0)]
+    if heads > 1:
+        lts.append(qk(1))
     for h in range(heads):
+        lt = lts.pop(0)
         m = jnp.max(lt, axis=0, keepdims=True)
         e = jnp.exp(lt - m)
         s = jnp.sum(e, axis=0, keepdims=True)
         sl = slice(h * head_dim, (h + 1) * head_dim)
         vh = v_ref[0, :, sl]
         p = (e / s).astype(vh.dtype)
-        if h + 1 < heads:
-            lt_next = qk(h + 1)
+        if h + 2 < heads:
+            lts.append(qk(h + 2))
         out = jax.lax.dot_general(
             p, vh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (N_q, D)
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
-        if h + 1 < heads:
-            lt = lt_next
 
 
 @functools.partial(
@@ -136,6 +139,93 @@ def mha(q, k, v, *, causal: bool = False, heads_per_step: int | None = None,
         interpret=interpret,
     )(q.reshape(b, n, h * d), k.reshape(b, n, h * d), v.reshape(b, n, h * d))
     return out.reshape(b, n, h, d)
+
+
+def _attn_qkv_kernel(qkv_ref, s_ref, o_ref, *, heads: int, head_dim: int,
+                     scale: float, causal: bool, quantize_out: bool):
+    n = qkv_ref.shape[1]
+    hd = heads * head_dim
+
+    def qk(h):
+        lt = jax.lax.dot_general(
+            qkv_ref[0, :, hd + h * head_dim: hd + (h + 1) * head_dim],
+            qkv_ref[0, :, h * head_dim: (h + 1) * head_dim],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if causal:
+            krow = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            lt = jnp.where(krow <= qcol, lt, -jnp.inf)
+        return lt
+
+    lts = [qk(0)]
+    if heads > 1:
+        lts.append(qk(1))
+    for h in range(heads):
+        lt = lts.pop(0)
+        m = jnp.max(lt, axis=0, keepdims=True)
+        e = jnp.exp(lt - m)
+        s = jnp.sum(e, axis=0, keepdims=True)
+        vh = qkv_ref[0, :, 2 * hd + h * head_dim: 2 * hd + (h + 1) * head_dim]
+        p = (e / s).astype(vh.dtype)
+        if h + 2 < heads:
+            lts.append(qk(h + 2))
+        out = jax.lax.dot_general(
+            p, vh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N_q, D)
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        if quantize_out:
+            sx = jnp.maximum(s_ref[0, 0] / 127.0, 1e-12)
+            o_ref[0, :, sl] = jnp.clip(
+                jnp.round(out / sx), -127, 127
+            ).astype(jnp.int8)
+        else:
+            o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "causal", "interpret"),
+)
+def mha_qkv(qkv, *, heads: int, causal: bool = False,
+            out_scale=None, interpret: bool = False):
+    """Fused attention over the UNSPLIT qkv GEMM output.
+
+    qkv: (B, N, 3·H·D) — q | k | v along the lane axis, exactly as the
+    fused qkv projection emits it. Reading it as one pallas input removes
+    the three ``jnp.split`` copies XLA otherwise materializes to feed the
+    kernel (~400 MB/layer at ViT-L/14 batch 256). With ``out_scale``
+    (a static calibrated absmax), the kernel also quantizes the output to
+    int8 in-register — the next (out-projection) GEMM's input quant —
+    instead of XLA running a separate read→write pass.
+
+    All heads run in one grid step per batch row (two live logits tiles,
+    2-deep pipelined as in :func:`mha`); use :func:`mha` for shapes where
+    head blocking is required.
+    """
+    b, n, w3 = qkv.shape
+    w = w3 // 3
+    d = w // heads
+    quantize_out = out_scale is not None
+    kernel = functools.partial(
+        _attn_qkv_kernel, heads=heads, head_dim=d,
+        scale=float(d) ** -0.5, causal=causal, quantize_out=quantize_out)
+    s = jnp.asarray(
+        1.0 if out_scale is None else out_scale, jnp.float32).reshape(1, 1)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, w3), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1), lambda bi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, w), lambda bi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n, w), jnp.int8 if quantize_out else qkv.dtype),
+        interpret=interpret,
+    )(qkv, s)
 
 
 def attention(q, k, v, *, causal: bool = False):

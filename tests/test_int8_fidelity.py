@@ -1,0 +1,86 @@
+"""Fidelity gate on the EXACT production int8-static embed path.
+
+The serving path is: quantize_block_weights → calibrate_image_scales →
+encode_image(act_scales=…) which routes through _block_int8_static
+(fused LN→quantize + prequantized int8 GEMMs + the attention dispatch).
+This asserts cosine(int8 static, bf16 reference) ≥ 0.999 per image on
+that path — the bar the reference accepted for its fp16 CLIP migration
+(0.9993 relevance retained, docs/clip-fp16-precision-evaluation.md:24-31)
+— as a regression gate, not a probe note. The TPU Pallas attention kernel
+is covered separately by interpret-mode equivalence tests
+(tests/test_vit_attention.py); off TPU the same block structure runs with
+XLA attention and identical quantization math.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panoptikon_tpu.models import clip
+
+
+def test_int8_static_embed_cosine_gate():
+    cfg = clip.CONFIGS["test-tiny"]
+    int8_cfg = dataclasses.replace(cfg, matmul_precision="int8")
+    params = clip.init_params(jax.random.key(0), cfg)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params,
+    )
+    params_q = clip.quantize_block_weights(params)
+
+    calib = jax.random.normal(
+        jax.random.key(9), (8, cfg.image_size, cfg.image_size, 3),
+        dtype=jnp.bfloat16,
+    )
+    scales = clip.calibrate_image_scales(params_q, int8_cfg, calib)
+
+    images = jax.random.normal(
+        jax.random.key(7), (16, cfg.image_size, cfg.image_size, 3),
+        dtype=jnp.bfloat16,
+    )
+    # Production path (static-int8, routes through _block_int8_static).
+    got = np.asarray(
+        clip.encode_image(params_q, int8_cfg, images, act_scales=scales)
+    )
+    # bf16 reference over the SAME dequantized weights.
+    want = np.asarray(clip.encode_image(params_q, cfg, images))
+
+    cos = np.sum(got * want, axis=-1) / np.maximum(
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1), 1e-30
+    )
+    assert cos.min() >= 0.999, cos.min()
+
+
+def test_int8_static_is_the_fused_block_path():
+    # Guard: the static path must actually take _block_int8_static (if the
+    # gate above ever silently falls back to the generic path, the gate
+    # stops covering production).
+    cfg = dataclasses.replace(
+        clip.CONFIGS["test-tiny"], matmul_precision="int8")
+    params = clip.init_params(jax.random.key(1), clip.CONFIGS["test-tiny"])
+    params_q = clip.quantize_block_weights(params)
+    calib = jax.random.normal(
+        jax.random.key(2), (4, cfg.image_size, cfg.image_size, 3),
+        dtype=jnp.bfloat16,
+    )
+    scales = clip.calibrate_image_scales(params_q, cfg, calib)
+    images = jax.random.normal(
+        jax.random.key(3), (2, cfg.image_size, cfg.image_size, 3),
+        dtype=jnp.bfloat16,
+    )
+    called = []
+    orig = clip._block_int8_static
+
+    def spy(*args, **kwargs):
+        called.append(1)
+        return orig(*args, **kwargs)
+
+    clip._block_int8_static = spy
+    try:
+        clip.encode_image(params_q, cfg, images, act_scales=scales)
+    finally:
+        clip._block_int8_static = orig
+    assert called, "static-int8 embed did not route through the fused block"

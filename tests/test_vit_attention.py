@@ -83,3 +83,32 @@ def test_dispatch_takes_xla_path_off_tpu():
     want = _ref(q, k, v, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_mha_qkv_matches_split_path(causal):
+    b, n, h, d = 2, 33, 4, 64
+    qkv = jax.random.normal(jax.random.key(5), (b, n, 3 * h * d),
+                            dtype=jnp.float32)
+    got = vit_attention.mha_qkv(qkv, heads=h, causal=causal, interpret=True)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    want = _ref(q.reshape(b, n, h, d), k.reshape(b, n, h, d),
+                v.reshape(b, n, h, d), causal).reshape(b, n, h * d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mha_qkv_int8_out():
+    b, n, h, d = 1, 17, 2, 32
+    qkv = jax.random.normal(jax.random.key(6), (b, n, 3 * h * d),
+                            dtype=jnp.float32)
+    scale = jnp.float32(0.9)
+    got = vit_attention.mha_qkv(qkv, heads=h, out_scale=scale,
+                                interpret=True)
+    assert got.dtype == jnp.int8
+    out = vit_attention.mha_qkv(qkv, heads=h, interpret=True)
+    sx = jnp.maximum(scale / 127.0, 1e-12)
+    want = jnp.clip(jnp.round(out.astype(jnp.float32) / sx), -127,
+                    127).astype(jnp.int8)
+    diff = np.abs(np.asarray(got, np.int32) - np.asarray(want, np.int32))
+    assert diff.max() <= 1

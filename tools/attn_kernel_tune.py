@@ -43,6 +43,61 @@ def av_write(p, v_ref, o_ref, h):
     o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
 
+def make_kernel_bps2(interleave):
+    def qk2(q_ref, k_ref, b, h):
+        sl = slice(h * D, (h + 1) * D)
+        return jax.lax.dot_general(
+            k_ref[b, :, sl], q_ref[b, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    def sm2(lt):
+        m = jnp.max(lt, axis=0, keepdims=True)
+        e = jnp.exp(lt - m)
+        s = jnp.sum(e, axis=0, keepdims=True)
+        return (e / s).astype(jnp.bfloat16)
+
+    def av2(p, v_ref, o_ref, b, h):
+        sl = slice(h * D, (h + 1) * D)
+        out = jax.lax.dot_general(
+            p, v_ref[b, :, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[b, :, sl] = out.astype(o_ref.dtype)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        pairs = [(b, h) for b in range(2) for h in range(HPS)]
+        lt = qk2(q_ref, k_ref, *pairs[0])
+        for i, (b, h) in enumerate(pairs):
+            p = sm2(lt)
+            if i + 1 < len(pairs):
+                lt_next = qk2(q_ref, k_ref, *pairs[i + 1])
+            av2(p, v_ref, o_ref, b, h)
+            if i + 1 < len(pairs):
+                lt = lt_next
+
+    return kernel
+
+
+def build_bps2():
+    block = pl.BlockSpec((2, N, HPS * D), lambda b, g: (b, 0, g))
+    attn = lambda q, k, v: pl.pallas_call(
+        make_kernel_bps2(True),
+        grid=(B // 2, H // HPS),
+        in_specs=[block, block, block],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct((B, N, H * D), q.dtype),
+    )(q, k, v)
+
+    @jax.jit
+    def run(q, k, v):
+        def body(i, q):
+            out = attn(q, k, v)
+            return q + out * jnp.bfloat16(1e-4)
+
+        return jax.lax.fori_loop(0, ITERS, body, q)
+
+    return run
+
+
 def make_kernel(flavor):
     def sm(lt):
         if flavor in ("nomax",):
@@ -55,7 +110,16 @@ def make_kernel(flavor):
             return (e * (1.0 / s)).astype(jnp.bfloat16)
         return (e / s).astype(jnp.bfloat16)
 
-    if flavor in ("interleave", "combo"):
+    if flavor == "interleave2":
+        def kernel(q_ref, k_ref, v_ref, o_ref):
+            lts = [qk(q_ref, k_ref, 0), qk(q_ref, k_ref, 1)]
+            for h in range(HPS):
+                p = sm(lts[0])
+                if h + 2 < HPS:
+                    lts.append(qk(q_ref, k_ref, h + 2))
+                av_write(p, v_ref, o_ref, h)
+                lts.pop(0)
+    elif flavor in ("interleave", "combo"):
         def kernel(q_ref, k_ref, v_ref, o_ref):
             lt = qk(q_ref, k_ref, 0)
             for h in range(HPS):
@@ -123,6 +187,7 @@ def bench(fn, label):
 
 
 bench(noop, "noop")
-for flavor in ("base", "interleave", "recip", "nomax", "combo"):
+for flavor in ("interleave", "interleave2"):
     bench(build(flavor), flavor)
+bench(build_bps2(), "bps2+interleave")
 print("done", flush=True)
