@@ -496,6 +496,14 @@ def embed_images_raw_jit(params, cfg: ClipConfig, images):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def embed_images_raw_scaled_jit(params, cfg: ClipConfig, images, act_scales):
+    """Raw pooled features on the static-int8 path (tagger trunks with
+    ``precision = "int8"`` — same fused block as the retrieval embed)."""
+    return encode_image(params, cfg, images, normalize=False,
+                        act_scales=act_scales)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def embed_texts_jit(params, cfg: ClipConfig, token_ids):
     return encode_text(params, cfg, token_ids)
 

@@ -322,9 +322,21 @@ class TaggerImpl(InferenceModel):
         character_tags: Optional[list[str]] = None,
         character_threshold: float = 0.75,
         batch_cap: int = 32,
+        precision: str = "bf16",
         **_: Any,
     ):
+        # precision="int8" runs the trunk on the static-int8 fused block
+        # (calibrated on the first real batch, like ClipImpl) — ~2× trunk
+        # throughput; sigmoid probs shift by the trunk's quantization
+        # error (cosine ≥0.999 gate), and mcut thresholds on the sorted
+        # gap are shift-stable. Opt-in per registry entry; default bf16.
+        self.precision = precision
         self.cfg = clip.CONFIGS.get(model_arch) or clip.CONFIGS["test-tiny"]
+        if precision == "int8":
+            import dataclasses as _dc
+
+            self.cfg = _dc.replace(self.cfg, matmul_precision="int8")
+        self._act_scales = None
         self.checkpoint = checkpoint
         self.namespace = namespace
         self.rating_tags = rating_tags or ["general", "safe", "sensitive", "questionable", "explicit"]
@@ -372,6 +384,8 @@ class TaggerImpl(InferenceModel):
                 self.tag_vocab = [
                     f"tag_{i}" for i in range(n_out - len(self.rating_tags))
                 ]
+            if self.precision == "int8":
+                self.params = clip.quantize_block_weights(self.params)
             return
         self.params = clip.init_params(jax.random.key(2), self.cfg)
         n_out = (
@@ -382,10 +396,13 @@ class TaggerImpl(InferenceModel):
             jax.random.normal(jax.random.key(3), (self.cfg.embed_dim, n_out))
         ) * self.cfg.embed_dim**-0.5
         self.head_bias = np.zeros(n_out, np.float32)
+        if self.precision == "int8":
+            self.params = clip.quantize_block_weights(self.params)
 
     def unload(self) -> None:
         self.params = None
         self.head = None
+        self._act_scales = None
 
     @staticmethod
     def mcut_threshold(probs: np.ndarray) -> float:
@@ -414,9 +431,18 @@ class TaggerImpl(InferenceModel):
         if images:
             bucket = batching.bucket_for(len(images), self.batch_ladder)
             padded, _ = batching.pad_batch(np.stack(images), bucket)
-            feats = np.asarray(
-                clip.embed_images_raw_jit(self.params, self.cfg, padded)
-            )
+            if self.precision == "int8":
+                if self._act_scales is None:
+                    self._act_scales = clip.calibrate_image_scales(
+                        self.params, self.cfg, padded
+                    )
+                feats = np.asarray(clip.embed_images_raw_scaled_jit(
+                    self.params, self.cfg, padded, self._act_scales
+                ))
+            else:
+                feats = np.asarray(
+                    clip.embed_images_raw_jit(self.params, self.cfg, padded)
+                )
             logits = feats[: len(images)] @ self.head + self.head_bias
             probs = 1.0 / (1.0 + np.exp(-logits))
             n_rating = len(self.rating_tags)

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from panoptikon_tpu.ops import vit_attention
+
 Params = dict[str, Any]
 
 
@@ -121,7 +123,14 @@ def encode(
         q = q.reshape(b, n, heads, head_dim)
         k = k.reshape(b, n, heads, head_dim)
         v = v.reshape(b, n, heads, head_dim)
-        attn = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        if jax.default_backend() == "tpu":
+            # VMEM-resident kernel with the key-padding mask folded in as
+            # a −1e9 bias (bit-parity with the additive-bias path below);
+            # XLA materializes the (B, H, N, N) softmax surface otherwise
+            # (ops/vit_attention.py — measured on the CLIP towers).
+            attn = vit_attention.mha(q, k, v, key_mask=mask)
+        else:
+            attn = jax.nn.dot_product_attention(q, k, v, bias=bias)
         attn = attn.reshape(b, n, cfg.width)
         attn = attn @ blk["attn"]["out_w"].astype(h.dtype) + blk["attn"]["out_b"].astype(h.dtype)
         x = _layernorm(x + attn, blk["ln_attn"]).astype(jnp.bfloat16)

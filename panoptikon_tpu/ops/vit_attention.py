@@ -67,8 +67,8 @@ def _pick_heads_per_step(num_heads: int, head_dim: int, seq: int) -> int:
     return best
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int,
-                 scale: float, causal: bool):
+def _attn_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads: int,
+                 head_dim: int, scale: float, causal: bool, masked: bool):
     n = q_ref.shape[1]
 
     def qk(h):
@@ -82,6 +82,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int,
             krow = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
             qcol = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
             lt = jnp.where(krow <= qcol, lt, -jnp.inf)
+        if masked:
+            # Key-padding mask: invalid keys are ROWS of the transposed
+            # logits. -1e9 (not -inf) matches the additive-bias fallback:
+            # a fully-masked row softmaxes to uniform, never NaN.
+            lt = jnp.where(m_ref[0] > 0, lt, lt - 1e9)
         return lt
 
     # Software-pipelined head loop, 2-deep lookahead: heads h+1/h+2's QKᵀ
@@ -113,8 +118,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int,
 @functools.partial(
     jax.jit, static_argnames=("causal", "heads_per_step", "interpret")
 )
-def mha(q, k, v, *, causal: bool = False, heads_per_step: int | None = None,
-        interpret: bool = False):
+def mha(q, k, v, *, causal: bool = False, key_mask=None,
+        heads_per_step: int | None = None, interpret: bool = False):
     """Fused multi-head attention: q, k, v (B, N, H, D) → (B, N, H, D).
 
     Softmax runs in f32 regardless of input dtype; probs are cast to the
@@ -122,22 +127,31 @@ def mha(q, k, v, *, causal: bool = False, heads_per_step: int | None = None,
     rate; XLA's SDPA does the same). ``heads_per_step`` must divide H and
     keep hps·D a multiple of 128 (auto-picked when None). Sequence length
     is arbitrary — Mosaic masks tile padding, reductions see logical N.
+    ``key_mask`` (B, N) truthy-for-valid applies a −1e9 key-padding bias
+    (bit-parity with an additive bias mask, the BERT convention).
     """
     b, n, h, d = q.shape
     hps = heads_per_step or _pick_heads_per_step(h, d, n)
     assert h % hps == 0, (h, hps)
     scale = float(d) ** -0.5
+    masked = key_mask is not None
     kernel = functools.partial(_attn_kernel, heads=hps, head_dim=d,
-                               scale=scale, causal=causal)
+                               scale=scale, causal=causal, masked=masked)
     block = pl.BlockSpec((1, n, hps * d), lambda bi, gi: (bi, 0, gi))
+    mask_block = pl.BlockSpec((1, n, 1), lambda bi, gi: (bi, 0, 0))
+    if key_mask is None:
+        m = jnp.ones((b, n, 1), jnp.float32)
+    else:
+        m = key_mask.astype(jnp.float32).reshape(b, n, 1)
     out = pl.pallas_call(
         kernel,
         grid=(b, h // hps),
-        in_specs=[block, block, block],
+        in_specs=[block, block, block, mask_block],
         out_specs=block,
         out_shape=jax.ShapeDtypeStruct((b, n, h * d), q.dtype),
         interpret=interpret,
-    )(q.reshape(b, n, h * d), k.reshape(b, n, h * d), v.reshape(b, n, h * d))
+    )(q.reshape(b, n, h * d), k.reshape(b, n, h * d), v.reshape(b, n, h * d),
+      m)
     return out.reshape(b, n, h, d)
 
 

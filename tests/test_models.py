@@ -192,3 +192,42 @@ class TestTaggerCategories:
         ])
         assert dict(out2[0]["tags"])["character"] == {}
         impl.unload()
+
+
+class TestTaggerInt8:
+    def test_int8_trunk_matches_bf16_probs(self):
+        # precision="int8" runs the tagger trunk on the fused static-int8
+        # block; sigmoid probabilities must track the bf16 trunk closely
+        # enough that tag sets at reasonable thresholds are stable.
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from panoptikon_tpu.models.base import PredictionInput
+        from panoptikon_tpu.models.impls import TaggerImpl
+
+        vocab = [f"g{i}" for i in range(8)]
+        buf = io.BytesIO()
+        Image.new("RGB", (32, 32), (40, 90, 200)).save(buf, format="PNG")
+        png = buf.getvalue()
+
+        a = TaggerImpl(model_arch="test-tiny", tag_vocab=vocab)
+        b = TaggerImpl(model_arch="test-tiny", tag_vocab=vocab,
+                       precision="int8")
+        out_a = a.predict([PredictionInput(file=png,
+                                           data={"threshold": 0.01})])
+        out_b = b.predict([PredictionInput(file=png,
+                                           data={"threshold": 0.01}),
+                           PredictionInput(file=png,
+                                           data={"threshold": 0.01})])
+        ga = dict(out_a[0]["tags"])["general"]
+        gb = dict(out_b[0]["tags"])["general"]
+        # Same trunk init (both seeded key(2)) → same tags, close probs.
+        assert set(ga) == set(gb)
+        for tag, pa in ga.items():
+            assert abs(pa - gb[tag]) < 0.05, (tag, pa, gb[tag])
+        # Batch positions agree with each other (padding hygiene).
+        assert dict(out_b[0]["tags"]) == dict(out_b[1]["tags"])
+        a.unload()
+        b.unload()

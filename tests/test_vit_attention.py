@@ -112,3 +112,20 @@ def test_mha_qkv_int8_out():
                     127).astype(jnp.int8)
     diff = np.abs(np.asarray(got, np.int32) - np.asarray(want, np.int32))
     assert diff.max() <= 1
+
+
+def test_key_mask_matches_additive_bias():
+    # -1e9 key-padding inside the kernel must be bit-parity with the
+    # additive-bias XLA form text_embed uses as its fallback.
+    b, n, h, d = 2, 21, 4, 32
+    ks = jax.random.split(jax.random.key(7), 4)
+    q = jax.random.normal(ks[0], (b, n, h, d), dtype=jnp.float32)
+    k = jax.random.normal(ks[1], (b, n, h, d), dtype=jnp.float32)
+    v = jax.random.normal(ks[2], (b, n, h, d), dtype=jnp.float32)
+    mask = jax.random.bernoulli(ks[3], 0.7, (b, n))
+    mask = mask.at[:, 0].set(True)  # at least one valid key per row
+    got = vit_attention.mha(q, k, v, key_mask=mask, interpret=True)
+    bias = jnp.where(mask[:, None, None, :], 0.0, -1e9).astype(jnp.float32)
+    want = jax.nn.dot_product_attention(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
