@@ -572,6 +572,14 @@ class TestBuiltinUi:
         assert status == 200
         text = bytes(body).decode()
         assert "panoptikon_tpu" in text and "/api/search/pql" in text
+        # The app's views and the endpoints each one drives.
+        for marker in (
+            "view-search", "view-bookmarks", "view-pinboards", "view-jobs",
+            "/api/bookmarks/user", "/api/pinboards/user", "/api/jobs/queue",
+            "/api/jobs/quants", "/api/jobs/failures/extraction",
+            "/api/accelerator", "similar_to", "/api/items/",
+        ):
+            assert marker in text, marker
 
 
 class TestSystemConfigApi:
