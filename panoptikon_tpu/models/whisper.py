@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from panoptikon_tpu.ops import vit_attention
+
 SAMPLE_RATE = 16000
 N_FFT = 400
 HOP = 160
@@ -253,11 +255,13 @@ def _self_attention(x, p, heads, causal=False):
     qkv = x @ p["qkv_w"].astype(x.dtype) + p["qkv_b"].astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     hd = w // heads
-    out = jax.nn.dot_product_attention(
+    # VMEM-resident Pallas kernel on TPU (q-blocked for the encoder's
+    # N=1500 — ops/vit_attention.py plans the tiling); XLA off-TPU.
+    out = vit_attention.attention(
         q.reshape(b, n, heads, hd),
         k.reshape(b, n, heads, hd),
         v.reshape(b, n, heads, hd),
-        is_causal=causal,
+        causal=causal,
     ).reshape(b, n, w)
     return out @ p["out_w"].astype(x.dtype) + p["out_b"].astype(x.dtype)
 
@@ -319,7 +323,9 @@ def _decoder_logits(params, cfg: WhisperConfig, tokens, audio_feats, token_mask)
         kv = audio @ blk["cross"]["kv_w"].astype(x.dtype) + blk["cross"]["kv_b"].astype(x.dtype)
         k, v = jnp.split(kv, 2, axis=-1)
         m = audio.shape[1]
-        out = jax.nn.dot_product_attention(
+        # Cross-attention (N_q tokens × N_kv audio ctx) through the same
+        # kernel — distinct kv length supported natively.
+        out = vit_attention.attention(
             q.reshape(b, n, heads, hd),
             k.reshape(b, m, heads, hd),
             v.reshape(b, m, heads, hd),

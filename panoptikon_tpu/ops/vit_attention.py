@@ -41,51 +41,70 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _pick_heads_per_step(num_heads: int, head_dim: int, seq: int) -> int:
-    """Largest legal divisor of ``num_heads`` whose per-step working set
-    stays well under VMEM.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
-    Legality (Mosaic block constraints on the (1, N, hps·D) block): the
-    minor block dim hps·D must be a multiple of 128, or cover the whole
-    H·D axis. VMEM sizing uses the PADDED (8,128)-tiled f32 logits tile
-    with a ~3× multiplier for softmax temporaries (hps=16 at N=257
-    demanded 17.3 MB of scoped VMEM and was rejected by the compiler)."""
-    n_sub = -(-seq // 8) * 8
-    n_lane = -(-seq // 128) * 128
-    # One (N, N) logits tile is live per unrolled head iteration; the
-    # blocks themselves scale with hps.
-    tile = n_sub * n_lane * 4 * 3
-    best = None
-    for hps in range(1, num_heads + 1):
-        if num_heads % hps:
+
+def _plan_blocks(num_heads: int, head_dim: int, n_q: int,
+                 n_kv: int) -> tuple[int, int]:
+    """(heads_per_step, q_block) keeping the per-step working set under
+    VMEM.
+
+    Legality (Mosaic block constraints on the (1, rows, hps·D) blocks):
+    the minor block dim hps·D must be a multiple of 128 or cover the
+    whole H·D axis; the q/out row-block must be a multiple of 8 or the
+    full N_q. VMEM sizing uses the PADDED (8,128)-tiled f32 logits tile
+    (N_kv sublanes × q_block lanes) with a ~3× multiplier for the softmax
+    temporaries (hps=16 at N=257 demanded 17.3 MB of scoped VMEM and was
+    rejected by the compiler). Short sequences get the whole q axis in
+    one step (the ViT fast path); long ones (whisper's N=1500 encoder)
+    fall back to q-blocking — the full key axis always stays in-tile, so
+    softmax never needs an online/carry form."""
+    kv_sub = -(-n_kv // 8) * 8
+
+    def fits(hps: int, qb: int) -> bool:
+        tile = kv_sub * (-(-qb // 128) * 128) * 4 * 3
+        blocks = (2 * n_kv + 2 * qb) * hps * head_dim * 2 * 2
+        return tile + blocks <= _VMEM_BUDGET
+
+    legal = [
+        h for h in range(1, num_heads + 1)
+        if num_heads % h == 0
+        and (h == num_heads or (h * head_dim) % 128 == 0)
+    ]
+    for hps in sorted(legal, reverse=True):
+        if fits(hps, n_q):
+            return hps, n_q
+    for qb in (512, 256, 128, 64, 32, 8):
+        if qb >= n_q:
             continue
-        if hps != num_heads and (hps * head_dim) % 128:
-            continue
-        blocks = 4 * seq * hps * head_dim * 2 * 2  # q/k/v/o, double-buffered
-        if tile + blocks <= 12 * 1024 * 1024 or best is None:
-            best = hps
-    return best
+        for hps in sorted(legal, reverse=True):
+            if fits(hps, qb):
+                return hps, qb
+    return min(legal), 8
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads: int,
                  head_dim: int, scale: float, causal: bool, masked: bool):
-    n = q_ref.shape[1]
+    nq = q_ref.shape[1]   # this step's q-block rows
+    nk = k_ref.shape[1]   # the FULL key axis (always in-tile)
+    qoff = pl.program_id(2) * nq
 
     def qk(h):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        # Transposed logits: (N_k, N_q); softmax reduces over sublanes.
+        # Transposed logits: (N_k, q_block); softmax reduces over sublanes.
         lt = jax.lax.dot_general(
             k_ref[0, :, sl], q_ref[0, :, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
         if causal:
-            krow = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-            qcol = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            krow = jax.lax.broadcasted_iota(jnp.int32, (nk, nq), 0)
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (nk, nq), 1) + qoff
             lt = jnp.where(krow <= qcol, lt, -jnp.inf)
         if masked:
             # Key-padding mask: invalid keys are ROWS of the transposed
-            # logits. -1e9 (not -inf) matches the additive-bias fallback:
-            # a fully-masked row softmaxes to uniform, never NaN.
+            # logits. Additive -1e9 (not -inf) is bit-parity with the
+            # additive-bias fallback: a fully-masked row softmaxes to
+            # uniform, never NaN.
             lt = jnp.where(m_ref[0] > 0, lt, lt - 1e9)
         return lt
 
@@ -94,7 +113,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads: int,
     # the units overlap across the otherwise-serial per-head chains —
     # measured 5.33 (serial) → 4.31 (1-deep) → 3.80 ms/call (2-deep) at
     # ViT-L/14 shapes (tools/attn_kernel_tune.py). Two logits tiles are
-    # live at once (+1 padded (N,N) f32 tile of VMEM).
+    # live at once (+1 padded tile of VMEM).
     lts = [qk(0)]
     if heads > 1:
         lts.append(qk(1))
@@ -111,48 +130,63 @@ def _attn_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads: int,
         out = jax.lax.dot_general(
             p, vh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (N_q, D)
+        )  # (q_block, D)
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "heads_per_step", "interpret")
+    jax.jit,
+    static_argnames=("causal", "heads_per_step", "q_block", "interpret"),
 )
 def mha(q, k, v, *, causal: bool = False, key_mask=None,
-        heads_per_step: int | None = None, interpret: bool = False):
-    """Fused multi-head attention: q, k, v (B, N, H, D) → (B, N, H, D).
+        heads_per_step: int | None = None, q_block: int | None = None,
+        interpret: bool = False):
+    """Fused multi-head attention.
+
+    q (B, N_q, H, D); k, v (B, N_kv, H, D) — self-attention when
+    N_q == N_kv, cross-attention otherwise (whisper's decoder reads the
+    audio encoding). Returns (B, N_q, H, D).
 
     Softmax runs in f32 regardless of input dtype; probs are cast to the
     value dtype for the AV matmul (bf16 in production — the MXU's native
-    rate; XLA's SDPA does the same). ``heads_per_step`` must divide H and
-    keep hps·D a multiple of 128 (auto-picked when None). Sequence length
-    is arbitrary — Mosaic masks tile padding, reductions see logical N.
-    ``key_mask`` (B, N) truthy-for-valid applies a −1e9 key-padding bias
-    (bit-parity with an additive bias mask, the BERT convention).
+    rate; XLA's SDPA does the same). The head axis is blocked by
+    ``heads_per_step`` and, for long sequences whose (N_kv, N_q) logits
+    tile exceeds VMEM, the q axis by ``q_block`` (both auto-planned; the
+    key axis always stays whole in-tile so softmax needs no online
+    carry). Sequence lengths are arbitrary — Mosaic masks tile padding.
+    ``key_mask`` (B, N_kv) truthy-for-valid applies a −1e9 key-padding
+    bias (bit-parity with an additive bias mask, the BERT convention).
+    ``causal`` requires N_q == N_kv.
     """
-    b, n, h, d = q.shape
-    hps = heads_per_step or _pick_heads_per_step(h, d, n)
+    b, n_q, h, d = q.shape
+    n_kv = k.shape[1]
+    if causal:
+        assert n_q == n_kv, (n_q, n_kv)
+    auto_hps, auto_qb = _plan_blocks(h, d, n_q, n_kv)
+    hps = heads_per_step or auto_hps
+    qb = q_block or auto_qb
     assert h % hps == 0, (h, hps)
     scale = float(d) ** -0.5
     masked = key_mask is not None
     kernel = functools.partial(_attn_kernel, heads=hps, head_dim=d,
                                scale=scale, causal=causal, masked=masked)
-    block = pl.BlockSpec((1, n, hps * d), lambda bi, gi: (bi, 0, gi))
-    mask_block = pl.BlockSpec((1, n, 1), lambda bi, gi: (bi, 0, 0))
+    qblock = pl.BlockSpec((1, qb, hps * d), lambda bi, gi, qi: (bi, qi, gi))
+    kvblock = pl.BlockSpec((1, n_kv, hps * d), lambda bi, gi, qi: (bi, 0, gi))
+    mask_block = pl.BlockSpec((1, n_kv, 1), lambda bi, gi, qi: (bi, 0, 0))
     if key_mask is None:
-        m = jnp.ones((b, n, 1), jnp.float32)
+        m = jnp.ones((b, n_kv, 1), jnp.float32)
     else:
-        m = key_mask.astype(jnp.float32).reshape(b, n, 1)
+        m = key_mask.astype(jnp.float32).reshape(b, n_kv, 1)
     out = pl.pallas_call(
         kernel,
-        grid=(b, h // hps),
-        in_specs=[block, block, block, mask_block],
-        out_specs=block,
-        out_shape=jax.ShapeDtypeStruct((b, n, h * d), q.dtype),
+        grid=(b, h // hps, -(-n_q // qb)),
+        in_specs=[qblock, kvblock, kvblock, mask_block],
+        out_specs=qblock,
+        out_shape=jax.ShapeDtypeStruct((b, n_q, h * d), q.dtype),
         interpret=interpret,
-    )(q.reshape(b, n, h * d), k.reshape(b, n, h * d), v.reshape(b, n, h * d),
-      m)
-    return out.reshape(b, n, h, d)
+    )(q.reshape(b, n_q, h * d), k.reshape(b, n_kv, h * d),
+      v.reshape(b, n_kv, h * d), m)
+    return out.reshape(b, n_q, h, d)
 
 
 def _attn_qkv_kernel(qkv_ref, s_ref, o_ref, *, heads: int, head_dim: int,

@@ -62,16 +62,18 @@ def test_head_group_blocking_invariant():
                                    rtol=1e-6, atol=1e-6)
 
 
-def test_heads_per_step_autopick():
-    # ViT-L/14 vision tower: 16 heads x 64d at N=257 -> all 16 per step
-    # (the head loop keeps one logits tile live at a time; measured 896
-    # img/s vs 884 at hps=8 in the full embed).
-    assert vit_attention._pick_heads_per_step(16, 64, 257) == 16
-    # ViT-B towers: 12 heads x 64d -> only hps=12 is block-legal.
-    assert vit_attention._pick_heads_per_step(12, 64, 257) == 12
-    assert vit_attention._pick_heads_per_step(8, 64, 77) == 8
-    # Huge N: the logits tile alone dominates; smallest legal hps.
-    assert vit_attention._pick_heads_per_step(16, 64, 4096) == 2
+def test_block_planner():
+    # ViT-L/14 vision tower: all 16 heads, whole q axis in one step.
+    assert vit_attention._plan_blocks(16, 64, 257, 257) == (16, 257)
+    # ViT-B towers: 12 heads x 64d.
+    assert vit_attention._plan_blocks(12, 64, 257, 257) == (12, 257)
+    assert vit_attention._plan_blocks(8, 64, 77, 77) == (8, 77)
+    # Whisper encoder (8 heads x 64d, N=1500): q-blocked.
+    hps, qb = vit_attention._plan_blocks(8, 64, 1500, 1500)
+    assert qb < 1500 and hps >= 2
+    # Huge N still plans something legal under VMEM.
+    hps, qb = vit_attention._plan_blocks(16, 64, 4096, 4096)
+    assert qb <= 256 and (hps * 64) % 128 == 0
 
 
 def test_dispatch_takes_xla_path_off_tpu():
@@ -127,5 +129,43 @@ def test_key_mask_matches_additive_bias():
     got = vit_attention.mha(q, k, v, key_mask=mask, interpret=True)
     bias = jnp.where(mask[:, None, None, :], 0.0, -1e9).astype(jnp.float32)
     want = jax.nn.dot_product_attention(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_q_blocked_matches_single_block():
+    # Force q-blocking and compare against the one-block form (whisper
+    # long-N path); non-divisible N_q exercises the OOB-masked tail.
+    b, n, h, d = 1, 70, 4, 32
+    ks = jax.random.split(jax.random.key(8), 3)
+    q = jax.random.normal(ks[0], (b, n, h, d), dtype=jnp.float32)
+    k = jax.random.normal(ks[1], (b, n, h, d), dtype=jnp.float32)
+    v = jax.random.normal(ks[2], (b, n, h, d), dtype=jnp.float32)
+    full = vit_attention.mha(q, k, v, q_block=70, interpret=True)
+    for qb in (32, 8):
+        part = vit_attention.mha(q, k, v, q_block=qb, interpret=True)
+        np.testing.assert_allclose(np.asarray(part), np.asarray(full),
+                                   rtol=1e-6, atol=1e-6)
+    # Causal must respect GLOBAL q positions across blocks.
+    fullc = vit_attention.mha(q, k, v, causal=True, q_block=70,
+                              interpret=True)
+    partc = vit_attention.mha(q, k, v, causal=True, q_block=32,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(partc), np.asarray(fullc),
+                               rtol=1e-6, atol=1e-6)
+    want = _ref(q, k, v, True)
+    np.testing.assert_allclose(np.asarray(partc), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_cross_attention_distinct_kv_length():
+    # Whisper decoder cross-attention: N_q (tokens) != N_kv (audio ctx).
+    b, nq, nkv, h, d = 2, 12, 40, 4, 32
+    ks = jax.random.split(jax.random.key(9), 3)
+    q = jax.random.normal(ks[0], (b, nq, h, d), dtype=jnp.float32)
+    k = jax.random.normal(ks[1], (b, nkv, h, d), dtype=jnp.float32)
+    v = jax.random.normal(ks[2], (b, nkv, h, d), dtype=jnp.float32)
+    got = vit_attention.mha(q, k, v, interpret=True)
+    want = _ref(q, k, v, False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
