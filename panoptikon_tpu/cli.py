@@ -10,9 +10,12 @@
                                   (reference accelerator_report.rs).
 ``panoptikon-tpu version``      — print the package version.
 
-The reference's ``update`` subcommand (GitHub self-update of a single
-binary) has no analog for a Python package deploy — a documented
-divergence (README), not a stub.
+``panoptikon-tpu self-update``  — check a release manifest for a newer
+                                  version and (with --apply) upgrade the
+                                  package via pip (reference main.rs
+                                  ``update`` → GitHub releases; the
+                                  Python-deploy analog is a pip upgrade
+                                  from a configured index/manifest).
 """
 
 from __future__ import annotations
@@ -23,7 +26,16 @@ import shutil
 import sys
 from pathlib import Path
 
-BUNDLED_CONFIG = Path(__file__).resolve().parent.parent / "config"
+def _bundled_config() -> Path:
+    """Default config templates embedded in the package
+    (panoptikon_tpu/resources/config — reference resources.rs bundles
+    its first-run defaults in the binary)."""
+    from importlib import resources
+
+    return Path(str(resources.files("panoptikon_tpu.resources"))) / "config"
+
+
+BUNDLED_CONFIG = _bundled_config()
 
 
 def cmd_setup(args) -> int:
@@ -73,6 +85,53 @@ def cmd_accelerator(args) -> int:
     return 0
 
 
+def cmd_self_update(args) -> int:
+    """Version check + optional pip upgrade.
+
+    The manifest is a JSON document {"name": ..., "version": "X.Y.Z",
+    "requirement": "panoptikon-tpu==X.Y.Z"} at --manifest (any URL
+    urllib can open, file:// included — this deploy model has no
+    assumption of GitHub egress). Without --apply it only reports; with
+    --apply it runs ``pip install --upgrade <requirement>`` in this
+    interpreter's environment.
+    """
+    import json as _json
+    import urllib.request
+
+    import panoptikon_tpu
+
+    if not args.manifest:
+        print(_json.dumps({
+            "error": "no release manifest configured (--manifest URL)",
+            "current": panoptikon_tpu.__version__,
+        }))
+        return 2
+    with urllib.request.urlopen(args.manifest) as resp:
+        manifest = _json.loads(resp.read().decode())
+    latest = str(manifest.get("version", ""))
+    current = panoptikon_tpu.__version__
+
+    def key(v):
+        return tuple(int(x) for x in v.split(".") if x.isdigit())
+
+    newer = bool(latest) and key(latest) > key(current)
+    plan = manifest.get("requirement") or f"panoptikon-tpu=={latest}"
+    out = {"current": current, "latest": latest, "update_available": newer,
+           "plan": ["pip", "install", "--upgrade", plan] if newer else None,
+           "applied": False}
+    if newer and args.apply:
+        import subprocess
+
+        rc = subprocess.call(
+            [sys.executable, "-m", "pip", "install", "--upgrade", plan]
+        )
+        out["applied"] = rc == 0
+        print(_json.dumps(out))
+        return rc
+    print(_json.dumps(out))
+    return 0
+
+
 def cmd_version(args) -> int:
     import panoptikon_tpu
 
@@ -105,6 +164,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("accelerator", help="print the device report")
     sub.add_parser("version", help="print the version")
+    upd = sub.add_parser("self-update", help="check/apply a package update")
+    upd.add_argument("--manifest", default=None,
+                     help="release manifest URL (json: {version, requirement})")
+    upd.add_argument("--apply", action="store_true",
+                     help="run the pip upgrade when newer")
     return parser
 
 
@@ -118,6 +182,8 @@ def main(argv=None) -> int:
         return cmd_accelerator(args)
     if cmd == "version":
         return cmd_version(args)
+    if cmd == "self-update":
+        return cmd_self_update(args)
     return cmd_serve(args)
 
 

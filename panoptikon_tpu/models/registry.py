@@ -29,6 +29,20 @@ from pathlib import Path
 from typing import Any
 
 
+def packaged_builtin_dir() -> Path | None:
+    """The registry TOML bundled inside the package
+    (panoptikon_tpu/resources/config/inference)."""
+    try:
+        from importlib import resources
+
+        p = Path(str(resources.files("panoptikon_tpu.resources"))) / (
+            "config"
+        ) / "inference"
+        return p if p.is_dir() else None
+    except Exception:
+        return None
+
+
 class RegistryError(ValueError):
     pass
 
@@ -78,6 +92,12 @@ def _deep_merge(base: dict, over: dict) -> dict:
 
 class Registry:
     def __init__(self, builtin_dir: str | Path | None, user_dir: str | Path | None = None):
+        if builtin_dir is None:
+            # Embedded resources (reference resources.rs bundles its
+            # defaults in the binary): the built-in registry TOML ships
+            # inside the package, so an unconfigured server still has its
+            # model catalog.
+            builtin_dir = packaged_builtin_dir()
         self.builtin_dir = Path(builtin_dir) if builtin_dir else None
         self.user_dir = Path(user_dir) if user_dir else None
         self._groups: dict[str, GroupEntry] = {}

@@ -115,3 +115,60 @@ class TestTraceMiddleware:
         loop.run_until_complete(client.close())
         state.shutdown()
         loop.close()
+
+
+class TestEmbeddedResources:
+    def test_registry_defaults_to_packaged_builtin(self):
+        from panoptikon_tpu.models.registry import Registry, packaged_builtin_dir
+
+        assert packaged_builtin_dir() is not None
+        reg = Registry(None)
+        reg.load()
+        meta = reg.metadata()
+        # The bundled catalog must expose the core groups.
+        assert "clip" in meta and "tags" in meta
+
+    def test_setup_materializes_from_package(self, tmp_path):
+        from panoptikon_tpu import cli
+
+        rc = cli.main(["setup", "--root", str(tmp_path)])
+        assert rc == 0
+        assert (tmp_path / "config" / "server" / "default.toml").exists()
+        assert (tmp_path / "config" / "inference" / "00_builtin.toml").exists()
+
+
+class TestSelfUpdate:
+    def test_reports_newer_version_from_manifest(self, tmp_path, capsys):
+        import json
+
+        from panoptikon_tpu import cli
+
+        manifest = tmp_path / "release.json"
+        manifest.write_text(json.dumps(
+            {"name": "panoptikon-tpu", "version": "99.0.0"}))
+        rc = cli.main(["self-update", "--manifest", manifest.as_uri()])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["update_available"] is True
+        assert out["plan"][-1] == "panoptikon-tpu==99.0.0"
+        assert out["applied"] is False  # no --apply: dry-run only
+
+    def test_up_to_date_is_a_no_op(self, tmp_path, capsys):
+        import json
+
+        import panoptikon_tpu
+        from panoptikon_tpu import cli
+
+        manifest = tmp_path / "release.json"
+        manifest.write_text(json.dumps(
+            {"version": panoptikon_tpu.__version__}))
+        rc = cli.main(["self-update", "--manifest", manifest.as_uri()])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["update_available"] is False and out["plan"] is None
+
+    def test_no_manifest_is_an_error(self, capsys):
+        from panoptikon_tpu import cli
+
+        rc = cli.main(["self-update"])
+        assert rc == 2
