@@ -1,0 +1,142 @@
+"""True 2-process multi-host (DCN) simulation on CPU devices.
+
+Each process runs this script with ``--proc N``: 2 processes × 4 virtual
+CPU devices join through ``jax.distributed`` (the same runtime a TPU pod
+uses, with DCN replaced by localhost gRPC), form the serving
+``replica × shard`` mesh from ``parallel.multihost``, build the REAL
+sharded index (``index.sharded.build_sharded``) over the global mesh, and
+run ``sharded_search``. Process 0 compares the fused result against a
+local NumPy exact oracle.
+
+Run via the launcher (no args): spawns both processes and checks both
+exit codes. This is the 2-host upgrade of ``dryrun_multichip``'s
+single-controller virtual mesh — it validates that the multi-host code
+path (global device view, cross-process collectives, device_put of
+host-replicated arrays onto a multi-process sharding) actually executes,
+not just that the mesh shapes are computed correctly.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+COORD = "localhost:19877"
+N_PROC = 2
+LOCAL_DEVICES = 4
+
+
+def worker(proc_id: int) -> None:
+    import numpy as np
+
+    import jax
+
+    # The axon sitecustomize freezes config defaults at interpreter start;
+    # force the CPU platform on the live config (same as tests/conftest.py)
+    # and pick gloo so the CPU client joins the cross-process topology.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from panoptikon_tpu.parallel import multihost
+
+    ok = multihost.initialize(
+        coordinator=COORD, num_processes=N_PROC, process_id=proc_id
+    )
+    assert ok, "distributed init did not run"
+    assert jax.process_count() == N_PROC, jax.process_count()
+    assert jax.device_count() == N_PROC * LOCAL_DEVICES, jax.device_count()
+
+    import jax.numpy as jnp
+
+    from panoptikon_tpu.index import sharded as shidx
+    from panoptikon_tpu.index.vector_index import VectorIndex
+
+    mesh = multihost.hosts_replica_mesh()
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "replica": N_PROC, "shard": LOCAL_DEVICES,
+    }, mesh
+
+    # Identical corpus on every host (multi-controller SPMD contract).
+    rng = np.random.default_rng(7)
+    n, d, q_n, k = 96, 16, 6, 5
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    queries = rng.standard_normal((q_n, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    idx = VectorIndex(chunk_rows=8)
+    idx.add("clip", np.arange(n) + 1000, np.arange(n), vectors)
+    snap = idx.snapshot("clip")
+    space = shidx.build_sharded(snap, mesh, chunk_rows=8)
+    qd = jax.device_put(
+        jnp.asarray(queries),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    top_v, top_i, valid, grouped = shidx.sharded_search(space, qd, k=k)
+    # Results span both processes (queries are replica-sharded); gather
+    # the full value on every host — the cross-DCN result collective.
+    from jax.experimental import multihost_utils
+
+    got_v = np.asarray(multihost_utils.process_allgather(top_v, tiled=True))
+    got_i = np.asarray(multihost_utils.process_allgather(top_i, tiled=True))
+    got_rows = np.asarray(space.row_perm)[got_i]
+
+    # Local exact oracle.
+    dots = queries @ vectors.T
+    dist = 1.0 - dots
+    want_rows = np.argsort(dist, axis=1, kind="stable")[:, :k]
+    want_v = np.take_along_axis(dist, want_rows, axis=1)
+    assert np.array_equal(np.sort(got_rows, axis=1),
+                          np.sort(want_rows, axis=1)), (
+        got_rows, want_rows)
+    np.testing.assert_allclose(np.sort(got_v, axis=1),
+                               np.sort(want_v, axis=1), rtol=2e-5, atol=2e-5)
+    if proc_id == 0:
+        print(
+            f"MULTIHOST SIM OK: {N_PROC} processes x {LOCAL_DEVICES} "
+            f"devices, mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
+            f"sharded_search == exact oracle at n={n} q={q_n} k={k}",
+            flush=True,
+        )
+
+
+def launch() -> int:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_base = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={LOCAL_DEVICES}",
+        # Cross-process CPU collectives (the DCN stand-in): without gloo
+        # the CPU client stays process-local and process_count()==1.
+        "JAX_CPU_COLLECTIVES_IMPLEMENTATION": "gloo",
+        "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
+    # The axon sitecustomize must not register the TPU plugin in the
+    # children (two processes would race for the single tunneled chip).
+    env_base.pop("PALLAS_AXON_POOL_IPS", None)
+    env_base.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env_base["JAX_PLATFORMS"] = "cpu"
+    procs = []
+    for i in range(N_PROC):
+        procs.append(subprocess.Popen(
+            [sys.executable, __file__, "--proc", str(i)],
+            env=env_base,
+            stdout=subprocess.PIPE if i else None,
+            stderr=subprocess.STDOUT if i else None,
+        ))
+    rcs = [p.wait(timeout=600) for p in procs]
+    if any(rcs):
+        for i, p in enumerate(procs):
+            if i and p.stdout is not None:
+                sys.stdout.write(p.stdout.read().decode())
+        print(f"FAILED rcs={rcs}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    if "--proc" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--proc") + 1]))
+    else:
+        sys.exit(launch())
