@@ -856,6 +856,51 @@ def _caption_decode(params, cfg, feats, max_tokens):
     return run(params, feats, max_tokens)
 
 
+class VlmTaggerImpl(CaptionerImpl):
+    """VLM-prompted tagger (reference impl/md_tagger.py: a moondream VLM
+    asked to list tags). Reuses the captioner's vision-tokens →
+    cross-attention decoder; the decoded text is parsed as a comma/
+    whitespace-separated tag list and emitted in the tagger output shape
+    so extraction's tags output-handler ingests it unchanged. Confidence
+    is the decode's avg-logprob (one value for the whole list — the
+    reference's VLM taggers report a fixed confidence the same way)."""
+
+    def __init__(self, namespace: str = "vlm", max_tags: int = 16,
+                 **kwargs: Any):
+        super().__init__(**kwargs)
+        self.namespace = namespace
+        self.max_tags = max_tags
+
+    @classmethod
+    def name(cls) -> str:
+        return "vlm_tagger"
+
+    def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
+        caps = super().predict(inputs)
+        outputs: list[Any] = []
+        for cap in caps:
+            if not isinstance(cap, dict) or "text" not in cap:
+                outputs.append(cap)  # slot error passthrough
+                continue
+            conf = float(cap.get("confidence", 0.0))
+            seen: dict[str, float] = {}
+            for raw in cap["text"].replace(",", " ").split():
+                tag = raw.strip().strip(".").lower()
+                if tag and tag not in seen:
+                    seen[tag] = conf
+                if len(seen) >= self.max_tags:
+                    break
+            outputs.append({
+                "namespace": self.namespace,
+                "tags": [("rating", {}), ("character", {}), ("general", seen)],
+                "mcut": 0.0,
+                "rating_severity": [],
+                "metadata": {},
+                "metadata_score": conf,
+            })
+        return outputs
+
+
 class Md5LookupImpl(InferenceModel):
     """md5-lookup tagger (reference impl/danbooru.py + saucenao/): tags by
     hash against a local dump (JSON/sqlite: md5 → [[namespace, name,
@@ -1335,6 +1380,7 @@ IMPL_INDEX: dict[str, type[InferenceModel]] = {
         WhisperImpl,
         ClapImpl,
         CaptionerImpl,
+        VlmTaggerImpl,
         Md5LookupImpl,
         OcrImpl,
         ApiEmbedImpl,

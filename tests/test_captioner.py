@@ -162,3 +162,31 @@ class TestTrainedCaptioner:
 
         out = impl.predict([PredictionInput(data={"x": 1})])
         assert is_error_slot(out[0])
+
+
+class TestVlmTagger:
+    def test_decodes_tag_list_in_tagger_shape(self):
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from panoptikon_tpu.models.base import PredictionInput
+        from panoptikon_tpu.models.impls import VlmTaggerImpl
+
+        buf = io.BytesIO()
+        Image.new("RGB", (32, 32), (90, 120, 40)).save(buf, format="PNG")
+        impl = VlmTaggerImpl(model_arch="test-tiny", max_tokens=8,
+                             namespace="vlm")
+        out = impl.predict([PredictionInput(file=buf.getvalue()),
+                            PredictionInput(file=None)])
+        tagged, err = out
+        assert "__error__" in err  # slot error passthrough
+        assert tagged["namespace"] == "vlm"
+        cats = dict(tagged["tags"])
+        assert set(cats) == {"rating", "character", "general"}
+        # Random-init decoder still yields SOME deterministic token-tags.
+        assert isinstance(cats["general"], dict)
+        out2 = impl.predict([PredictionInput(file=buf.getvalue())])
+        assert dict(out2[0]["tags"])["general"] == cats["general"]
+        impl.unload()
