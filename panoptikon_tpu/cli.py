@@ -61,8 +61,52 @@ def cmd_setup(args) -> int:
     return 0
 
 
+TPU_ENV_MATRIX = {
+    # Per-generation recommended environment (the reference's
+    # accelerator_env.rs injects ROCm/CUDA env per accelerator; the
+    # TPU-native matrix covers the knobs this framework actually consumes
+    # plus the standard JAX runtime ones).
+    "common": {
+        "JAX_COMPILATION_CACHE_DIR": "~/.cache/jax_compilation",
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1",
+    },
+    "multihost": {
+        # Consumed by parallel.multihost.initialize() (also set
+        # automatically by TPU pod runtimes).
+        "JAX_COORDINATOR_ADDRESS": "<host0>:8476",
+        "JAX_NUM_PROCESSES": "<n_hosts>",
+        "JAX_PROCESS_ID": "<0..n_hosts-1>",
+    },
+    "v4": {"notes": "megacore: 2 TensorCores per chip present as 1 device"},
+    "v5e": {"notes": "serving-optimized; bf16 197/int8 394 TFLOP/s nominal"},
+    "v5p": {"notes": "training-optimized; higher HBM BW than v5e"},
+    "v6e": {"notes": "serving-optimized successor to v5e"},
+}
+
+
 def cmd_accelerator(args) -> int:
     import jax
+
+    if getattr(args, "env", False):
+        kind = ""
+        try:
+            kind = jax.devices()[0].device_kind.lower()
+        except Exception:
+            pass
+        gen = next(
+            (g for g in ("v6e", "v5p", "v5e", "v4") if g in kind.replace(" ", "")
+             or g in kind),
+            "v5e",
+        )
+        print(json.dumps({
+            "generation": gen,
+            "recommended": {**TPU_ENV_MATRIX["common"],
+                            **{k: v for k, v in TPU_ENV_MATRIX[gen].items()
+                               if k != "notes"}},
+            "multihost": TPU_ENV_MATRIX["multihost"],
+            "notes": TPU_ENV_MATRIX[gen].get("notes", ""),
+        }))
+        return 0
 
     devices = [
         {
@@ -162,7 +206,9 @@ def build_parser() -> argparse.ArgumentParser:
     setup = sub.add_parser("setup", help="materialize default configs")
     setup.add_argument("--root", default=".", help="target root directory")
 
-    sub.add_parser("accelerator", help="print the device report")
+    acc = sub.add_parser("accelerator", help="print the device report")
+    acc.add_argument("--env", action="store_true",
+                     help="print the recommended env matrix for this generation")
     sub.add_parser("version", help="print the version")
     upd = sub.add_parser("self-update", help="check/apply a package update")
     upd.add_argument("--manifest", default=None,

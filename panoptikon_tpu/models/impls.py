@@ -1068,6 +1068,103 @@ class ApiEmbedImpl(InferenceModel):
         return outputs
 
 
+class TagApiImpl(InferenceModel):
+    """Remote tag-lookup backend (reference impl/saucenao/ + the hosted
+    half of impl/danbooru.py): each image's md5 (or the provided hash) is
+    POSTed to a configured JSON API and the response's tag map is emitted
+    in the tagger output shape. Same offline/gated semantics as
+    ApiEmbedImpl: no endpoint → typed transient blocker; transport
+    failure → transient; an explicit per-item miss → empty tags (a valid
+    verdict, not an error — the reference records "no match" results)."""
+
+    def __init__(
+        self,
+        endpoint: Optional[str] = None,
+        namespace: str = "danbooru",
+        api_key_env: str = "TAG_API_KEY",
+        timeout: float = 30.0,
+        default_confidence: float = 1.0,
+        **_: Any,
+    ):
+        self.endpoint = endpoint
+        self.namespace = namespace
+        self.api_key_env = api_key_env
+        self.timeout = timeout
+        self.default_confidence = default_confidence
+
+    @classmethod
+    def name(cls) -> str:
+        return "tag_api"
+
+    @classmethod
+    def available(cls, config: dict) -> bool:
+        return bool(config.get("endpoint"))
+
+    def load(self) -> None:
+        pass
+
+    def unload(self) -> None:
+        pass
+
+    def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
+        import json as _json
+        import os
+        import urllib.request
+
+        if not self.endpoint:
+            err = SlotError(
+                "transient",
+                "blocked: no tag API endpoint configured (blocker=tag-api)",
+            ).to_slot()
+            return [err for _ in inputs]
+        hashes = []
+        for inp in inputs:
+            if isinstance(inp.data, dict) and inp.data.get("md5"):
+                hashes.append(str(inp.data["md5"]))
+            elif inp.file is not None:
+                hashes.append(hashlib.md5(inp.file).hexdigest())
+            else:
+                hashes.append(None)
+        body = _json.dumps({"md5": [h for h in hashes if h]}).encode()
+        headers = {"content-type": "application/json"}
+        key = os.environ.get(self.api_key_env)
+        if key:
+            headers["authorization"] = f"Bearer {key}"
+        req = urllib.request.Request(
+            self.endpoint, data=body, headers=headers, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                out = _json.loads(resp.read())
+        except Exception as exc:
+            err = SlotError("transient", f"tag API failed: {exc}").to_slot()
+            return [err for _ in inputs]
+        # Response: {"results": {"<md5>": {"tags": {name: conf | null}}}}.
+        results = out.get("results", {})
+        outputs: list[Any] = []
+        for h in hashes:
+            if h is None:
+                outputs.append(
+                    SlotError("input", "tag lookup requires a file or md5").to_slot()
+                )
+                continue
+            entry = results.get(h) or {}
+            tags = {
+                str(name): (float(conf) if conf is not None
+                            else self.default_confidence)
+                for name, conf in (entry.get("tags") or {}).items()
+            }
+            outputs.append({
+                "namespace": self.namespace,
+                "tags": [("rating", {}), ("character", {}), ("general", tags)],
+                "mcut": 0.0,
+                "rating_severity": [],
+                "metadata": {"source": "tag_api", "matched": bool(tags)},
+                "metadata_score": 0.0,
+            })
+        return outputs
+
+
 class OcrImpl(InferenceModel):
     """OCR (reference impl/ocr.py docTR / eocr.py EasyOCR): image →
     ``{"text", "confidence", "language"}``.
@@ -1384,6 +1481,7 @@ IMPL_INDEX: dict[str, type[InferenceModel]] = {
         Md5LookupImpl,
         OcrImpl,
         ApiEmbedImpl,
+        TagApiImpl,
         EchoImpl,
         BatchSizeImpl,
         FailBatchImpl,

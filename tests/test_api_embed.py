@@ -74,3 +74,77 @@ class TestApiEmbed:
         out = impl.predict([PredictionInput(data={"text": "x"})])
         cls, _ = parse_error_slot(out[0])
         assert cls == "transient"
+
+
+@pytest.fixture
+def tag_stub_server():
+    """A deterministic tag-lookup endpoint: tags keyed by request md5."""
+    seen = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["content-length"])))
+            seen["body"] = body
+            results = {}
+            for i, h in enumerate(body.get("md5", [])):
+                if i == 0:
+                    results[h] = {"tags": {"1girl": 0.9, "outdoors": None}}
+                # later hashes: no match → omitted
+            out = json.dumps({"results": results}).encode()
+            self.send_response(200)
+            self.send_header("content-type", "application/json")
+            self.send_header("content-length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_port}/tags", seen
+    server.shutdown()
+
+
+class TestTagApi:
+    def test_lookup_hit_miss_and_shapes(self, tag_stub_server):
+        import hashlib
+
+        from panoptikon_tpu.models.impls import TagApiImpl
+
+        url, seen = tag_stub_server
+        impl = TagApiImpl(endpoint=url, namespace="remote",
+                          default_confidence=0.5)
+        blob = b"imagebytes"
+        out = impl.predict([
+            PredictionInput(file=blob),                       # hit
+            PredictionInput(data={"md5": "deadbeef" * 4}),    # miss
+            PredictionInput(),                                # no hash
+        ])
+        hit, miss, bad = out
+        assert seen["body"]["md5"][0] == hashlib.md5(blob).hexdigest()
+        general = dict(hit["tags"])["general"]
+        assert general == {"1girl": 0.9, "outdoors": 0.5}
+        assert hit["metadata"]["matched"] is True
+        assert dict(miss["tags"])["general"] == {}
+        assert miss["metadata"]["matched"] is False
+        assert is_error_slot(bad)
+        assert parse_error_slot(bad)[0] == "input"
+
+    def test_blocked_without_endpoint(self):
+        from panoptikon_tpu.models.impls import TagApiImpl
+
+        impl = TagApiImpl()
+        out = impl.predict([PredictionInput(file=b"x")])
+        cls, msg = parse_error_slot(out[0])
+        assert cls == "transient" and "blocker=tag-api" in msg
+        assert TagApiImpl.available({"endpoint": "http://x"}) is True
+        assert TagApiImpl.available({}) is False
+
+    def test_transport_failure_is_transient(self):
+        from panoptikon_tpu.models.impls import TagApiImpl
+
+        impl = TagApiImpl(endpoint="http://127.0.0.1:9/nope", timeout=0.5)
+        out = impl.predict([PredictionInput(file=b"x")])
+        assert parse_error_slot(out[0])[0] == "transient"

@@ -172,3 +172,17 @@ class TestSelfUpdate:
 
         rc = cli.main(["self-update"])
         assert rc == 2
+
+
+class TestAcceleratorEnvMatrix:
+    def test_env_matrix_reports_generation(self, capsys):
+        import json
+
+        from panoptikon_tpu import cli
+
+        rc = cli.main(["accelerator", "--env"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["generation"] in ("v4", "v5e", "v5p", "v6e")
+        assert "JAX_COMPILATION_CACHE_DIR" in out["recommended"]
+        assert "JAX_COORDINATOR_ADDRESS" in out["multihost"]
