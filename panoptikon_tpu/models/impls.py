@@ -813,7 +813,10 @@ class CaptionerImpl(InferenceModel):
 
 def _caption_decode(params, cfg, feats, max_tokens):
     """Greedy decode against precomputed vision features (bypasses the
-    audio encoder by feeding the cross-attention memory directly)."""
+    audio encoder by feeding the cross-attention memory directly) —
+    routed through the shared KV-cached incremental decoder
+    (whisper.decode_from_feats; the full-prefix re-run form this
+    replaced did O(L) more decoder work per emitted token)."""
     import functools
 
     from panoptikon_tpu.models import whisper as _w
@@ -823,35 +826,12 @@ def _caption_decode(params, cfg, feats, max_tokens):
         import jax.numpy as jnp
 
         b = feats.shape[0]
-        prompt = jnp.array([cfg.sot, cfg.transcribe, cfg.no_timestamps], dtype=jnp.int32)
-        tokens = jnp.zeros((b, max_tokens), dtype=jnp.int32)
-        tokens = tokens.at[:, :3].set(prompt[None, :])
-
-        def step(state):
-            tokens, pos, done, lp, count = state
-            logits = _w._decoder_logits(params, cfg, tokens, feats, None)
-            step_logits = logits[:, pos - 1]
-            logp = jax.nn.log_softmax(step_logits, axis=-1)
-            nxt = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
-            tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]
-            nxt = jnp.where(done, cfg.eot, nxt)
-            tokens = tokens.at[:, pos].set(nxt)
-            newly = nxt == cfg.eot
-            lp = lp + jnp.where(done | newly, 0.0, tok_lp)
-            count = count + jnp.where(done | newly, 0, 1)
-            return tokens, pos + 1, done | newly, lp, count
-
-        def cond(state):
-            _, pos, done, _, _ = state
-            return (pos < max_tokens) & ~jnp.all(done)
-
-        init = (tokens, jnp.asarray(3), jnp.zeros(b, bool),
-                jnp.zeros(b, jnp.float32), jnp.zeros(b, jnp.int32))
-        tokens, _, _, lp, count = jax.lax.while_loop(cond, step, init)
-        lengths = jnp.sum(
-            jnp.cumprod((tokens != cfg.eot).astype(jnp.int32), axis=1), axis=1
+        prompt = jnp.broadcast_to(
+            jnp.array([cfg.sot, cfg.transcribe, cfg.no_timestamps],
+                      dtype=jnp.int32)[None],
+            (b, 3),
         )
-        return tokens, lengths, lp / jnp.maximum(count.astype(jnp.float32), 1.0)
+        return _w.decode_from_feats(params, cfg, feats, prompt, max_tokens)
 
     return run(params, feats, max_tokens)
 

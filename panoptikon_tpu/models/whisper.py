@@ -356,6 +356,149 @@ def detect_language(params, cfg: WhisperConfig, mel):
     return idx.astype(jnp.int32), conf
 
 
+def _cross_kv(params, cfg: WhisperConfig, audio_feats):
+    """Per-layer cross-attention K/V over the audio context, computed ONCE
+    per decode (the full-rerun decoder recomputed them every step)."""
+    d = params["decoder"]
+    audio = audio_feats.astype(jnp.bfloat16)
+    ks, vs = [], []
+    for blk in d["blocks"]:
+        kv = audio @ blk["cross"]["kv_w"].astype(audio.dtype) + blk["cross"][
+            "kv_b"].astype(audio.dtype)
+        k, v = jnp.split(kv, 2, axis=-1)
+        ks.append(k)
+        vs.append(v)
+    return jnp.stack(ks), jnp.stack(vs)  # (layers, B, M, W)
+
+
+def _decode_step(params, cfg: WhisperConfig, tok, pos, self_k, self_v,
+                 cross_k, cross_v, max_tokens: int):
+    """One incremental decoder step with static KV caches.
+
+    tok (B,) int32 — the token AT position ``pos``; caches are
+    (layers, B, max_tokens, W). Returns (logits (B, vocab), self_k,
+    self_v). The full-prefix decoder re-ran O(L) positions per emitted
+    token (O(L³·d) per transcript); this is the standard O(1)-position
+    step — measured ~L× less decoder work at whisper lengths.
+    """
+    d = params["decoder"]
+    b = tok.shape[0]
+    heads = cfg.n_text_heads
+    hd = cfg.n_text_state // heads
+    pos_emb = jax.lax.dynamic_slice_in_dim(
+        d["pos_emb"].astype(jnp.bfloat16), pos, 1, axis=0
+    )  # (1, W)
+    x = d["token_emb"][tok].astype(jnp.bfloat16)[:, None, :] + pos_emb[None]
+    key_valid = (jnp.arange(max_tokens) <= pos)[None, None, None, :]
+    for li, blk in enumerate(d["blocks"]):
+        h = _layernorm(x, blk["ln_1"])
+        qkv = h @ blk["attn"]["qkv_w"].astype(h.dtype) + blk["attn"][
+            "qkv_b"].astype(h.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, 1, W)
+        self_k = jax.lax.dynamic_update_slice(
+            self_k, k[None].astype(self_k.dtype), (li, 0, pos, 0))
+        self_v = jax.lax.dynamic_update_slice(
+            self_v, v[None].astype(self_v.dtype), (li, 0, pos, 0))
+        qh = q.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
+        kh = self_k[li].reshape(b, max_tokens, heads, hd).transpose(0, 2, 3, 1)
+        vh = self_v[li].reshape(b, max_tokens, heads, hd).transpose(0, 2, 1, 3)
+        lt = (qh.astype(jnp.float32) @ kh.astype(jnp.float32)) * (hd ** -0.5)
+        lt = jnp.where(key_valid, lt, -jnp.inf)  # causal == cache validity
+        p = jax.nn.softmax(lt, axis=-1)
+        out = (p @ vh.astype(jnp.float32)).transpose(0, 2, 1, 3)
+        out = out.reshape(b, 1, cfg.n_text_state).astype(x.dtype)
+        x = x + (out @ blk["attn"]["out_w"].astype(x.dtype)
+                 + blk["attn"]["out_b"].astype(x.dtype))
+        h = _layernorm(x, blk["ln_cross"])
+        q = h @ blk["cross"]["q_w"].astype(h.dtype) + blk["cross"][
+            "q_b"].astype(h.dtype)
+        m = cross_k.shape[2]
+        qh = q.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
+        kh = cross_k[li].reshape(b, m, heads, hd).transpose(0, 2, 3, 1)
+        vh = cross_v[li].reshape(b, m, heads, hd).transpose(0, 2, 1, 3)
+        lt = (qh.astype(jnp.float32) @ kh.astype(jnp.float32)) * (hd ** -0.5)
+        p = jax.nn.softmax(lt, axis=-1)
+        out = (p @ vh.astype(jnp.float32)).transpose(0, 2, 1, 3)
+        out = out.reshape(b, 1, cfg.n_text_state).astype(x.dtype)
+        x = x + (out @ blk["cross"]["out_w"].astype(x.dtype)
+                 + blk["cross"]["out_b"].astype(x.dtype))
+        x = x + _mlp(_layernorm(x, blk["ln_2"]), blk["mlp"])
+    x = _layernorm(x, d["ln_post"]).astype(jnp.float32)
+    logits = x[:, 0] @ d["token_emb"].T.astype(jnp.float32)
+    return logits, self_k, self_v
+
+
+def decode_from_feats(params, cfg: WhisperConfig, audio_feats, prompt,
+                      max_tokens: int):
+    """Greedy decode against precomputed cross-attention memory with
+    incremental KV caching.
+
+    prompt: (B, p_len) int32, p_len STATIC (the whisper SOT prompt or a
+    captioner prompt). Returns (tokens (B, max_tokens), lengths, avg
+    logprob) with the same semantics as the full-rerun form (greedy,
+    EOT-latched, logprob over generated tokens only).
+    """
+    b, p_len = prompt.shape
+    w = cfg.n_text_state
+    cross_k, cross_v = _cross_kv(params, cfg, audio_feats)
+    self_k = jnp.zeros((cfg.n_text_layers, b, max_tokens, w), jnp.bfloat16)
+    self_v = jnp.zeros_like(self_k)
+    tokens = jnp.zeros((b, max_tokens), dtype=jnp.int32)
+    tokens = tokens.at[:, :p_len].set(prompt)
+
+    # Prefill: run the prompt positions through the step (unrolled, p_len
+    # is static and tiny); only the last position's logits matter.
+    logits = None
+    for i in range(p_len):
+        logits, self_k, self_v = _decode_step(
+            params, cfg, prompt[:, i], jnp.asarray(i), self_k, self_v,
+            cross_k, cross_v, max_tokens)
+
+    def first_token(logits):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return nxt, jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]
+
+    nxt, tok_logp = first_token(logits)
+    tokens = tokens.at[:, p_len].set(nxt)
+    done0 = nxt == cfg.eot
+    state = (
+        tokens, jnp.asarray(p_len), done0,
+        jnp.where(done0, 0.0, tok_logp),
+        jnp.where(done0, 0, 1).astype(jnp.int32),
+        self_k, self_v,
+    )
+
+    def cond(state):
+        _, pos, done, _, _, _, _ = state
+        return (pos + 1 < max_tokens) & ~jnp.all(done)
+
+    def step(state):
+        tokens, pos, done, lp_sum, count, sk, sv = state
+        tok = jnp.take_along_axis(tokens, pos[None, None].repeat(b, 0),
+                                  axis=1)[:, 0]
+        logits, sk, sv = _decode_step(
+            params, cfg, tok, pos, sk, sv, cross_k, cross_v, max_tokens)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]
+        nxt = jnp.where(done, cfg.eot, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None],
+                                              (0, pos + 1))
+        newly = nxt == cfg.eot
+        lp_sum = lp_sum + jnp.where(done | newly, 0.0, tok_logp)
+        count = count + jnp.where(done | newly, 0, 1)
+        return tokens, pos + 1, done | newly, lp_sum, count, sk, sv
+
+    tokens, pos, done, lp_sum, count, _, _ = jax.lax.while_loop(
+        cond, step, state)
+    lengths = jnp.sum(
+        jnp.cumprod((tokens != cfg.eot).astype(jnp.int32), axis=1), axis=1
+    )
+    avg_logprob = lp_sum / jnp.maximum(count.astype(jnp.float32), 1.0)
+    return tokens, lengths, avg_logprob
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_tokens"))
 def greedy_decode(
     params, cfg: WhisperConfig, mel, *, max_tokens: int = 64, lang_tokens=None
@@ -370,10 +513,38 @@ def greedy_decode(
     layout [SOT, lang, transcribe, no_timestamps] (prompt length 4 instead
     of 3).
 
-    Static shapes: the decode loop re-runs the full-prefix decoder per step
-    (O(L²) total, fine at Whisper lengths) so no KV-cache shape threading;
-    every step is one compiled program.
+    Decode is incremental with static KV caches (``decode_from_feats``);
+    the prior full-prefix re-run form is kept as
+    ``_greedy_decode_rerun`` purely as the equivalence oracle.
     """
+    audio_feats = encode_audio(params, cfg, mel)
+    b = mel.shape[0]
+    if lang_tokens is None:
+        prompt = jnp.broadcast_to(
+            jnp.array([cfg.sot, cfg.transcribe, cfg.no_timestamps],
+                      dtype=jnp.int32)[None],
+            (b, 3),
+        )
+    else:
+        prompt = jnp.stack(
+            [
+                jnp.full((b,), cfg.sot, jnp.int32),
+                jnp.asarray(lang_tokens, jnp.int32),
+                jnp.full((b,), cfg.transcribe, jnp.int32),
+                jnp.full((b,), cfg.no_timestamps, jnp.int32),
+            ],
+            axis=1,
+        )
+    return decode_from_feats(params, cfg, audio_feats, prompt, max_tokens)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_tokens"))
+def _greedy_decode_rerun(
+    params, cfg: WhisperConfig, mel, *, max_tokens: int = 64, lang_tokens=None
+):
+    """The original full-prefix decode (re-runs the decoder over the whole
+    token buffer every step) — O(L) more decoder work than the cached
+    form; kept as the equivalence oracle for tests."""
     audio_feats = encode_audio(params, cfg, mel)
     b = mel.shape[0]
     tokens = jnp.zeros((b, max_tokens), dtype=jnp.int32)

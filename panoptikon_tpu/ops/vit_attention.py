@@ -1,15 +1,18 @@
-"""VMEM-resident multi-head attention for short sequences (ViT towers).
+"""VMEM-resident multi-head attention — the model zoo's attention kernel.
 
 Why this kernel exists (measured on the target chip, tools/attn_decomp_probe.py
 and tools/attn_inprogram_ab.py): at ViT-L/14 shapes (B=256, H=16, N=257,
 D=64) XLA materializes the (B, H, N, N) logits/probs surface in HBM and
 runs softmax as multiple padded passes over it — the attention core costs
 ~196 ms of a 397 ms int8-static embed batch while its GEMMs are <1 ms of
-MXU time. Keeping the whole per-(batch, head-group) working set — q/k/v
-slices plus one (N, N) logits tile at a time — in VMEM removes every HBM
-round-trip beyond reading q/k/v once and writing the output once. Measured
-in-program: 392 ms → 288 ms (653 → 887 img/s) on the full ViT-L/14
-int8-static embed.
+MXU time. Keeping the per-(batch, head-group, q-block) working set —
+q/k/v slices plus one logits tile at a time — in VMEM removes every HBM
+round-trip beyond reading q/k/v once and writing the output once.
+Measured in-program: ViT-L/14 int8-static embed 392 → 220 ms
+(652 → 1,161 img/s single-batch, with :func:`mha_qkv`); whisper-base
+encode (N=1500, q-blocked) +60%; mpnet-base text embeds (key-masked)
++36%. Serves self-, causal-, key-masked and cross-attention (N_q ≠ N_kv)
+through one kernel.
 
 Form notes (each alternative was measured and lost):
 - Heads ride the LANE axis: blocks are (1, N, hps·D) slices of the
