@@ -965,7 +965,16 @@ async def pinboards_save_version(request: web.Request) -> web.Response:
                          body.get("screenful_h"), store.now_iso()),
                     ).fetchone()[0]
                 )
-                for sha in set(body.get("items", [])):
+                items = body.get("items")
+                if items is None and isinstance(layout, list):
+                    # Convenience default: a flat layout of sha256 strings
+                    # IS the item set (clients that track layout geometry
+                    # separately send an explicit items list).
+                    items = [
+                        s for s in layout
+                        if isinstance(s, str) and len(s) == 64
+                    ]
+                for sha in set(items or []):
                     conn.execute(
                         "INSERT OR IGNORE INTO pinboard_version_items "
                         "(version_id, sha256) VALUES (?,?)",

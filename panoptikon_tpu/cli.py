@@ -30,9 +30,9 @@ def _bundled_config() -> Path:
     """Default config templates embedded in the package
     (panoptikon_tpu/resources/config — reference resources.rs bundles
     its first-run defaults in the binary)."""
-    from importlib import resources
+    from panoptikon_tpu import resources as _res
 
-    return Path(str(resources.files("panoptikon_tpu.resources"))) / "config"
+    return _res.config_dir()
 
 
 BUNDLED_CONFIG = _bundled_config()
@@ -93,11 +93,19 @@ def cmd_accelerator(args) -> int:
             kind = jax.devices()[0].device_kind.lower()
         except Exception:
             pass
-        gen = next(
-            (g for g in ("v6e", "v5p", "v5e", "v4") if g in kind.replace(" ", "")
-             or g in kind),
-            "v5e",
-        )
+        # Real device_kind strings: "TPU v4", "TPU v5 lite", "TPU v5p",
+        # "TPU v6 lite" (generation names v5e/v6e never appear verbatim).
+        flat = kind.replace(" ", "")
+        if "v6" in flat:
+            gen = "v6e"
+        elif "v5p" in flat:
+            gen = "v5p"
+        elif "v5" in flat:
+            gen = "v5e"  # "v5 lite" == v5e
+        elif "v4" in flat:
+            gen = "v4"
+        else:
+            gen = "v5e"
         print(json.dumps({
             "generation": gen,
             "recommended": {**TPU_ENV_MATRIX["common"],
@@ -150,15 +158,41 @@ def cmd_self_update(args) -> int:
             "current": panoptikon_tpu.__version__,
         }))
         return 2
-    with urllib.request.urlopen(args.manifest) as resp:
-        manifest = _json.loads(resp.read().decode())
+    try:
+        with urllib.request.urlopen(args.manifest, timeout=30) as resp:
+            manifest = _json.loads(resp.read().decode())
+    except Exception as exc:
+        print(_json.dumps({
+            "error": f"manifest fetch failed: {exc}",
+            "current": panoptikon_tpu.__version__,
+        }))
+        return 2
     latest = str(manifest.get("version", ""))
     current = panoptikon_tpu.__version__
 
-    def key(v):
-        return tuple(int(x) for x in v.split(".") if x.isdigit())
+    def parts(v):
+        # PEP-440-ish: numeric segments compare numerically; a pre-release
+        # suffix ("rc1", "a2") sorts BELOW the bare release of the same
+        # number (middle element 0 vs 1).
+        import re as _re
 
-    newer = bool(latest) and key(latest) > key(current)
+        out = []
+        for seg in v.split("."):
+            m = _re.match(r"(\d+)(.*)", seg)
+            if m:
+                suffix = m.group(2)
+                out.append((int(m.group(1)), 0 if suffix else 1, suffix))
+            else:
+                out.append((-1, 0, seg))
+        return out
+
+    def newer_than(a_v, b_v):
+        a, b = parts(a_v), parts(b_v)
+        pad = (0, 1, "")  # missing segments read as ".0" → 0.1.0.0 == 0.1.0
+        n = max(len(a), len(b))
+        return a + [pad] * (n - len(a)) > b + [pad] * (n - len(b))
+
+    newer = bool(latest) and newer_than(latest, current)
     plan = manifest.get("requirement") or f"panoptikon-tpu=={latest}"
     out = {"current": current, "latest": latest, "update_available": newer,
            "plan": ["pip", "install", "--upgrade", plan] if newer else None,

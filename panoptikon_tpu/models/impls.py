@@ -811,18 +811,17 @@ class CaptionerImpl(InferenceModel):
         return outputs
 
 
-def _caption_decode(params, cfg, feats, max_tokens):
-    """Greedy decode against precomputed vision features (bypasses the
-    audio encoder by feeding the cross-attention memory directly) —
-    routed through the shared KV-cached incremental decoder
-    (whisper.decode_from_feats; the full-prefix re-run form this
-    replaced did O(L) more decoder work per emitted token)."""
+def _caption_decode_jit():
+    """Module-level jit for the caption decode — defining the jitted
+    function inside `_caption_decode` would mint a fresh jit wrapper (and
+    a full re-trace + XLA compile) on every predict() call, since jit's
+    cache is keyed on the function object."""
     import functools
 
     from panoptikon_tpu.models import whisper as _w
 
-    @functools.partial(jax.jit, static_argnames=("max_tokens",))
-    def run(params, feats, max_tokens):
+    @functools.partial(jax.jit, static_argnames=("cfg", "max_tokens"))
+    def run(params, cfg, feats, max_tokens):
         import jax.numpy as jnp
 
         b = feats.shape[0]
@@ -833,7 +832,22 @@ def _caption_decode(params, cfg, feats, max_tokens):
         )
         return _w.decode_from_feats(params, cfg, feats, prompt, max_tokens)
 
-    return run(params, feats, max_tokens)
+    return run
+
+
+_CAPTION_DECODE = None
+
+
+def _caption_decode(params, cfg, feats, max_tokens):
+    """Greedy decode against precomputed vision features (bypasses the
+    audio encoder by feeding the cross-attention memory directly) —
+    routed through the shared KV-cached incremental decoder
+    (whisper.decode_from_feats; the full-prefix re-run form this
+    replaced did O(L) more decoder work per emitted token)."""
+    global _CAPTION_DECODE
+    if _CAPTION_DECODE is None:
+        _CAPTION_DECODE = _caption_decode_jit()
+    return _CAPTION_DECODE(params, cfg, feats, max_tokens)
 
 
 class VlmTaggerImpl(CaptionerImpl):

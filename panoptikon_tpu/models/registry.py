@@ -33,11 +33,9 @@ def packaged_builtin_dir() -> Path | None:
     """The registry TOML bundled inside the package
     (panoptikon_tpu/resources/config/inference)."""
     try:
-        from importlib import resources
+        from panoptikon_tpu import resources as _res
 
-        p = Path(str(resources.files("panoptikon_tpu.resources"))) / (
-            "config"
-        ) / "inference"
+        p = _res.config_dir() / "inference"
         return p if p.is_dir() else None
     except Exception:
         return None

@@ -277,6 +277,33 @@ class TestLifecycle:
         status, body = call("DELETE", f"/api/pinboards/user/{pid}")
         assert body["deleted"]
 
+    def test_pinboard_items_derive_from_flat_layout(self, client_env):
+        # The built-in UI pins by appending the sha to a flat layout; the
+        # server derives pinboard_version_items from sha-shaped layout
+        # entries when no explicit items list is sent, so in_pinboard
+        # search sees UI pins.
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders",
+             json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+        _, res = call("POST", "/api/search/pql", json={"page_size": 1})
+        sha = res["results"][0]["sha256"]
+        _, board = call("POST", "/api/pinboards/user", json={"name": "ui"})
+        pid = board["id"]
+        status, _ = call(
+            "POST", f"/api/pinboards/user/{pid}/versions",
+            json={"layout": [sha, "not-a-sha"]},
+        )
+        assert status == 200
+        _, got = call("GET", f"/api/pinboards/user/{pid}")
+        assert got["items"] == [sha]
+        _, res = call(
+            "POST", "/api/search/pql",
+            json={"query": {"in_pinboard": {"pinboard_ids": [pid]}},
+                  "page_size": 10},
+        )
+        assert res["count"] == 1 and res["results"][0]["sha256"] == sha
+
     def test_data_deletion_drops_space(self, client_env):
         call, state = client_env["call"], client_env["state"]
         call("PUT", "/api/jobs/folders", json={"included": [str(client_env["media"])]})

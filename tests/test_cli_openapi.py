@@ -186,3 +186,34 @@ class TestAcceleratorEnvMatrix:
         assert out["generation"] in ("v4", "v5e", "v5p", "v6e")
         assert "JAX_COMPILATION_CACHE_DIR" in out["recommended"]
         assert "JAX_COORDINATOR_ADDRESS" in out["multihost"]
+
+
+class TestSelfUpdateVersionCompare:
+    def test_prerelease_and_padding_semantics(self, tmp_path, capsys):
+        import json
+
+        from panoptikon_tpu import cli
+
+        def verdict(latest):
+            manifest = tmp_path / "m.json"
+            manifest.write_text(json.dumps({"version": latest}))
+            rc = cli.main(["self-update", "--manifest", manifest.as_uri()])
+            assert rc == 0
+            out = json.loads(
+                capsys.readouterr().out.strip().splitlines()[-1])
+            return out["update_available"]
+
+        import panoptikon_tpu
+        cur = panoptikon_tpu.__version__  # 0.1.0
+        assert verdict(cur) is False
+        assert verdict(cur + ".0") is False       # zero-padding == same
+        assert verdict("0.1.1rc1") is True        # pre-release of newer
+        assert verdict("0.1.0rc1") is False       # pre-release of SAME
+
+    def test_unreachable_manifest_is_a_json_error(self, capsys):
+        from panoptikon_tpu import cli
+
+        rc = cli.main(["self-update", "--manifest",
+                       "http://127.0.0.1:9/manifest.json"])
+        assert rc == 2
+        assert "manifest fetch failed" in capsys.readouterr().out

@@ -125,7 +125,17 @@ def launch() -> int:
             stdout=subprocess.PIPE if i else None,
             stderr=subprocess.STDOUT if i else None,
         ))
-    rcs = [p.wait(timeout=600) for p in procs]
+    try:
+        rcs = [p.wait(timeout=500) for p in procs]
+    except subprocess.TimeoutExpired:
+        # A hung worker (e.g. a deadlocked collective) must not orphan
+        # its sibling holding the coordinator port for later runs.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        rcs = [p.wait() for p in procs]
+        print("FAILED: worker timeout (children killed)")
+        return 1
     if any(rcs):
         for i, p in enumerate(procs):
             if i and p.stdout is not None:
