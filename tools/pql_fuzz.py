@@ -1,0 +1,209 @@
+"""Randomized PQL composition fuzzer (property-based differential test).
+
+The fixed 66-shape differential suite (tools/pql_equivalence.py) checks
+hand-picked compositions; this fuzzer generates RANDOM AND/OR/NOT trees
+over the modeled filter primitives and checks engine membership + count
+against set-algebra over independently computed primitive oracles:
+
+    oracle(AND(a,b,…)) = ∩ oracle(aᵢ)
+    oracle(OR(a,b,…))  = ∪ oracle(aᵢ)
+    oracle(NOT(a))     = base − oracle(a)
+
+Primitives: typed-column match ops (eq/neq/gt/lt/in/nin/startswith over
+type/size/width/height/path), match_tags (any/all), match_text (FTS
+token), processed_by, failed_for, in_bookmarks — each oracle is a direct
+SQL/set computation, never the engine. Corpus and seeding are shared
+with the differential suite (same seeded DB builder); runs on the same
+8-virtual-device mesh so the sharded serving path composes under every
+random tree's host mask.
+
+Usage: python tools/pql_fuzz.py [--trees 200] [--items 300] [--seed 0]
+Exit nonzero on any divergence. Reference anchor: the reference's
+pql-equivalence harness is discovery-parameterized but fixed-shape
+(tools/pql-equivalence/README.md); property-based composition coverage
+is this rebuild's extension of that strategy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pql_equivalence as diff  # noqa: E402  (shared corpus seeding)
+
+
+def build_primitives(db, conn, rng):
+    """[(name, payload_fragment, membership_set)] over the seeded corpus."""
+    base = conn.execute(
+        """SELECT f.id, f.item_id, i.type, i.size, f.path, i.width,
+                  i.height, i.sha256
+           FROM files f JOIN items i ON i.id=f.item_id
+           WHERE f.available=1"""
+    ).fetchall()
+    by_file = {r[0]: r for r in base}
+    all_fids = set(by_file)
+    file_of_item: dict[int, list[int]] = {}
+    for r in base:
+        file_of_item.setdefault(r[1], []).append(r[0])
+
+    def of_items(items):
+        out = set()
+        for it in items:
+            out.update(file_of_item.get(it, ()))
+        return out
+
+    sizes = sorted(r[3] for r in base)
+    widths = sorted(r[5] for r in base)
+    prims = []
+
+    def add(name, frag, members):
+        prims.append({"name": name, "frag": frag, "members": set(members)})
+
+    types = sorted({r[2] for r in base})
+    for t in types[:3]:
+        add(f"eq-type-{t}", {"match": {"eq": {"type": t}}},
+            {f for f, r in by_file.items() if r[2] == t})
+        add(f"neq-type-{t}", {"match": {"neq": {"type": t}}},
+            {f for f, r in by_file.items() if r[2] != t})
+    add("in-types", {"match": {"in_": {"type": types[:2]}}},
+        {f for f, r in by_file.items() if r[2] in types[:2]})
+    for q, col, idx in ((0.25, "size", 3), (0.5, "size", 3),
+                        (0.5, "width", 5)):
+        vals = sizes if col == "size" else widths
+        cut = int(vals[int(q * (len(vals) - 1))])
+        add(f"gt-{col}-{q}", {"match": {"gt": {col: cut}}},
+            {f for f, r in by_file.items() if r[idx] > cut})
+        add(f"lt-{col}-{q}", {"match": {"lt": {col: cut}}},
+            {f for f, r in by_file.items() if r[idx] < cut})
+    dirs = sorted({r[4].rsplit("/", 1)[0] + "/" for r in base})
+    for d in dirs[:3]:
+        add(f"startswith-{d}", {"match": {"startswith": {"path": d}}},
+            {f for f, r in by_file.items() if r[4].startswith(d)})
+
+    tag_rows = conn.execute(
+        """SELECT tg.name, COUNT(*) FROM tags_items ti
+           JOIN tags tg ON tg.id=ti.tag_id GROUP BY tg.name"""
+    ).fetchall()
+    tags = [t for t, _ in sorted(tag_rows, key=lambda r: -r[1])][:3]
+    for t in tags:
+        add(f"tag-{t}", {"match_tags": {"tags": [t]}},
+            of_items({r[0] for r in conn.execute(
+                """SELECT DISTINCT ti.item_id FROM tags_items ti
+                   JOIN tags tg ON tg.id=ti.tag_id WHERE tg.name=?""",
+                (t,)).fetchall()}))
+    if len(tags) >= 2:
+        add("tags-any2",
+            {"match_tags": {"tags": tags[:2], "match_any": True}},
+            of_items({r[0] for r in conn.execute(
+                """SELECT DISTINCT ti.item_id FROM tags_items ti
+                   JOIN tags tg ON tg.id=ti.tag_id WHERE tg.name IN (?,?)""",
+                tuple(tags[:2])).fetchall()}))
+
+    token_row = conn.execute(
+        "SELECT text FROM extracted_text LIMIT 1 OFFSET 3").fetchone()
+    token = next(w for w in token_row[0].split() if w.startswith("token"))
+    add(f"text-{token}", {"match_text": {"match": json.dumps(token)}},
+        of_items({r[0] for r in conn.execute(
+            """SELECT DISTINCT d.item_id FROM extracted_text t
+               JOIN item_data d ON d.id=t.id
+               WHERE t.text LIKE '%' || ? || '%'""", (token,)).fetchall()}))
+
+    add("processed-ocr", {"processed_by": "ocr/test"},
+        of_items({r[0] for r in conn.execute(
+            """SELECT DISTINCT d.item_id FROM item_data d
+               JOIN setters s ON s.id=d.setter_id WHERE s.name='ocr/test'"""
+        ).fetchall()}))
+    add("failed-clip", {"failed_for": "clip/test"},
+        of_items({r[0] for r in conn.execute(
+            """SELECT item_id FROM extraction_errors
+               WHERE setter_name='clip/test' AND error_class='input'"""
+        ).fetchall()}))
+    add("bookmarks-u1", {"in_bookmarks": {"user": "u1",
+                                          "namespaces": ["favs"]}},
+        {f for f, r in by_file.items() if r[7] in {
+            s for (s,) in conn.execute(
+                """SELECT sha256 FROM user_data.bookmarks
+                   WHERE user IN ('u1','*') AND namespace='favs'"""
+            ).fetchall()}})
+    return prims, all_fids
+
+
+def gen_tree(prims, all_fids, rng, depth):
+    """Random (payload, membership) tree."""
+    if depth <= 0 or rng.random() < 0.35:
+        p = prims[int(rng.integers(len(prims)))]
+        return dict(p["frag"]), set(p["members"])
+    op = ["and_", "or_", "not_"][int(rng.integers(3))]
+    if op == "not_":
+        child, members = gen_tree(prims, all_fids, rng, depth - 1)
+        return {"not_": child}, all_fids - members
+    n = int(rng.integers(2, 4))
+    children, sets = [], []
+    for _ in range(n):
+        c, m = gen_tree(prims, all_fids, rng, depth - 1)
+        children.append(c)
+        sets.append(m)
+    if op == "and_":
+        members = set.intersection(*sets)
+    else:
+        members = set.union(*sets)
+    return {op: children}, members
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--trees", type=int, default=200)
+    parser.add_argument("--items", type=int, default=300)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    from panoptikon_tpu.pql import model as pql
+    from panoptikon_tpu.pql.executor import Executor
+
+    rng = np.random.default_rng(args.seed)
+    with tempfile.TemporaryDirectory() as tmp:
+        db, writer, index, rows, spaces, board_id = diff.seed_db(
+            tmp, args.items, rng)
+        ex = Executor(db, index, manager=None)
+        conn = db.reader()
+        prims, all_fids = build_primitives(db, conn, rng)
+
+        failures, checked = [], 0
+        for i in range(args.trees):
+            tree, want = gen_tree(prims, all_fids, rng, depth=3)
+            payload = {"query": tree, "page_size": 10_000,
+                       "check_path": False}
+            res = ex.execute(
+                pql.PqlQuery.from_json(json.loads(json.dumps(payload))))
+            got = {r["file_id"] for r in res.results}
+            checked += 1
+            if got != want or res.count != len(want):
+                failures.append({
+                    "tree_index": i,
+                    "tree": tree,
+                    "got_n": len(got), "want_n": len(want),
+                    "count": res.count,
+                    "missing": sorted(want - got)[:5],
+                    "extra": sorted(got - want)[:5],
+                })
+                if len(failures) >= 5:
+                    break
+        print(json.dumps({
+            "trees_checked": checked,
+            "primitives": len(prims),
+            "device_count": __import__("jax").device_count(),
+            "failures": failures,
+        }, indent=1))
+        return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
