@@ -17,7 +17,13 @@ with the differential suite (same seeded DB builder); runs on the same
 8-virtual-device mesh so the sharded serving path composes under every
 random tree's host mask.
 
-Usage: python tools/pql_fuzz.py [--trees 200] [--items 300] [--seed 0]
+A second phase fuzzes ORDERING/PAGING self-consistency: for random
+(tree, order_by, direction, page_size) combinations, page-N results must
+be exact slices of the full ordering, counts must agree, and a seeded
+``random`` order must be stable across repeat queries.
+
+Usage: python tools/pql_fuzz.py [--trees 200] [--order-trees 60]
+                                [--items 300] [--seed 0]
 Exit nonzero on any divergence. Reference anchor: the reference's
 pql-equivalence harness is discovery-parameterized but fixed-shape
 (tools/pql-equivalence/README.md); property-based composition coverage
@@ -161,6 +167,7 @@ def gen_tree(prims, all_fids, rng, depth):
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--trees", type=int, default=200)
+    parser.add_argument("--order-trees", type=int, default=60)
     parser.add_argument("--items", type=int, default=300)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -196,8 +203,57 @@ def main() -> int:
                 })
                 if len(failures) >= 5:
                     break
+        # ---- phase 2: ordering / paging self-consistency ----------------
+        orders = [("size", "asc"), ("size", "desc"), ("width", "asc"),
+                  ("last_modified", "desc"), ("random", None)]
+        order_checked = 0
+        for i in range(args.order_trees):
+            tree, want = gen_tree(prims, all_fids, rng, depth=2)
+            col, direction = orders[int(rng.integers(len(orders)))]
+            ob = {"order_by": col}
+            if direction:
+                ob["order"] = direction
+            base_payload = {"query": tree, "order_by": [ob],
+                            "check_path": False}
+            if col == "random":
+                # The seed is a TOP-LEVEL query field (model.rs:304-420) —
+                # a stable explicit seed is what makes random paging
+                # consistent across page fetches.
+                base_payload["seed"] = int(rng.integers(1, 2**40))
+            res_full = ex.execute(pql.PqlQuery.from_json(json.loads(
+                json.dumps({**base_payload, "page_size": 10_000}))))
+            full = [r["file_id"] for r in res_full.results]
+            order_checked += 1
+            if set(full) != want or res_full.count != len(want):
+                failures.append({"phase": "order", "tree_index": i,
+                                 "problem": "membership", "tree": tree})
+                continue
+            psize = int(rng.integers(5, 24))
+            for page in (1, 2, 3):
+                res_p = ex.execute(pql.PqlQuery.from_json(json.loads(
+                    json.dumps({**base_payload, "page": page,
+                                "page_size": psize}))))
+                got = [r["file_id"] for r in res_p.results]
+                lo = (page - 1) * psize
+                if got != full[lo:lo + psize] or res_p.count != len(full):
+                    failures.append({
+                        "phase": "order", "tree_index": i, "page": page,
+                        "order": ob, "page_size": psize,
+                        "got": got[:8], "want": full[lo:lo + 8],
+                    })
+                    break
+            if col == "random":
+                res_again = ex.execute(pql.PqlQuery.from_json(json.loads(
+                    json.dumps({**base_payload, "page_size": 10_000}))))
+                if [r["file_id"] for r in res_again.results] != full:
+                    failures.append({"phase": "order", "tree_index": i,
+                                     "problem": "seeded-random unstable"})
+            if len(failures) >= 5:
+                break
+
         print(json.dumps({
             "trees_checked": checked,
+            "order_trees_checked": order_checked,
             "primitives": len(prims),
             "device_count": __import__("jax").device_count(),
             "failures": failures,
