@@ -17,6 +17,11 @@ with the differential suite (same seeded DB builder); runs on the same
 8-virtual-device mesh so the sharded serving path composes under every
 random tree's host mask.
 
+A third phase fuzzes SEMANTIC × META composition: a random vector
+filter (space, aggregation, exact/quant arm) ANDed under a random meta
+tree, ranked against the shared independent space oracle (the same
+NumPy scorer the differential suite uses — never the engine).
+
 A second phase fuzzes ORDERING/PAGING self-consistency: for random
 (tree, order_by, direction, page_size) combinations, page-N results must
 be exact slices of the full ordering, counts must agree, and a seeded
@@ -168,6 +173,7 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--trees", type=int, default=200)
     parser.add_argument("--order-trees", type=int, default=60)
+    parser.add_argument("--sem-trees", type=int, default=40)
     parser.add_argument("--items", type=int, default=300)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -251,8 +257,73 @@ def main() -> int:
             if len(failures) >= 5:
                 break
 
+        # ---- phase 3: semantic x meta composition -----------------------
+        import base64 as _b64
+
+        from panoptikon_tpu.utils import npy as _npy
+
+        def b64vec(v):
+            return _b64.standard_b64encode(
+                _npy.serialize_npy(np.asarray(v, np.float32))).decode()
+
+        meta_rows = conn.execute(
+            """SELECT f.id, f.item_id, f.last_modified
+               FROM files f WHERE f.available=1"""
+        ).fetchall()
+        lm_of = {r[0]: r[2] for r in meta_rows}
+        files_of_item: dict[int, list[int]] = {}
+        for fid, item, _ in meta_rows:
+            files_of_item.setdefault(item, []).append(fid)
+
+        def tiebreak(f):
+            return (diff._desc_str(lm_of[f]), f)
+
+        def ranked(values, members):
+            sel = {}
+            for item, v in values.items():
+                for fid in files_of_item.get(item, ()):
+                    if fid in members:
+                        sel[fid] = v
+            return sorted(sel, key=lambda f: (sel[f],) + tiebreak(f))
+
+        sem_specs = [
+            ("clip/test", "image_embeddings", spaces["clip/test"]),
+            ("st/test", "text_embeddings", spaces["st/test"]),
+        ]
+        sem_checked = 0
+        for i in range(args.sem_trees):
+            meta_tree, meta_members = gen_tree(prims, all_fids, rng, depth=2)
+            model_name, field, oracle_space = sem_specs[int(rng.integers(2))]
+            agg = ["MIN", "AVG", "MAX"][int(rng.integers(3))]
+            arm = ["exact", "quant"][int(rng.integers(2))]
+            qv = oracle_space.vecs[int(rng.integers(len(oracle_space.vecs)))]
+            payload = {"query": {"and_": [
+                meta_tree,
+                {field: {"query": b64vec(qv), "model": model_name,
+                         "embed": None, "index": arm,
+                         "distance_aggregation": agg}},
+            ]}, "page_size": 10_000, "check_path": False}
+            res = ex.execute(
+                pql.PqlQuery.from_json(json.loads(json.dumps(payload))))
+            got = [r["file_id"] for r in res.results]
+            values = {it: v for it, (v, _) in oracle_space.scores(
+                qv, distance="cosine", agg=agg.lower(),
+                use_quant=(arm == "quant")).items()}
+            want = ranked(values, meta_members)
+            sem_checked += 1
+            if sorted(got) != sorted(want) or got[:50] != want[:50]:
+                failures.append({
+                    "phase": "semantic", "tree_index": i,
+                    "space": model_name, "agg": agg, "arm": arm,
+                    "got_n": len(got), "want_n": len(want),
+                    "got_head": got[:6], "want_head": want[:6],
+                })
+                if len(failures) >= 5:
+                    break
+
         print(json.dumps({
             "trees_checked": checked,
+            "sem_trees_checked": sem_checked,
             "order_trees_checked": order_checked,
             "primitives": len(prims),
             "device_count": __import__("jax").device_count(),
