@@ -14,6 +14,7 @@ from __future__ import annotations
 import asyncio
 import base64
 import json
+import time
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Optional
@@ -60,6 +61,10 @@ class AppState:
     cache: SpanCache = field(default_factory=SpanCache)
     pool: "InferencePool" = None
     continuous: "ContinuousManager" = None
+    # Desktop-lifecycle update surface (reference api/desktop.rs): the
+    # configured release-manifest URL plus ribbon state (snooze/dismiss).
+    update_manifest: Optional[str] = None
+    update_ribbon: dict = field(default_factory=dict)
     prewarm: "EagerPrewarm" = None
 
     @classmethod
@@ -76,6 +81,10 @@ class AppState:
         rootlock.acquire(state.data_root)
         state.databases = DatabaseRegistry(state.data_root / "databases")
         state.writers = WriterRegistry()
+        state.registry_dirs = (
+            Path(registry_dir) if registry_dir else None,
+            Path(user_registry_dir) if user_registry_dir else None,
+        )
         state.model_registry = Registry(registry_dir, user_registry_dir)
         state.manager = ModelManager(state.model_registry, IMPL_INDEX)
         # Federation (jobs/inference_pool.rs): the local manager is one
@@ -1291,6 +1300,134 @@ async def quants_reconcile(request: web.Request) -> web.Response:
     return web.json_response({"job_id": handle.job_id})
 
 
+async def desktop_update_status(request: web.Request) -> web.Response:
+    """Reference /api/desktop/update-status: current vs latest from the
+    configured release manifest, with ribbon snooze/dismiss state. The
+    manifest check is cached for 5 minutes."""
+    state: AppState = request.app["state"]
+    import panoptikon_tpu as _pkg
+    from panoptikon_tpu.utils.version import fetch_manifest, newer_than
+
+    current = _pkg.__version__
+    if not state.update_manifest:
+        return web.json_response({"configured": False, "current": current})
+    cache = state.update_ribbon
+    now = time.time()
+    if cache.get("checked_at", 0) + 300 < now:
+        def check():
+            return fetch_manifest(state.update_manifest)
+
+        try:
+            manifest = await asyncio.to_thread(check)
+            cache["latest"] = str(manifest.get("version", ""))
+            cache["error"] = None
+        except Exception as exc:
+            cache["error"] = str(exc)
+        cache["checked_at"] = now
+    latest = cache.get("latest") or ""
+    snoozed_until = cache.get("snoozed_until")
+    return web.json_response({
+        "configured": True,
+        "current": current,
+        "latest": latest or None,
+        "error": cache.get("error"),
+        "update_available": bool(latest) and newer_than(latest, current),
+        "snoozed": bool(snoozed_until and snoozed_until > now),
+        "dismissed_version": cache.get("dismissed_version"),
+    })
+
+
+async def desktop_ribbon_snooze(request: web.Request) -> web.Response:
+    """Snooze the update ribbon for 24 h; 409 when the available version
+    changed under the client (reference update-ribbon/snooze contract)."""
+    state: AppState = request.app["state"]
+    body = await request.json()
+    latest = state.update_ribbon.get("latest")
+    if latest and body.get("version") != latest:
+        return _json_error(409, "available update version changed")
+    state.update_ribbon["snoozed_until"] = time.time() + 24 * 3600
+    return web.Response(status=204)
+
+
+async def desktop_ribbon_dismiss(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    body = await request.json()
+    latest = state.update_ribbon.get("latest")
+    if latest and body.get("version") != latest:
+        return _json_error(409, "available update version changed")
+    state.update_ribbon["dismissed_version"] = body.get("version")
+    return web.Response(status=204)
+
+
+_EXTERNAL_INPUT_RE = None
+
+
+def _external_input_vars(state: "AppState") -> list[str]:
+    """Env variables referenced as ${VAR}/${VAR:-d} by registry TOML —
+    the reference's external-input declarations (inference.toml:1-36):
+    inputs the operator must supply (API keys, dump paths)."""
+    import re as _re
+
+    global _EXTERNAL_INPUT_RE
+    if _EXTERNAL_INPUT_RE is None:
+        _EXTERNAL_INPUT_RE = _re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)")
+    seen: list[str] = []
+    for d in state.registry_dirs:
+        if not d or not Path(d).is_dir():
+            continue
+        for f in sorted(Path(d).glob("*.toml")):
+            for var in _EXTERNAL_INPUT_RE.findall(f.read_text()):
+                if var not in seen:
+                    seen.append(var)
+    return seen
+
+
+async def desktop_external_inputs(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    import os as _os
+
+    def run():
+        return [
+            {"variable": v, "set": v in _os.environ}
+            for v in _external_input_vars(state)
+        ]
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+async def desktop_external_input_put(request: web.Request) -> web.Response:
+    """Set an external input: updates the process env AND persists to the
+    root .env (load_dotenv reads it on the next boot)."""
+    state: AppState = request.app["state"]
+    import os as _os
+
+    var = request.match_info["variable"]
+    if not var.isidentifier():
+        return _json_error(400, "invalid variable name")
+    body = await request.json()
+    value = str(body.get("value", ""))
+
+    def run():
+        _os.environ[var] = value
+        env_path = state.data_root.parent / ".env"
+        lines = []
+        if env_path.exists():
+            lines = env_path.read_text().splitlines()
+        out, replaced = [], False
+        for line in lines:
+            if line.split("=", 1)[0].strip() == var:
+                out.append(f"{var}={value}")
+                replaced = True
+            else:
+                out.append(line)
+        if not replaced:
+            out.append(f"{var}={value}")
+        env_path.write_text("\n".join(out) + "\n")
+
+    await asyncio.to_thread(run)
+    return web.Response(status=204)
+
+
 async def builtin_ui(request: web.Request) -> web.Response:
     """Zero-dependency built-in search UI (api/ui.html). The reference's
     full UI remains a separate supervised app fronted by the reverse proxy
@@ -1860,6 +1997,11 @@ def build_app(
             web.put("/api/jobs/cron", cron_put),
             web.get("/api/config/system", db_config_get),
             web.put("/api/config/system", db_config_put),
+            web.get("/api/desktop/update-status", desktop_update_status),
+            web.post("/api/desktop/update-ribbon/snooze", desktop_ribbon_snooze),
+            web.post("/api/desktop/update-ribbon/dismiss", desktop_ribbon_dismiss),
+            web.get("/api/desktop/external-inputs", desktop_external_inputs),
+            web.put("/api/desktop/external-inputs/{variable}", desktop_external_input_put),
             web.get("/ui", builtin_ui),
             web.get("/api/db", db_list),
             web.post("/api/db", db_create),
@@ -1959,6 +2101,7 @@ def main(args=None) -> None:
         inference_upstreams=settings.inference.upstreams,
     )
     state.cache.resize(settings.search.cache_bytes)
+    state.update_manifest = settings.update_manifest
     state.cron.start()
     state.reconsider_continuous()
     if settings.inference.eager_prewarm:

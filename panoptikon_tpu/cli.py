@@ -148,7 +148,6 @@ def cmd_self_update(args) -> int:
     interpreter's environment.
     """
     import json as _json
-    import urllib.request
 
     import panoptikon_tpu
 
@@ -158,9 +157,10 @@ def cmd_self_update(args) -> int:
             "current": panoptikon_tpu.__version__,
         }))
         return 2
+    from panoptikon_tpu.utils.version import fetch_manifest, newer_than
+
     try:
-        with urllib.request.urlopen(args.manifest, timeout=30) as resp:
-            manifest = _json.loads(resp.read().decode())
+        manifest = fetch_manifest(args.manifest)
     except Exception as exc:
         print(_json.dumps({
             "error": f"manifest fetch failed: {exc}",
@@ -169,29 +169,6 @@ def cmd_self_update(args) -> int:
         return 2
     latest = str(manifest.get("version", ""))
     current = panoptikon_tpu.__version__
-
-    def parts(v):
-        # PEP-440-ish: numeric segments compare numerically; a pre-release
-        # suffix ("rc1", "a2") sorts BELOW the bare release of the same
-        # number (middle element 0 vs 1).
-        import re as _re
-
-        out = []
-        for seg in v.split("."):
-            m = _re.match(r"(\d+)(.*)", seg)
-            if m:
-                suffix = m.group(2)
-                out.append((int(m.group(1)), 0 if suffix else 1, suffix))
-            else:
-                out.append((-1, 0, seg))
-        return out
-
-    def newer_than(a_v, b_v):
-        a, b = parts(a_v), parts(b_v)
-        pad = (0, 1, "")  # missing segments read as ".0" → 0.1.0.0 == 0.1.0
-        n = max(len(a), len(b))
-        return a + [pad] * (n - len(a)) > b + [pad] * (n - len(b))
-
     newer = bool(latest) and newer_than(latest, current)
     plan = manifest.get("requirement") or f"panoptikon-tpu=={latest}"
     out = {"current": current, "latest": latest, "update_available": newer,

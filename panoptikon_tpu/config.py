@@ -109,6 +109,9 @@ class Settings:
     # [server].policy_token_key — 64 hex chars pinning the HMAC key for
     # SSR policy tokens (api/policy_token.py); random per boot when unset.
     policy_token_key: str | None = None
+    # [update].manifest — JSON release-manifest URL for the self-update
+    # surfaces (cli self-update, /api/desktop/update-status).
+    update_manifest: str | None = None
 
     @classmethod
     def load(cls, path: str | Path | None = None, root: str | Path = ".") -> "Settings":
@@ -190,4 +193,5 @@ class Settings:
         s.ui_cwd = ui.get("cwd")
         server = raw.get("server", {})
         s.policy_token_key = server.get("policy_token_key")
+        s.update_manifest = (raw.get("update") or {}).get("manifest")
         return s

@@ -710,3 +710,67 @@ class TestMediaIntakeThroughApi:
         assert status == 200
         assert res["results"], res
         assert res["results"][0]["duration"] == pytest.approx(10.0)
+
+
+class TestDesktopLifecycle:
+    def test_update_status_and_ribbon_flow(self, client_env, tmp_path):
+        import json as _json
+
+        import panoptikon_tpu
+
+        call, state = client_env["call"], client_env["state"]
+        # Unconfigured: reports so, no error.
+        status, body = call("GET", "/api/desktop/update-status")
+        assert status == 200 and body["configured"] is False
+        # Configure a file:// manifest with a newer version.
+        manifest = tmp_path / "release.json"
+        manifest.write_text(_json.dumps({"version": "99.0.0"}))
+        state.update_manifest = manifest.as_uri()
+        status, body = call("GET", "/api/desktop/update-status")
+        assert body["configured"] and body["update_available"] is True
+        assert body["latest"] == "99.0.0"
+        assert body["current"] == panoptikon_tpu.__version__
+        # Snooze with a stale version → 409; with the right one → 204.
+        status, _ = call("POST", "/api/desktop/update-ribbon/snooze",
+                         json={"version": "0.0.1"})
+        assert status == 409
+        status, _ = call("POST", "/api/desktop/update-ribbon/snooze",
+                         json={"version": "99.0.0"})
+        assert status == 204
+        _, body = call("GET", "/api/desktop/update-status")
+        assert body["snoozed"] is True
+        status, _ = call("POST", "/api/desktop/update-ribbon/dismiss",
+                         json={"version": "99.0.0"})
+        assert status == 204
+        _, body = call("GET", "/api/desktop/update-status")
+        assert body["dismissed_version"] == "99.0.0"
+
+    def test_external_inputs_listing_and_set(self, client_env, monkeypatch):
+        import os
+
+        call, state = client_env["call"], client_env["state"]
+        # Declare an external input in the user registry dir.
+        reg = state.registry_dirs[0]
+        (reg / "90_external.toml").write_text(
+            '[group.extapi]\n'
+            'config.impl_class = "api_embed"\n'
+            '[group.extapi.inference_ids.remote]\n'
+            'config.endpoint = "${MY_EMBED_ENDPOINT}"\n'
+        )
+        monkeypatch.delenv("MY_EMBED_ENDPOINT", raising=False)
+        status, body = call("GET", "/api/desktop/external-inputs")
+        assert status == 200
+        entry = next(e for e in body if e["variable"] == "MY_EMBED_ENDPOINT")
+        assert entry["set"] is False
+        status, _ = call(
+            "PUT", "/api/desktop/external-inputs/MY_EMBED_ENDPOINT",
+            json={"value": "http://remote:9000/embeddings"},
+        )
+        assert status == 204
+        assert os.environ["MY_EMBED_ENDPOINT"] == "http://remote:9000/embeddings"
+        _, body = call("GET", "/api/desktop/external-inputs")
+        entry = next(e for e in body if e["variable"] == "MY_EMBED_ENDPOINT")
+        assert entry["set"] is True
+        env_file = state.data_root.parent / ".env"
+        assert "MY_EMBED_ENDPOINT=http://remote:9000/embeddings" in env_file.read_text()
+        monkeypatch.delenv("MY_EMBED_ENDPOINT", raising=False)
