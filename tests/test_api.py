@@ -605,6 +605,8 @@ class TestBuiltinUi:
             "/api/bookmarks/user", "/api/pinboards/user", "/api/jobs/queue",
             "/api/jobs/quants", "/api/jobs/failures/extraction",
             "/api/accelerator", "similar_to", "/api/items/",
+            "view-settings", "/api/desktop/update-status",
+            "/api/desktop/external-inputs", "/api/config/system",
         ):
             assert marker in text, marker
 
