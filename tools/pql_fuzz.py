@@ -22,6 +22,11 @@ filter (space, aggregation, exact/quant arm) ANDed under a random meta
 tree, ranked against the shared independent space oracle (the same
 NumPy scorer the differential suite uses — never the engine).
 
+A fourth phase fuzzes RRF fusion: two random semantic filters at equal
+priority with random per-filter rrf {k, weight}, fused totals checked
+against the published reciprocal-rank formula over the oracle's rank
+lists.
+
 A second phase fuzzes ORDERING/PAGING self-consistency: for random
 (tree, order_by, direction, page_size) combinations, page-N results must
 be exact slices of the full ordering, counts must agree, and a seeded
@@ -174,6 +179,7 @@ def main() -> int:
     parser.add_argument("--trees", type=int, default=200)
     parser.add_argument("--order-trees", type=int, default=60)
     parser.add_argument("--sem-trees", type=int, default=40)
+    parser.add_argument("--rrf-trees", type=int, default=24)
     parser.add_argument("--items", type=int, default=300)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -321,8 +327,86 @@ def main() -> int:
                 if len(failures) >= 5:
                     break
 
+        # ---- phase 4: RRF fusion --------------------------------------
+        rrf_checked = 0
+        for i in range(args.rrf_trees):
+            arm = ["exact", "quant"][int(rng.integers(2))]
+            picks = []
+            pick_meta = []
+            for _ in range(2):
+                model_name, field, osp = sem_specs[int(rng.integers(2))]
+                qidx = int(rng.integers(len(osp.vecs)))
+                qv = osp.vecs[qidx]
+                w = float(rng.choice([0.3, 0.5, 1.0, 2.0]))
+                kf = int(rng.choice([20, 60, 100]))
+                picks.append((model_name, field, osp, qv, w, kf))
+                pick_meta.append({"model": model_name, "qidx": qidx,
+                                  "w": w, "k": kf})
+            payload = {"query": {"and_": [
+                {f: {"query": b64vec(q), "model": m, "embed": None,
+                     "index": arm},
+                 "row_n": True, "priority": 5,
+                 "rrf": {"k": kf, "weight": w}}
+                for m, f, _osp, q, w, kf in picks
+            ]}, "page_size": 10_000, "check_path": False}
+            res = ex.execute(
+                pql.PqlQuery.from_json(json.loads(json.dumps(payload))))
+            got = [r["file_id"] for r in res.results]
+
+            # Sequential row_n scoping (reference CTE-chain parity,
+            # docs/pql.md): filter i ranks over the running intersection
+            # of filters 1..i.
+            ordered_lists = []
+            for m, f, osp, q, w, kf in picks:
+                vals = {it: v for it, (v, _) in osp.scores(
+                    q, distance="cosine", agg="min",
+                    use_quant=(arm == "quant")).items()}
+                ordered_lists.append(ranked(vals, all_fids))
+            running = set(all_fids)
+            parts = []
+            for (m, f, osp, q, w, kf), ordered in zip(picks, ordered_lists):
+                running &= set(ordered)
+                ranks = {fid: r + 1 for r, fid in enumerate(
+                    [fid for fid in ordered if fid in running])}
+                parts.append((ranks, w, kf))
+            members = running
+            totals = {fid: sum(w / (kf + p[fid]) for p, w, kf in parts)
+                      for fid in members}
+            want = sorted(members,
+                          key=lambda fid: (-totals[fid],) + tiebreak(fid))
+            rrf_checked += 1
+            # Exact rational total TIES happen (e.g. 1/(20+8)+0.5/(20+22)
+            # == 1/(20+22)+0.5/(20+1) == 1/21); order within a tied group
+            # is float-ulp-determined in the engine, so compare the TOTAL
+            # sequence everywhere and the file identity only where the
+            # total is unique.
+            def tw(fid):
+                return totals[fid]
+
+            order_ok = (len(got) == len(want)) and all(
+                abs(tw(g) - tw(w)) <= 1e-9 * max(abs(tw(w)), 1e-30)
+                for g, w in zip(got, want)
+            ) and all(
+                g == w
+                for j, (g, w) in enumerate(zip(got[:50], want[:50]))
+                if (j == 0 or abs(tw(want[j]) - tw(want[j - 1])) > 1e-9)
+                and (j + 1 >= len(want)
+                     or abs(tw(want[j]) - tw(want[j + 1])) > 1e-9)
+            )
+            if sorted(got) != sorted(want) or not order_ok:
+                failures.append({
+                    "phase": "rrf", "tree_index": i, "arm": arm,
+                    "picks": pick_meta,
+                    "spaces": [p[0] for p in picks],
+                    "got_n": len(got), "want_n": len(want),
+                    "got_head": got[:6], "want_head": want[:6],
+                })
+                if len(failures) >= 5:
+                    break
+
         print(json.dumps({
             "trees_checked": checked,
+            "rrf_trees_checked": rrf_checked,
             "sem_trees_checked": sem_checked,
             "order_trees_checked": order_checked,
             "primitives": len(prims),
