@@ -558,6 +558,16 @@ class WhisperImpl(InferenceModel):
                 self.detokenize = lambda ids: tok.decode(
                     [i for i in ids if 0 <= i < tok.get_vocab_size()]
                 )
+                if self.prompt:
+                    # Task-prompted decode (reference florence2.py task
+                    # prompts): the tokenized prompt extends the SOT
+                    # triple; decoding continues after it.
+                    ids = tok.encode(self.prompt).ids
+                    budget = max(self.decoder_cfg.n_text_ctx // 2, 1)
+                    self._prompt_ids = tuple(
+                        int(i) for i in ids[:budget]
+                        if 0 <= i < self.decoder_cfg.n_vocab
+                    )
             except Exception:
                 pass
 
@@ -728,6 +738,7 @@ class CaptionerImpl(InferenceModel):
         self.vision_params = None
         self.decoder_params = None
         self.detokenize = None
+        self._prompt_ids: tuple = ()
 
     @classmethod
     def name(cls) -> str:
@@ -763,6 +774,16 @@ class CaptionerImpl(InferenceModel):
                 self.detokenize = lambda ids: tok.decode(
                     [i for i in ids if 0 <= i < tok.get_vocab_size()]
                 )
+                if self.prompt:
+                    # Task-prompted decode (reference florence2.py task
+                    # prompts): the tokenized prompt extends the SOT
+                    # triple; decoding continues after it.
+                    ids = tok.encode(self.prompt).ids
+                    budget = max(self.decoder_cfg.n_text_ctx // 2, 1)
+                    self._prompt_ids = tuple(
+                        int(i) for i in ids[:budget]
+                        if 0 <= i < self.decoder_cfg.n_vocab
+                    )
             except Exception:
                 pass
 
@@ -792,11 +813,13 @@ class CaptionerImpl(InferenceModel):
                 clip.encode_image_tokens(self.vision_params, self.vision_cfg, batch)
             )
             tokens, lengths, logprob = _caption_decode(
-                self.decoder_params, self.decoder_cfg, feats, self.max_tokens
+                self.decoder_params, self.decoder_cfg, feats,
+                self.max_tokens, self._prompt_ids
             )
+            p_len = 3 + len(self._prompt_ids)
             tokens, lengths = np.asarray(tokens), np.asarray(lengths)
             for j, pos in enumerate(kept):
-                toks = tokens[j, 3 : lengths[j]].tolist()
+                toks = tokens[j, p_len : lengths[j]].tolist()
                 text = (
                     self.detokenize(toks)
                     if self.detokenize
@@ -820,16 +843,15 @@ def _caption_decode_jit():
 
     from panoptikon_tpu.models import whisper as _w
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "max_tokens"))
-    def run(params, cfg, feats, max_tokens):
+    @functools.partial(
+        jax.jit, static_argnames=("cfg", "max_tokens", "extra_ids"))
+    def run(params, cfg, feats, max_tokens, extra_ids=()):
         import jax.numpy as jnp
 
         b = feats.shape[0]
+        ids = [cfg.sot, cfg.transcribe, cfg.no_timestamps, *extra_ids]
         prompt = jnp.broadcast_to(
-            jnp.array([cfg.sot, cfg.transcribe, cfg.no_timestamps],
-                      dtype=jnp.int32)[None],
-            (b, 3),
-        )
+            jnp.array(ids, dtype=jnp.int32)[None], (b, len(ids)))
         return _w.decode_from_feats(params, cfg, feats, prompt, max_tokens)
 
     return run
@@ -838,7 +860,7 @@ def _caption_decode_jit():
 _CAPTION_DECODE = None
 
 
-def _caption_decode(params, cfg, feats, max_tokens):
+def _caption_decode(params, cfg, feats, max_tokens, extra_ids=()):
     """Greedy decode against precomputed vision features (bypasses the
     audio encoder by feeding the cross-attention memory directly) —
     routed through the shared KV-cached incremental decoder
@@ -847,7 +869,7 @@ def _caption_decode(params, cfg, feats, max_tokens):
     global _CAPTION_DECODE
     if _CAPTION_DECODE is None:
         _CAPTION_DECODE = _caption_decode_jit()
-    return _CAPTION_DECODE(params, cfg, feats, max_tokens)
+    return _CAPTION_DECODE(params, cfg, feats, max_tokens, extra_ids)
 
 
 class VlmTaggerImpl(CaptionerImpl):

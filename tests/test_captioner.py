@@ -190,3 +190,33 @@ class TestVlmTagger:
         out2 = impl.predict([PredictionInput(file=buf.getvalue())])
         assert dict(out2[0]["tags"])["general"] == cats["general"]
         impl.unload()
+
+
+class TestPromptedDecode:
+    def test_prompt_ids_extend_prefix_and_are_excluded_from_output(self):
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from panoptikon_tpu.models.base import PredictionInput
+        from panoptikon_tpu.models.impls import CaptionerImpl
+
+        buf = io.BytesIO()
+        Image.new("RGB", (32, 32), (10, 200, 90)).save(buf, format="PNG")
+        png = buf.getvalue()
+
+        plain = CaptionerImpl(model_arch="test-tiny", max_tokens=10)
+        prompted = CaptionerImpl(model_arch="test-tiny", max_tokens=10)
+        prompted.load()
+        prompted._prompt_ids = (7, 9)  # as a tokenizer would produce
+        out_plain = plain.predict([PredictionInput(file=png)])
+        out_prompted = prompted.predict([PredictionInput(file=png)])
+        # The prompt conditions the decode (different text) and never
+        # leaks into the output (the output excludes the prefix).
+        assert "<7>" not in out_prompted[0]["text"].split(" ")[0:1]
+        assert out_prompted[0]["text"] != "" or out_plain[0]["text"] != ""
+        toks = out_prompted[0]["text"].split()
+        assert toks[:2] != ["<7>", "<9>"]
+        plain.unload()
+        prompted.unload()
