@@ -91,12 +91,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads: int,
     nq = q_ref.shape[1]   # this step's q-block rows
     nk = k_ref.shape[1]   # the FULL key axis (always in-tile)
     qoff = pl.program_id(2) * nq
+    # Mosaic lowers sub-32 contractions via broadcast+reduce, and that
+    # path emits a malformed bf16->f32 vector.broadcast (verification
+    # error observed at (32,16)x(32,16) — whisper test-tiny). Tiny head
+    # dims compute in f32; perf is irrelevant at those shapes.
+    in_dtype = jnp.float32 if head_dim < 32 else None
+
+    def rd(ref, h):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        x = ref[0, :, sl]
+        return x.astype(in_dtype) if in_dtype else x
 
     def qk(h):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
         # Transposed logits: (N_k, q_block); softmax reduces over sublanes.
         lt = jax.lax.dot_general(
-            k_ref[0, :, sl], q_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            rd(k_ref, h), rd(q_ref, h), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
         if causal:
@@ -125,8 +134,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads: int,
         m = jnp.max(lt, axis=0, keepdims=True)
         e = jnp.exp(lt - m)
         s = jnp.sum(e, axis=0, keepdims=True)
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        vh = v_ref[0, :, sl]
+        vh = rd(v_ref, h)
         p = (e / s).astype(vh.dtype)
         if h + 2 < heads:
             lts.append(qk(h + 2))
@@ -134,6 +142,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads: int,
             p, vh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (q_block, D)
+        sl = slice(h * head_dim, (h + 1) * head_dim)
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
 
@@ -196,11 +205,16 @@ def _attn_qkv_kernel(qkv_ref, s_ref, o_ref, *, heads: int, head_dim: int,
                      scale: float, causal: bool, quantize_out: bool):
     n = qkv_ref.shape[1]
     hd = heads * head_dim
+    in_dtype = jnp.float32 if head_dim < 32 else None  # see _attn_kernel
+
+    def rd(part, h):
+        sl = slice(part * hd + h * head_dim, part * hd + (h + 1) * head_dim)
+        x = qkv_ref[0, :, sl]
+        return x.astype(in_dtype) if in_dtype else x
 
     def qk(h):
         lt = jax.lax.dot_general(
-            qkv_ref[0, :, hd + h * head_dim: hd + (h + 1) * head_dim],
-            qkv_ref[0, :, h * head_dim: (h + 1) * head_dim],
+            rd(1, h), rd(0, h),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
@@ -218,7 +232,7 @@ def _attn_qkv_kernel(qkv_ref, s_ref, o_ref, *, heads: int, head_dim: int,
         m = jnp.max(lt, axis=0, keepdims=True)
         e = jnp.exp(lt - m)
         s = jnp.sum(e, axis=0, keepdims=True)
-        vh = qkv_ref[0, :, 2 * hd + h * head_dim: 2 * hd + (h + 1) * head_dim]
+        vh = rd(2, h)
         p = (e / s).astype(vh.dtype)
         if h + 2 < heads:
             lts.append(qk(h + 2))
