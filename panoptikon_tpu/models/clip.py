@@ -90,6 +90,19 @@ CONFIGS = {
         text_heads=16,
         embed_dim=1024,
     ),
+    # The reference's benchmark model (clip-fp16-precision-evaluation.md:
+    # ViT-H-14-378 at 114 img/s fp16): 378px input → 27×27+1 = 730 tokens.
+    "ViT-H-14-378": ClipConfig(
+        image_size=378,
+        patch_size=14,
+        vision_width=1280,
+        vision_layers=32,
+        vision_heads=16,
+        text_width=1024,
+        text_layers=24,
+        text_heads=16,
+        embed_dim=1024,
+    ),
     # Tiny config for tests / dry-runs.
     "test-tiny": ClipConfig(
         image_size=32,
@@ -324,7 +337,8 @@ def _block_int8_static(x, p, heads: int, causal: bool, scales):
     qkv = _linear_prequant(aq, scales[0], p["attn"]["qkv_w"], p["attn"]["qkv_b"])
     b, n, w = x.shape
     head_dim = w // heads
-    if jax.default_backend() == "tpu":
+    if (jax.default_backend() == "tpu"
+            and vit_attention.qkv_fused_fits(heads, head_dim, n)):
         # One pallas input for the unsplit qkv (no split copies) and int8
         # out in-register (the out-projection's input quant).
         att_q = vit_attention.mha_qkv(qkv, heads=heads, causal=causal,
@@ -332,6 +346,8 @@ def _block_int8_static(x, p, heads: int, causal: bool, scales):
         att = _linear_prequant(att_q, scales[1], p["attn"]["out_w"],
                                p["attn"]["out_b"])
     else:
+        # Split path: off-TPU (XLA attention), or shapes whose unsplit
+        # qkv block exceeds VMEM (ViT-H-378) — the split kernel q-blocks.
         q, k, v = jnp.split(qkv, 3, axis=-1)
         out = vit_attention.attention(
             q.reshape(b, n, heads, head_dim),

@@ -201,6 +201,20 @@ def mha(q, k, v, *, causal: bool = False, key_mask=None,
     return out.reshape(b, n_q, h, d)
 
 
+def qkv_fused_fits(heads: int, head_dim: int, n: int) -> bool:
+    """Whether :func:`mha_qkv`'s per-step working set fits scoped VMEM:
+    the unsplit qkv block (double-buffered bf16) + output + two live
+    logits tiles. ViT-L/14 (16×64, N=257) fits; ViT-H-14-378 (16×80,
+    N=730) demands 17.8 MB and must take the q-blocked split path."""
+    hd = heads * head_dim
+    n_sub = -(-n // 8) * 8
+    n_lane = -(-n // 128) * 128
+    qkv_block = n * 3 * hd * 2 * 2
+    out_block = n * hd * 2 * 2
+    logits = 3 * n_sub * n_lane * 4
+    return qkv_block + out_block + logits <= 14 * 1024 * 1024
+
+
 def _attn_qkv_kernel(qkv_ref, s_ref, o_ref, *, heads: int, head_dim: int,
                      scale: float, causal: bool, quantize_out: bool):
     n = qkv_ref.shape[1]

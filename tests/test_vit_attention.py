@@ -169,3 +169,12 @@ def test_cross_attention_distinct_kv_length():
     want = _ref(q, k, v, False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_qkv_fused_fit_planner():
+    # ViT-L/14 and ViT-B take the unsplit-qkv fast path; ViT-H-14-378's
+    # block demands 17.8 MB of scoped VMEM (measured compiler rejection)
+    # and must fall back to the q-blocked split kernel.
+    assert vit_attention.qkv_fused_fits(16, 64, 257) is True
+    assert vit_attention.qkv_fused_fits(12, 64, 50) is True
+    assert vit_attention.qkv_fused_fits(16, 80, 730) is False
