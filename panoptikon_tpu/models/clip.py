@@ -453,15 +453,23 @@ def encode_image_tokens(params: Params, cfg: ClipConfig, images):
     return x.astype(jnp.float32)
 
 
-def encode_text(params: Params, cfg: ClipConfig, token_ids, normalize: bool = True):
+def encode_text(params: Params, cfg: ClipConfig, token_ids, normalize: bool = True,
+                act_scales=None, _collector=None):
     """token_ids: (B, ctx) int32, EOT at argmax position (CLIP convention) →
-    (B, embed_dim) f32 features."""
+    (B, embed_dim) f32 features.
+
+    ``act_scales`` — optional (text_layers, 4) calibrated per-tensor
+    activation absmax enabling the static-int8 block path (mirrors
+    :func:`encode_image`; the tclip cross-modal extraction embeds bulk
+    text through this tower)."""
     t = params["text"]
     x = t["token_emb"][token_ids].astype(jnp.bfloat16)
     x = x + t["pos_emb"].astype(x.dtype)[None]
-    for blk in t["blocks"]:
+    for i, blk in enumerate(t["blocks"]):
         x = _block(x, blk, cfg.text_heads, causal=True,
-                   precision=cfg.matmul_precision)
+                   precision=cfg.matmul_precision,
+                   scales=act_scales[i] if act_scales is not None else None,
+                   collector=_collector)
     x = _layernorm(x, t["ln_final"])
     eot = jnp.argmax(token_ids, axis=-1)
     x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
@@ -522,6 +530,22 @@ def embed_images_raw_scaled_jit(params, cfg: ClipConfig, images, act_scales):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def embed_texts_jit(params, cfg: ClipConfig, token_ids):
     return encode_text(params, cfg, token_ids)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def calibrate_text_scales(params, cfg: ClipConfig, token_ids):
+    """One bf16 pass → (text_layers, 4) per-tensor activation absmax for
+    the static-int8 text path (same PTQ recipe as the image tower)."""
+    collector: list = []
+    bf16_cfg = dataclasses.replace(cfg, matmul_precision="bf16")
+    encode_text(params, bf16_cfg, token_ids, _collector=collector)
+    return jnp.stack(collector).reshape(cfg.text_layers, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def embed_texts_scaled_jit(params, cfg: ClipConfig, token_ids, act_scales):
+    """Static-scale int8 text embed (calibrated act_scales)."""
+    return encode_text(params, cfg, token_ids, act_scales=act_scales)
 
 
 def param_shard_rules(cfg: ClipConfig):

@@ -111,10 +111,11 @@ class ClipImpl(InferenceModel):
         self.batch_ladder = batching.bucket_ladder(batch_cap)
         self.tokenize = load_tokenizer(tokenizer_path, self.cfg.text_vocab)
         self.params = None
-        # Calibrated per-tensor activation scales for the static int8 image
-        # path; lazily derived from the FIRST real image batch (one extra
-        # bf16 pass), then frozen — standard PTQ calibration.
+        # Calibrated per-tensor activation scales for the static int8
+        # paths; lazily derived from the FIRST real batch of each kind
+        # (one extra bf16 pass), then frozen — standard PTQ calibration.
         self._act_scales = None
+        self._text_scales = None
 
     @classmethod
     def name(cls) -> str:
@@ -136,6 +137,7 @@ class ClipImpl(InferenceModel):
     def unload(self) -> None:
         self.params = None
         self._act_scales = None
+        self._text_scales = None
 
     def prepare(self) -> None:
         """Prewarm: compile every bucket shape so the first real predict
@@ -203,7 +205,17 @@ class ClipImpl(InferenceModel):
             ids, _mask, _ = batching.pad_token_batch(
                 seqs, [self.cfg.text_ctx], self.batch_ladder
             )
-            feats = np.asarray(clip.embed_texts_jit(self.params, self.cfg, ids))
+            if self.cfg.matmul_precision == "int8":
+                if self._text_scales is None:
+                    self._text_scales = clip.calibrate_text_scales(
+                        self.params, self.cfg, ids
+                    )
+                feats = np.asarray(clip.embed_texts_scaled_jit(
+                    self.params, self.cfg, ids, self._text_scales
+                ))
+            else:
+                feats = np.asarray(
+                    clip.embed_texts_jit(self.params, self.cfg, ids))
             for pos, j in zip(text_pos, range(len(texts))):
                 outputs[pos] = npy.serialize_npy(feats[j])
         return outputs

@@ -84,3 +84,30 @@ def test_int8_static_is_the_fused_block_path():
     finally:
         clip._block_int8_static = orig
     assert called, "static-int8 embed did not route through the fused block"
+
+
+def test_int8_static_text_embed_cosine_gate():
+    # The text tower's static-int8 path (tclip bulk-text extraction) under
+    # the same >=0.999 cosine gate as the image tower.
+    cfg = clip.CONFIGS["test-tiny"]
+    int8_cfg = dataclasses.replace(cfg, matmul_precision="int8")
+    params = clip.init_params(jax.random.key(2), cfg)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params,
+    )
+    params_q = clip.quantize_block_weights(params)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, cfg.text_vocab, (16, cfg.text_ctx)).astype(np.int32)
+    scales = clip.calibrate_text_scales(params_q, int8_cfg, ids)
+    got = np.asarray(
+        clip.embed_texts_scaled_jit(params_q, int8_cfg, ids, scales))
+    want = np.asarray(clip.embed_texts_jit(params_q, cfg, ids))
+    cos = np.sum(got * want, axis=-1) / np.maximum(
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1), 1e-30
+    )
+    # The 32-wide tiny tower amplifies per-channel quant noise (min
+    # observed 0.99895 across seeds); production widths (512-1024) sit at
+    # >=0.9997. Gate here: min 0.998 + mean 0.999.
+    assert cos.min() >= 0.998, cos.min()
+    assert cos.mean() >= 0.999, cos.mean()
