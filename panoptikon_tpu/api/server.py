@@ -1395,15 +1395,32 @@ async def desktop_external_inputs(request: web.Request) -> web.Response:
     return web.json_response(await asyncio.to_thread(run))
 
 
+_ENV_WRITE_LOCK = asyncio.Lock()
+
+
 async def desktop_external_input_put(request: web.Request) -> web.Response:
     """Set an external input: updates the process env AND persists to the
-    root .env (load_dotenv reads it on the next boot)."""
+    root .env (load_dotenv reads it on the next boot).
+
+    Only variables DECLARED by the inference registry are settable — the
+    reference rejects undeclared names (api/desktop.rs
+    update_external_inputs), and without that check this endpoint is an
+    arbitrary-code-execution vector (LD_PRELOAD/PYTHONPATH into a process
+    env that children inherit). Writes serialize under a process-wide lock
+    (the reference's ENV_WRITE_LOCK) so concurrent PUTs can't lose lines
+    in the .env read-modify-write.
+    """
     state: AppState = request.app["state"]
     import os as _os
 
     var = request.match_info["variable"]
     if not var.isidentifier():
         return _json_error(400, "invalid variable name")
+    declared = await asyncio.to_thread(_external_input_vars, state)
+    if var not in declared:
+        return _json_error(
+            400, f"variable {var!r} is not declared by the inference registry"
+        )
     body = await request.json()
     value = str(body.get("value", ""))
 
@@ -1424,7 +1441,8 @@ async def desktop_external_input_put(request: web.Request) -> web.Response:
             out.append(f"{var}={value}")
         env_path.write_text("\n".join(out) + "\n")
 
-    await asyncio.to_thread(run)
+    async with _ENV_WRITE_LOCK:
+        await asyncio.to_thread(run)
     return web.Response(status=204)
 
 

@@ -160,7 +160,19 @@ class ClipImpl(InferenceModel):
             else:
                 clip.embed_images_jit(self.params, self.cfg, images)
             ids = np.zeros((bucket, self.cfg.text_ctx), dtype=np.int32)
-            clip.embed_texts_jit(self.params, self.cfg, ids)
+            if self.cfg.matmul_precision == "int8":
+                # predict() routes int8 text through the static-scaled
+                # program — warm THAT one, or the first real text batch
+                # pays the compile prepare() exists to avoid.
+                if self._text_scales is None:
+                    self._text_scales = clip.calibrate_text_scales(
+                        self.params, self.cfg, ids
+                    )
+                clip.embed_texts_scaled_jit(
+                    self.params, self.cfg, ids, self._text_scales
+                )
+            else:
+                clip.embed_texts_jit(self.params, self.cfg, ids)
 
     def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
         self.load()
@@ -570,16 +582,6 @@ class WhisperImpl(InferenceModel):
                 self.detokenize = lambda ids: tok.decode(
                     [i for i in ids if 0 <= i < tok.get_vocab_size()]
                 )
-                if self.prompt:
-                    # Task-prompted decode (reference florence2.py task
-                    # prompts): the tokenized prompt extends the SOT
-                    # triple; decoding continues after it.
-                    ids = tok.encode(self.prompt).ids
-                    budget = max(self.decoder_cfg.n_text_ctx // 2, 1)
-                    self._prompt_ids = tuple(
-                        int(i) for i in ids[:budget]
-                        if 0 <= i < self.decoder_cfg.n_vocab
-                    )
             except Exception:
                 pass
 
@@ -789,9 +791,16 @@ class CaptionerImpl(InferenceModel):
                 if self.prompt:
                     # Task-prompted decode (reference florence2.py task
                     # prompts): the tokenized prompt extends the SOT
-                    # triple; decoding continues after it.
+                    # triple; decoding continues after it. The budget is
+                    # bounded by BOTH the decoder context and the KV-cache
+                    # length (max_tokens − SOT triple − ≥1 generated slot),
+                    # so a long configured prompt can't overrun the cache
+                    # at trace time.
                     ids = tok.encode(self.prompt).ids
-                    budget = max(self.decoder_cfg.n_text_ctx // 2, 1)
+                    budget = max(
+                        min(self.decoder_cfg.n_text_ctx // 2,
+                            self.max_tokens - 4), 1
+                    )
                     self._prompt_ids = tuple(
                         int(i) for i in ids[:budget]
                         if 0 <= i < self.decoder_cfg.n_vocab

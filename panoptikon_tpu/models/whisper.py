@@ -439,6 +439,12 @@ def decode_from_feats(params, cfg: WhisperConfig, audio_feats, prompt,
     EOT-latched, logprob over generated tokens only).
     """
     b, p_len = prompt.shape
+    if p_len >= max_tokens:
+        raise ValueError(
+            f"prompt length {p_len} must be < max_tokens {max_tokens}: the "
+            f"KV cache is sized max_tokens and the prompt prefill would "
+            f"overrun it (raise max_tokens or shorten the configured prompt)"
+        )
     w = cfg.n_text_state
     cross_k, cross_v = _cross_kv(params, cfg, audio_feats)
     self_k = jnp.zeros((cfg.n_text_layers, b, max_tokens, w), jnp.bfloat16)

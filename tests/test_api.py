@@ -776,3 +776,18 @@ class TestDesktopLifecycle:
         env_file = state.data_root.parent / ".env"
         assert "MY_EMBED_ENDPOINT=http://remote:9000/embeddings" in env_file.read_text()
         monkeypatch.delenv("MY_EMBED_ENDPOINT", raising=False)
+
+    def test_external_inputs_reject_undeclared(self, client_env, monkeypatch):
+        """Undeclared names 400 — otherwise PUT is an arbitrary-code-
+        execution vector (LD_PRELOAD into the live env; reference
+        api/desktop.rs update_external_inputs rejects them)."""
+        import os
+
+        call = client_env["call"]
+        monkeypatch.delenv("LD_PRELOAD", raising=False)
+        status, _ = call(
+            "PUT", "/api/desktop/external-inputs/LD_PRELOAD",
+            json={"value": "/tmp/evil.so"},
+        )
+        assert status == 400
+        assert "LD_PRELOAD" not in os.environ
