@@ -23,6 +23,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+RANK_MISSING = jnp.iinfo(jnp.int32).max
+
 
 def candidate_exactness_bound(weights, rrf_k, kk: int) -> float:
     """Max possible fused total for an item outside all candidate lists.
@@ -80,6 +82,57 @@ def rrf_fuse_candidates(cand_ids, weights, *, k: int, rrf_k=60.0):
     top_v, pos = jax.lax.top_k(fused, k)
     top_ids = jnp.take_along_axis(sid, pos, axis=1)
     return top_v, top_ids
+
+
+@functools.partial(jax.jit, static_argnames=("kk", "n_items"))
+def rank_join_topk(surfs, valids, item_idx, weights, rrf_ks, *, kk: int,
+                   n_items: int):
+    """EXACT device-side RRF rank join over full score surfaces.
+
+    The serving answer to SURVEY §7 hard part 3: per-space distance
+    surfaces (different slot domains, different dims upstream) become
+    per-item RANKS via a device argsort, scatter into a shared item-id
+    domain, and fuse as Σ w/(k + rank) — the reference's SQL rank join
+    (pql/builder.rs OrderByFilter coalescing) with the O(N log N) work on
+    the device instead of the host. Only the top-kk candidates (ids, their
+    per-space ranks, f32 totals) read back; the host recomputes exact f64
+    totals from the integer ranks and certifies the page against the
+    kk-th f32 total (+ float-error margin), so the served page is
+    bit-identical to the full host path.
+
+    surfs/valids/item_idx: tuples of (M_s,) arrays — ascending-better f32
+    scores, validity, and slot→item-id maps (−1 = padding). Stable argsort
+    ties resolve by slot index; callers must guarantee slot order == the
+    host's base-row tie order (checked host-side). weights/rrf_ks: (S,)
+    f32 — traced, so per-query RRF parameters don't retrigger compilation.
+
+    Returns (cand_items (kk,) int32, cand_ranks (kk, S) int32 with
+    RANK_MISSING for absent, totals_f32 (kk,)).
+    """
+    total = jnp.zeros((n_items,), jnp.float32)
+    item_ranks = []
+    for si, (surf, valid, idx) in enumerate(zip(surfs, valids, item_idx)):
+        key = jnp.where(valid, surf, jnp.inf)
+        order = jnp.argsort(key)  # stable: ties by slot index
+        m = key.shape[0]
+        rank = jnp.zeros((m,), jnp.int32).at[order].set(
+            jnp.arange(1, m + 1, dtype=jnp.int32)
+        )
+        rank = jnp.where(valid, rank, RANK_MISSING)
+        safe_idx = jnp.where(idx >= 0, idx, n_items)  # pads → scrap slot
+        ir = jnp.full((n_items + 1,), RANK_MISSING, jnp.int32)
+        ir = ir.at[safe_idx].min(rank)
+        ir = ir[:n_items]
+        item_ranks.append(ir)
+        contrib = jnp.where(
+            ir < RANK_MISSING,
+            weights[si] / (rrf_ks[si] + ir.astype(jnp.float32)),
+            0.0,
+        )
+        total = total + contrib
+    t32, cand = jax.lax.top_k(total, kk)
+    cand_ranks = jnp.stack([ir[cand] for ir in item_ranks], axis=1)
+    return cand.astype(jnp.int32), cand_ranks, t32
 
 
 @functools.partial(jax.jit, static_argnames=("k", "rrf_k"))

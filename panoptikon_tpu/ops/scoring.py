@@ -258,7 +258,10 @@ def streaming_topk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("distance", "aggregation", "num_groups", "chunk_rows", "weighted"),
+    static_argnames=(
+        "distance", "aggregation", "num_groups", "chunk_rows", "weighted",
+        "identity",
+    ),
 )
 def grouped_scores(
     corpus,
@@ -274,6 +277,7 @@ def grouped_scores(
     chunk_rows: int = 32768,
     weighted: bool = False,
     weights=None,
+    identity: bool = False,
 ):
     """Full per-group score arrays: (Q, num_groups) distances, validity, counts.
 
@@ -290,6 +294,23 @@ def grouped_scores(
     per-space means.
     """
     n = corpus.shape[0]
+    if identity and not weighted:
+        # One-row-per-group layout (row i IS group slot i, the common case
+        # for image-embedding spaces): the segment machinery degenerates to
+        # the per-row epilogue — one GEMM, no scatters. Per-row dot products
+        # and epilogue are the same computation as the segmented path
+        # (segment_min/avg of a singleton segment is the element), so the
+        # values are identical; this is purely a fast path. `num_groups` may
+        # be < n (capacity padding) — pad rows are invalid by construction.
+        dots = _chunk_dots(queries, corpus)
+        dist = _distance_epilogue(dots, sumsq, row_sumsq(queries), distance, scale)
+        dist = jnp.where(row_valid[None, :], dist, INF)[:, :num_groups]
+        group_valid = row_valid[None, :num_groups]
+        cnt = jnp.broadcast_to(
+            group_valid.astype(jnp.float32), dist.shape
+        )
+        group_valid = jnp.broadcast_to(group_valid, dist.shape)
+        return dist, group_valid, cnt
     num_chunks = n // chunk_rows
     assert num_chunks * chunk_rows == n, "corpus must be padded to chunk_rows"
     corpus_c = corpus.reshape(num_chunks, chunk_rows, corpus.shape[1])
@@ -374,6 +395,29 @@ def grouped_scores(
         group_dist = acc_a / jnp.maximum(acc_b, 1.0)
     group_dist = jnp.where(group_valid, group_dist, INF)
     return group_dist, group_valid, acc_b
+
+
+@functools.partial(jax.jit, static_argnames=("kk", "largest"))
+def topk_of_scores(dist, valid, *, kk: int, largest: bool = False):
+    """Exact top-kk over an existing (Q, M) score surface (device-resident —
+    the output of :func:`grouped_scores`), reading back only kk entries.
+
+    This is the fused serving path's second stage: chaining it after
+    ``grouped_scores`` keeps the full surface on device and guarantees the
+    candidate VALUES are bit-identical to the full-readback path (same
+    program produced them). ``largest=False`` returns ascending distances
+    (best first); ``largest=True`` descending. Ties resolve to the lowest
+    slot (lax.top_k's positional preference). Invalid slots come back as
+    ±INF with ``valid_out`` False.
+    """
+    fill = -INF if largest else INF
+    key = jnp.where(valid, dist, fill)
+    if largest:
+        top_v, top_i = jax.lax.top_k(key, kk)
+    else:
+        neg, top_i = jax.lax.top_k(-key, kk)
+        top_v = -neg
+    return top_v, top_i, jnp.isfinite(top_v)
 
 
 @functools.partial(

@@ -238,16 +238,41 @@ class BaseSnapshot:
 
 
 @dataclass
+class DeferredScore:
+    """A semantic filter whose device scoring is DEFERRED past tree
+    evaluation (the fused serving path, SURVEY §7 hard part 5).
+
+    Membership never needs scores — an item matches iff it has ≥1 valid row
+    in the space, which is static per snapshot generation — so eligible
+    leaves contribute their mask immediately and record everything needed
+    to score later: either as device top-kk candidates (pql/fused.py) or by
+    materializing the full per-item surface (the pre-round-4 path, kept as
+    the exact fallback)."""
+
+    space: str
+    snap: Any  # SpaceSnapshot pinned at eval time (immutable)
+    queries: np.ndarray  # (1, D) f32, pre-quantization
+    distance: str
+    aggregation: str
+    quant: Any  # the resolved quant token (None = exact arm)
+    use_quant: bool
+    scope_mask: np.ndarray  # (n,) bool — static-hit ∧ ctx at eval time
+    sort: pql.SortableOptions
+
+
+@dataclass
 class OrderEntry:
     """One sortable filter's contribution (builder.rs OrderByFilter)."""
 
-    values: np.ndarray  # per-row rank, NaN where the filter didn't match
+    values: Optional[np.ndarray]  # per-row rank, NaN where no match;
+    # None while a DeferredScore is pending
     direction: str
     priority: int
     rrf: Optional[pql.Rrf]
     select_as: Optional[str] = None
     orders: bool = True  # select_as-only entries expose the column, no key
     seq: int = 0
+    deferred: Optional[DeferredScore] = None
 
 
 @dataclass
@@ -257,6 +282,10 @@ class EvalState:
     # array; merged into each result row's `extra` at page build.
     string_cols: dict = field(default_factory=dict)
     seq: int = 0
+    # Depth of enclosing NOT operators: semantic leaves under a NOT never
+    # defer (their order entries key on EXCLUDED rows — a shape the fused
+    # page builder can't express; the full path handles it).
+    not_depth: int = 0
 
     def push(self, entry: OrderEntry) -> None:
         entry.seq = self.seq
@@ -316,6 +345,29 @@ def _escape_fts(query: str) -> str:
     """Quote every term — the non-raw FTS5 escape (pql utils)."""
     terms = [t.replace('"', '""') for t in query.split()]
     return " ".join(f'"{t}"' for t in terms)
+
+
+def _value_row_order(vals: np.ndarray, descending: bool) -> np.ndarray:
+    """argsort by (value asc|desc, position asc) — the stable-tie order —
+    via ONE introsort on a packed u64 key (IEEE-754 sortable bits ‖ row).
+    A stable mergesort at 1M f32 costs ~2× an introsort; this keeps the
+    total row_n tie contract without paying for stability."""
+    v = np.ascontiguousarray(vals)
+    if v.dtype == np.float32 and len(v) < (1 << 32):
+        v = v + np.float32(0.0)  # −0.0 → +0.0: bit order == value order
+        bits = v.view(np.uint32)
+        sortable = np.where(
+            bits & np.uint32(0x80000000),
+            ~bits,
+            bits | np.uint32(0x80000000),
+        )
+        if descending:
+            sortable = np.uint32(0xFFFFFFFF) - sortable
+        key = (sortable.astype(np.uint64) << np.uint64(32)) | np.arange(
+            len(v), dtype=np.uint64
+        )
+        return np.argsort(key)
+    return np.argsort(-v if descending else v, kind="stable")
 
 
 def _sort_key(k: np.ndarray, descending: bool) -> np.ndarray:
@@ -419,6 +471,14 @@ class Executor:
         self._device_cache: dict[tuple, dict] = {}
         self._device_cache_bytes: dict[tuple, int] = {}
         self.device_cache_budget = 8 << 30
+        # Fused serving path (pql/fused.py): eligible semantic filters
+        # defer device scoring to a top-kk candidate read instead of a
+        # full per-item surface readback. Disable to force the full path
+        # (the A/B the differential tests rely on).
+        self.enable_fused = True
+        # Static per-(space, generation) host artifacts: slot→item-id
+        # arrays, identity-layout flags, per-base static hit masks.
+        self._static_cache: dict[tuple, Any] = {}
 
     def _device_arrays(self, space: str, snap, use_quant: bool) -> dict:
         import jax
@@ -437,6 +497,9 @@ class Executor:
             "sumsq": jax.device_put(np.asarray(scoring.row_sumsq(corpus))),
             "group_ids": jax.device_put(snap.group_ids),
             "weights": jax.device_put(snap.weights),
+            # Unmasked queries reuse the device-resident validity instead of
+            # re-uploading a (capacity,) bool array per query.
+            "row_valid": jax.device_put(snap.row_valid),
         }
         nbytes = int(corpus.nbytes) + int(snap.group_ids.nbytes) + int(
             snap.weights.nbytes
@@ -632,7 +695,30 @@ class Executor:
         total = len(rows)
         extra_cols: dict[str, np.ndarray] = {}
         need_order = bool(query.results)
-        if need_order or any(e.select_as for e in state.order_list):
+        fused_rows = None
+        if any(e.deferred is not None for e in state.order_list):
+            if need_order and not query.partition_by:
+                from panoptikon_tpu.pql import fused as _fused
+
+                out = _fused.fused_page(self, query, base, state, ctx, seed)
+                if out is not None:
+                    fused_rows, extra_cols = out
+            if fused_rows is None and (
+                need_order
+                or (query.results and any(e.select_as for e in state.order_list))
+            ):
+                # Shapes the candidate path can't express fall back to the
+                # full-surface readback — bit-identical to the eager path.
+                self._materialize_deferred(state, base)
+        if fused_rows is not None:
+            # The exact ordered prefix covering the page (same total order
+            # as the full sort); `total` keeps the membership count
+            # captured above — no device readback was needed for it.
+            rows = fused_rows
+            order_keys = []
+        elif need_order or (
+            query.results and any(e.select_as for e in state.order_list)
+        ):
             order_keys, extra_cols = self._assemble_order(
                 query, base, state, ctx, seed
             )
@@ -722,7 +808,11 @@ class Executor:
                 out |= self._eval(child, ctx, base, state)
             return out
         if isinstance(el, pql.NotOperator):
-            inner = self._eval(el.not_, ctx, base, state)
+            state.not_depth += 1
+            try:
+                inner = self._eval(el.not_, ctx, base, state)
+            finally:
+                state.not_depth -= 1
             return ctx & ~inner
         handler = _LEAF_HANDLERS.get(type(el))
         if handler is None:
@@ -730,16 +820,15 @@ class Executor:
         return handler(self, el, ctx, base, state)
 
     # Rank bookkeeping shared by sortable leaves.
-    def _sortable(
+    def _sortable_values(
         self,
         sort: pql.SortableOptions,
         mask: np.ndarray,
-        values: Optional[np.ndarray],
-        base: BaseSnapshot,
-        state: EvalState,
-    ) -> np.ndarray:
-        if values is None:
-            return mask
+        values: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """The value pipeline of a sortable leaf: mask/NaN discipline,
+        gt/lt cursor bounds, row_n ranking. Shared by the eager path and
+        deferred materialization so both produce identical arrays."""
         values = np.where(mask, values, np.nan)
         # gt/lt cursor bounds refine membership (model.rs:188-199).
         if sort.gt is not None:
@@ -751,18 +840,29 @@ class Executor:
         if sort.row_n:
             # Row-number the filter's output by its own rank ordering so
             # heterogeneous rank axes become comparable (model.rs:155-177).
-            # Introsort, not stable: tie ranks are arbitrary-but-
-            # deterministic, the same contract as SQL row_number() over a
-            # non-total ORDER BY — and 5× faster at 1M rows.
+            # STABLE sort: tie ranks resolve by ascending row index — a
+            # total, reproducible contract the fused candidate path
+            # (pql/fused.py) reproduces exactly from device top-kk lists.
             rows = np.flatnonzero(mask)
             vals = values[rows]
-            order = np.argsort(
-                -vals if sort.row_n_direction == "desc" else vals
-            )
+            order = _value_row_order(vals, sort.row_n_direction == "desc")
             # f32 ranks are exact to 2^24 rows — half the memory traffic.
             rn = np.full(values.shape, np.nan, dtype=np.float32)
             rn[rows[order]] = np.arange(1, len(rows) + 1, dtype=np.float32)
             values = rn
+        return mask, values
+
+    def _sortable(
+        self,
+        sort: pql.SortableOptions,
+        mask: np.ndarray,
+        values: Optional[np.ndarray],
+        base: BaseSnapshot,
+        state: EvalState,
+    ) -> np.ndarray:
+        if values is None:
+            return mask
+        mask, values = self._sortable_values(sort, mask, values)
         if sort.order_by or sort.select_as:
             state.push(
                 OrderEntry(
@@ -778,12 +878,10 @@ class Executor:
 
     # -- order assembly -----------------------------------------------------
 
-    def _assemble_order(self, query, base, state, ctx, seed):
-        extra_cols = {
-            e.select_as: e.values for e in state.order_list if e.select_as
-        }
-        # combine_order_lists (builder.rs:1097-1145): priority DESC, filters
-        # before args at equal priority, stable by sequence.
+    @staticmethod
+    def _order_items(query, state) -> list[tuple[int, int, int, Any]]:
+        """combine_order_lists (builder.rs:1097-1145): priority DESC,
+        filters before args at equal priority, stable by sequence."""
         items: list[tuple[int, int, int, Any]] = []
         for e in state.order_list:
             if e.orders:
@@ -791,43 +889,59 @@ class Executor:
         for idx, args in enumerate(query.order_by):
             items.append((args.priority, 1, idx, args))
         items.sort(key=lambda t: (-t[0], t[1], t[2]))
+        return items
 
+    @staticmethod
+    def _take_group(items, i) -> tuple[list, int]:
+        """Consume consecutive filter entries at items[i]'s priority."""
+        prio = items[i][0]
+        group = [items[i][3]]
+        j = i + 1
+        while j < len(items) and items[j][1] == 0 and items[j][0] == prio:
+            group.append(items[j][3])
+            j += 1
+        return group, j
+
+    @staticmethod
+    def _combine_group(group, n: int) -> tuple[np.ndarray, bool]:
+        """Same-priority filter-run combination (build_coalesced_expr,
+        builder.rs:1043-1320): RRF fuse when the first spec carries rrf,
+        else min/max coalesce with ±∞ fallback."""
+        if len(group) == 1:
+            e = group[0]
+            return e.values, e.direction == "desc"
+        if group[0].rrf is not None:
+            total = np.zeros(n, dtype=np.float64)
+            for e in group:
+                rrf = e.rrf or pql.Rrf()
+                rank = np.where(np.isnan(e.values), VERY_LARGE, e.values)
+                total += rrf.weight * (1.0 / (rrf.k + rank))
+            # RRF is higher-is-better (desc).
+            return total, True
+        descending = group[0].direction == "desc"
+        fallback = -VERY_LARGE if descending else VERY_LARGE
+        stacked = np.stack(
+            [np.where(np.isnan(e.values), fallback, e.values) for e in group]
+        )
+        combined = stacked.max(axis=0) if descending else stacked.min(axis=0)
+        return combined, descending
+
+    def _assemble_order(self, query, base, state, ctx, seed):
+        extra_cols = {
+            e.select_as: e.values for e in state.order_list if e.select_as
+        }
+        items = self._order_items(query, state)
         order_keys: list[tuple[np.ndarray, bool]] = []
         i = 0
         while i < len(items):
-            prio, kind, _, obj = items[i]
+            _, kind, _, obj = items[i]
             if kind == 1:
                 values, descending = self._order_args_key(obj, base, seed)
                 order_keys.append((values, descending))
                 i += 1
                 continue
-            # Group consecutive filter entries at equal priority.
-            group = [obj]
-            j = i + 1
-            while j < len(items) and items[j][1] == 0 and items[j][0] == prio:
-                group.append(items[j][3])
-                j += 1
-            if len(group) == 1:
-                order_keys.append((obj.values, obj.direction == "desc"))
-            else:
-                enable_rrf = group[0].rrf is not None
-                if enable_rrf:
-                    total = np.zeros(base.n, dtype=np.float64)
-                    for e in group:
-                        rrf = e.rrf or pql.Rrf()
-                        rank = np.where(np.isnan(e.values), VERY_LARGE, e.values)
-                        total += rrf.weight * (1.0 / (rrf.k + rank))
-                    # RRF is higher-is-better (desc).
-                    order_keys.append((total, True))
-                else:
-                    descending = group[0].direction == "desc"
-                    fallback = -VERY_LARGE if descending else VERY_LARGE
-                    stacked = np.stack(
-                        [np.where(np.isnan(e.values), fallback, e.values) for e in group]
-                    )
-                    combined = stacked.max(axis=0) if descending else stacked.min(axis=0)
-                    order_keys.append((combined, descending))
-            i = j
+            group, i = self._take_group(items, i)
+            order_keys.append(self._combine_group(group, base.n))
         return order_keys, extra_cols
 
     def _order_args_key(self, args: pql.OrderArgs, base: BaseSnapshot, seed):
@@ -1180,6 +1294,286 @@ class Executor:
             self._evict_over_budget(keep=key)
         return sp
 
+    # -- static per-generation artifacts (the fused path's host side) -------
+
+    def _static_get(self, key, builder):
+        with self._cache_lock:
+            hit = self._static_cache.get(key)
+        if hit is not None:
+            return hit
+        value = builder()
+        with self._cache_lock:
+            # Drop stale generations of the same (kind, space).
+            stale = [
+                k for k in self._static_cache
+                if k[:2] == key[:2] and k != key
+            ]
+            for k in stale:
+                self._static_cache.pop(k, None)
+            self._static_cache[key] = value
+        return value
+
+    def _identity_groups(self, space: str, snap) -> bool:
+        """True when row i IS group slot i (one row per item, no removals
+        collapsing the mapping) — unlocks grouped_scores' identity fast
+        path for BOTH the fused and full-readback paths."""
+        def build():
+            if snap.num_groups != snap.size:
+                return False
+            gids = snap.group_ids[: snap.size]
+            return bool(
+                np.array_equal(gids, np.arange(snap.size, dtype=gids.dtype))
+            )
+        return self._static_get(("ident", space, snap.generation), build)
+
+    def _slot_item_ids(self, space: str, snap) -> np.ndarray:
+        """(num_groups,) int64: snapshot group slot → DB item id."""
+        return self._static_get(
+            ("slotitems", space, snap.generation),
+            lambda: self.index.item_id_of_groups(
+                space, np.arange(snap.num_groups, dtype=np.int64)
+            ),
+        )
+
+    def _valid_slots(self, space: str, snap) -> np.ndarray:
+        """(num_groups,) bool: slot has ≥1 valid row (static membership)."""
+        def build():
+            vs = np.zeros(snap.num_groups, dtype=bool)
+            gids = snap.group_ids[: snap.size][snap.row_valid[: snap.size]]
+            vs[gids[(gids >= 0) & (gids < snap.num_groups)]] = True
+            return vs
+        return self._static_get(("validslots", space, snap.generation), build)
+
+    def _static_hit_rows(self, space: str, snap, base: BaseSnapshot) -> np.ndarray:
+        """(base.n,) bool: base rows whose item has ≥1 valid row in the
+        space. This IS the semantic filter's membership mask — identical to
+        the device-scored `valid` join (an item's aggregate is valid iff any
+        row is), but computed statically: membership and counts never need
+        a device call (VERDICT r3 missing #1)."""
+        key = ("hitrows", space, snap.generation, base.entity, base.epoch, base.n)
+        def build():
+            items = self._slot_item_ids(space, snap)[self._valid_slots(space, snap)]
+            base_items = base.col("item_id")
+            if len(items) == 0:
+                return np.zeros(base.n, dtype=bool)
+            hi = int(max(items.max(), base_items.max() if base.n else 0))
+            lut = np.zeros(hi + 2, dtype=bool)
+            lut[items[items >= 0]] = True
+            safe = np.where((base_items >= 0) & (base_items <= hi), base_items, hi + 1)
+            return lut[safe]
+        return self._static_get(key, build)
+
+    # -- deferred semantic leaves (fused serving path) ----------------------
+
+    def _fused_eligible(self, sort: pql.SortableOptions, args, state: EvalState) -> bool:
+        """A semantic leaf defers when its mask is static and its order
+        contribution is expressible from device top-kk candidates:
+        no NOT scope, no gt/lt value bounds (membership would become
+        value-dependent), no src_text row filtering/weighting (validity
+        would become query-dependent), no xmodal double-space aggregation,
+        and either it orders (deferred entry) or contributes nothing
+        (membership only). select_as-only leaves take the full path."""
+        if not self.enable_fused or state.not_depth > 0:
+            return False
+        if sort.gt is not None or sort.lt is not None:
+            return False
+        if not sort.order_by and sort.select_as:
+            return False
+        if getattr(args, "clip_xmodal", False):
+            return False
+        src = getattr(args, "src_text", None)
+        if src is not None and (
+            src.setters
+            or src.languages
+            or src.min_confidence is not None
+            or src.min_language_confidence is not None
+            or src.weighted
+        ):
+            return False
+        return True
+
+    def _leaf_semantic_deferred(self, el, args, ctx, base, state) -> Optional[np.ndarray]:
+        """Deferred evaluation of a single-space semantic leaf: static mask
+        now, scores later (candidates or materialization). Returns None when
+        the space is unknown (caller falls through to the eager path, which
+        raises the canonical error)."""
+        try:
+            snap = self.index.snapshot(args.model)
+        except KeyError:
+            return None
+        hit = self._static_hit_rows(args.model, snap, base)
+        mask = hit & ctx
+        if not (el.sort.order_by or el.sort.select_as):
+            return mask
+        use_quant = args._quant is not None and snap.quant_ready
+        state.push(
+            OrderEntry(
+                values=None,
+                direction=el.sort.direction,
+                priority=el.sort.priority,
+                rrf=el.sort.rrf,
+                select_as=el.sort.select_as,
+                orders=el.sort.order_by,
+                deferred=DeferredScore(
+                    space=args.model,
+                    snap=snap,
+                    queries=np.asarray(args._embedding, np.float32)[None, :],
+                    distance=(args._distance_func_override or "COSINE").lower(),
+                    aggregation=args.distance_aggregation.lower(),
+                    quant=args._quant,
+                    use_quant=use_quant,
+                    scope_mask=mask,
+                    sort=el.sort,
+                ),
+            )
+        )
+        return mask
+
+    def _materialize_deferred(self, state: EvalState, base: BaseSnapshot) -> None:
+        """Resolve every pending DeferredScore through the full-surface
+        path — value arrays identical to the eager path's (same
+        _space_scores program, same join, same _sortable_values pipeline)."""
+        for e in state.order_list:
+            d = e.deferred
+            if d is None:
+                continue
+            out = self._space_scores(
+                d.space, d.queries, distance=d.distance,
+                aggregation=d.aggregation, quant=d.quant, src_text=None,
+            )
+            if out is None:
+                values = np.full(base.n, np.nan, dtype=np.float32)
+            else:
+                dist, valid, _counts = out
+                slots = np.flatnonzero(valid)
+                items = self.index.item_id_of_groups(d.space, slots)
+                values, _hit = _join_i64(base.col("item_id"), items, dist[slots])
+            _mask, values = self._sortable_values(d.sort, d.scope_mask.copy(), values)
+            e.values = values
+            e.deferred = None
+
+    def _deferred_surface(self, d: DeferredScore):
+        """Device score surface for a deferred leaf: (dist (1, M) device,
+        valid (1, M) device, packed→snapshot-slot map or None). The SAME
+        grouped-scores program as the full path produces it, so candidate
+        values are bit-identical by construction. Surfaces are UNMASKED
+        (static validity only) — no per-query upload beyond the query
+        vector."""
+        import jax
+
+        snap = d.snap
+        q = (
+            prep.codec.compute_query_quant(d.queries, snap.scale)
+            if d.use_quant
+            else d.queries.astype(np.float32)
+        )
+        if jax.device_count() > 1:
+            from panoptikon_tpu.index import sharded as shlib
+
+            sp = self._sharded_space(d.space, snap, d.use_quant)
+            dist, valid, _cnt = shlib.sharded_grouped_scores(
+                sp, q, distance=d.distance, aggregation=d.aggregation,
+            )
+            return dist, valid, sp.item_ids
+        dev = self._device_arrays(d.space, snap, d.use_quant)
+        # Same identity gate as _space_scores at Q=1 so both paths run
+        # the SAME program (value bit-parity across fused/full).
+        ident = (
+            self._identity_groups(d.space, snap)
+            and max(snap.capacity, 1) <= (1 << 25)
+        )
+        dist, valid, _cnt = scoring.grouped_scores(
+            dev["corpus"],
+            dev["sumsq"],
+            dev["row_valid"],
+            dev["group_ids"],
+            q,
+            num_groups=snap.num_groups,
+            distance=d.distance,
+            aggregation=d.aggregation,
+            scale=float(snap.scale) if d.use_quant else 1.0,
+            chunk_rows=min(32768, snap.capacity),
+            weighted=False,
+            weights=dev["weights"],
+            identity=ident,
+        )
+        return dist, valid, None
+
+    def _deferred_candidates(
+        self, d: DeferredScore, *, kk: int, largest: bool
+    ) -> tuple[np.ndarray, np.ndarray, bool]:
+        """Device top-kk ITEM candidates for a deferred leaf: (values, slots,
+        complete). A device top-k chained onto the surface replaces the full
+        readback; scope filtering happens on the host against the candidate
+        list."""
+        snap = d.snap
+        kk_eff = min(kk, snap.num_groups)
+        dist, valid, packed_map = self._deferred_surface(d)
+        vals, slots, fin = scoring.topk_of_scores(
+            dist, valid, kk=kk_eff, largest=largest
+        )
+        vals = np.asarray(vals)[0]
+        fin = np.asarray(fin)[0]
+        slots = np.asarray(slots)[0]
+        if packed_map is not None:
+            slots = packed_map[slots]  # packed global slot → snapshot slot
+        nvalid = int(fin.sum())
+        complete = nvalid < kk_eff or kk_eff >= snap.num_groups
+        return vals[:nvalid], slots[:nvalid].astype(np.int64), complete
+
+    def _rrf_item_index(self, d: DeferredScore, packed: bool, n_items: int):
+        """Device-resident slot→item-id map for the rank join, cached per
+        (space, generation, domain). Entries ≥ n_items or < 0 scatter to
+        the scrap slot inside the kernel."""
+        key = ("rrfidx", d.space, d.snap.generation, packed, n_items)
+
+        def build():
+            import jax
+
+            slot_items = self._slot_item_ids(d.space, d.snap)
+            if packed:
+                sp = self._sharded_space(d.space, d.snap, d.use_quant)
+                mapped = np.where(
+                    sp.item_ids >= 0, slot_items[np.clip(sp.item_ids, 0, None)], -1
+                )
+            else:
+                mapped = slot_items
+            mapped = np.where(
+                (mapped >= 0) & (mapped < n_items), mapped, -1
+            ).astype(np.int32)
+            return jax.device_put(mapped)
+
+        return self._static_get(key, build)
+
+    def _rrf_join_candidates(self, group, kk: int, n_items: int):
+        """Exact device rank join for an RRF group (ops/fusion.rank_join_topk):
+        returns (cand_item_ids (kk,), cand_ranks (kk, S) f64 with ∞ for
+        absent, totals_f32 (kk,))."""
+        import jax
+
+        from panoptikon_tpu.ops import fusion
+
+        multi = jax.device_count() > 1
+        surfs, valids, idxs, ws, ks = [], [], [], [], []
+        for e in group:
+            d = e.deferred
+            dist, valid, _packed = self._deferred_surface(d)
+            surfs.append(dist[0])
+            valids.append(valid[0])
+            idxs.append(self._rrf_item_index(d, multi, n_items))
+            rrf = e.rrf or pql.Rrf()
+            ws.append(rrf.weight)
+            ks.append(rrf.k)
+        cand, cand_ranks, t32 = fusion.rank_join_topk(
+            tuple(surfs), tuple(valids), tuple(idxs),
+            np.asarray(ws, np.float32), np.asarray(ks, np.float32),
+            kk=kk, n_items=n_items,
+        )
+        cand = np.asarray(cand).astype(np.int64)
+        cand_ranks = np.asarray(cand_ranks).astype(np.float64)
+        cand_ranks[cand_ranks >= float(int(fusion.RANK_MISSING))] = np.inf
+        return cand, cand_ranks, np.asarray(t32)
+
     def _space_scores(
         self,
         space: str,
@@ -1263,10 +1657,19 @@ class Executor:
         else:
             scale = float(snap.scale) if use_quant else 1.0
             dev = self._device_arrays(space, snap, use_quant)
+            # Identity layout check + device-cached validity when unmasked:
+            # shared with the fused candidate path so both run the same
+            # program (value bit-parity by construction). The identity fast
+            # path materializes (Q, N) — gate it to small query batches.
+            ident = (
+                self._identity_groups(space, snap)
+                and q.shape[0] * max(snap.capacity, 1) <= (1 << 25)
+                and not weighted
+            )
             dist, valid, counts = scoring.grouped_scores(
                 dev["corpus"],
                 dev["sumsq"],
-                row_valid,
+                dev["row_valid"] if not src_filtered else row_valid,
                 dev["group_ids"],
                 q,
                 num_groups=snap.num_groups,
@@ -1278,6 +1681,7 @@ class Executor:
                 weights=query_weights
                 if query_weights is not None
                 else dev["weights"],
+                identity=ident,
             )
             dist = np.asarray(dist)
             valid = np.asarray(valid)
@@ -1427,6 +1831,10 @@ class Executor:
 
     def _leaf_semantic_image(self, el: pql.SemanticImageSearch, ctx, base, state):
         args = el.image_embeddings
+        if self._fused_eligible(el.sort, args, state):
+            out = self._leaf_semantic_deferred(el, args, ctx, base, state)
+            if out is not None:
+                return out
         q = args._embedding[None, :]
         distance = (args._distance_func_override or "COSINE").lower()
         agg = args.distance_aggregation.lower()
@@ -1448,6 +1856,10 @@ class Executor:
 
     def _leaf_semantic_text(self, el: pql.SemanticTextSearch, ctx, base, state):
         args = el.text_embeddings
+        if self._fused_eligible(el.sort, args, state):
+            out = self._leaf_semantic_deferred(el, args, ctx, base, state)
+            if out is not None:
+                return out
         q = args._embedding[None, :]
         distance = (args._distance_func_override or "COSINE").lower()
         agg = args.distance_aggregation.lower()

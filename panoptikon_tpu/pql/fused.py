@@ -1,0 +1,550 @@
+"""Fused serving path: device top-kk candidates → exact host page assembly.
+
+The pre-round-4 executor pulled the FULL per-item score surface to the host
+for every semantic filter (~4 MB/space/query at 1M over a ~25 ms-constant
+tunnel) and composed in NumPy — ~2,000× slower than the benched kernels
+(VERDICT r3 missing #1). This module replaces that for the serving-hot
+query shapes:
+
+- membership and counts are STATIC (an item matches iff it has ≥1 valid row
+  in the space — `Executor._static_hit_rows`), so they never touch the
+  device;
+- the page comes from per-space device top-kk candidate lists
+  (`Executor._deferred_candidates`: the same grouped-scores program as the
+  full path chained into an on-device top-k, reading back kk·8 bytes), with
+  the final composition — row expansion, row_n ranks, RRF totals,
+  min/max coalescing, secondary sort keys, the file_id/row tiebreak —
+  done exactly on the host over the small candidate set;
+- a PROOF obligation gates every page: the assembled prefix is returned
+  only when the candidate boundary guarantees no unseen or
+  partially-known row could enter it (the same candidate-exactness-bound
+  idea as ops/fusion.py). Anything unprovable falls back to the full
+  readback path, which is bit-identical to the pre-round-4 executor.
+
+Semantics parity: the reference guarantees identical membership and
+deterministic pageable order across exact/quant arms
+(/root/reference/docs/vector-int8-quant.md:53-70); this path reproduces the
+full executor's total order — (primary key, secondary keys…, file_id,
+row) — bit-for-bit, verified by tools/pql_equivalence.py and
+tools/pql_fuzz.py running both paths.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from panoptikon_tpu.pql import model as pql
+from panoptikon_tpu.pql.executor import _sort_key
+
+F32 = np.float32
+
+# Candidate-list sizes tried in order; escalation re-fetches every entry at
+# the next size when the proof fails for lack of coverage.
+KK_BUCKETS = (1024, 8192)
+# Pages deeper than this go to the full path (candidate lists would exceed
+# any sensible readback budget).
+MAX_NEED = 20_000
+
+_INSUFFICIENT = object()  # sentinel: retry with a larger kk
+
+
+@dataclass
+class _PerEntry:
+    e: object  # OrderEntry
+    mode: str  # "rank" | "value"
+    largest: bool
+    rows: np.ndarray  # candidate scope rows, in candidate (best-first) order
+    v: np.ndarray  # per-row key value (rank 1.. or raw value), f32
+    exact: np.ndarray  # per-row: key exactly known
+    boundary: Optional[float]  # worst returned item value; None = complete
+    complete: bool
+    bound_v: float  # optimistic key value for any unseen present row
+
+
+def _item_rows_index(base):
+    """Per-snapshot item → base-rows index: (sorted item ids, row order).
+    Stable argsort keeps each item's rows in ascending row order."""
+    key = "\x00fused:item_index"
+    cached = base._rank_codes.get(key)
+    if cached is None:
+        items = base.col("item_id")
+        order = np.argsort(items, kind="stable").astype(np.int64)
+        cached = (items[order], order)
+        base._rank_codes[key] = cached
+    return cached
+
+
+def _expand_items(base, item_ids: np.ndarray):
+    """All base rows of the given items: (rows, candidate_index_per_row)."""
+    sitems, order = _item_rows_index(base)
+    lo = np.searchsorted(sitems, item_ids, side="left")
+    hi = np.searchsorted(sitems, item_ids, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos = np.repeat(np.arange(len(item_ids), dtype=np.int64), counts)
+    starts = np.repeat(lo, counts)
+    csum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
+    return order[starts + offs], pos
+
+
+def _entry_spec(e, gtype: str, desc_key: bool):
+    """Candidate fetch direction for one entry, or None if the shape can't
+    keep candidate order == rank order (required for row_n exactness)."""
+    s = e.deferred.sort
+    if s.row_n:
+        if gtype != "rrf" and desc_key:
+            return None  # page wants worst ranks first — full path
+        return "rank", s.row_n_direction == "desc"
+    if gtype == "rrf":
+        return "value", False  # 1/(k+v) decreasing: small values lead
+    return "value", desc_key
+
+
+def _mono_increasing(a) -> bool:
+    return len(a) < 2 or bool(np.all(np.diff(a) > 0))
+
+
+def _round_pow2(n: int) -> int:
+    p = 1024
+    while p < n:
+        p *= 2
+    return p
+
+
+def _rrf_device_eligible(ex, base, group) -> Optional[int]:
+    """Preconditions for the exact device rank join (ops/fusion.
+    rank_join_topk). Returns the padded item-id domain size, or None.
+
+    The join's tie contract — device argsort ties resolve by slot index —
+    must equal the host row_n's (ties by base-row index), which holds when
+    base rows are one-per-item in ascending item order and each space's
+    slot order is ascending item order. Rank domains must coincide: every
+    valid slot must own exactly one base row (else device slot-ranks ≠
+    host row-ranks)."""
+    import jax
+
+    for e in group:
+        s = e.deferred.sort
+        if not s.row_n or s.row_n_direction != "asc":
+            return None
+    key = "\x00fused:mono_items"
+    mono = base._rank_codes.get(key)
+    if mono is None:
+        mono = _mono_increasing(base.col("item_id"))
+        base._rank_codes[key] = mono
+    if not mono or base.n == 0:
+        return None
+    n_items = int(base.col("item_id")[base.n - 1]) + 1
+    multi = jax.device_count() > 1
+    for e in group:
+        d = e.deferred
+        hit = ex._static_hit_rows(d.space, d.snap, base)
+        if not np.array_equal(d.scope_mask, hit):
+            return None  # metadata-scoped ranks — generic path / fallback
+        nvalid = ex._static_get(
+            ("nvalidslots", d.space, d.snap.generation),
+            lambda d=d: int(ex._valid_slots(d.space, d.snap).sum()),
+        )
+        if int(np.count_nonzero(hit)) != nvalid:
+            return None  # orphan slots or multi-file items in scope
+        slot_items = ex._slot_item_ids(d.space, d.snap)
+
+        def build(d=d, slot_items=slot_items):
+            if multi:
+                sp = ex._sharded_space(d.space, d.snap, d.use_quant)
+                mapped = slot_items[np.clip(sp.item_ids, 0, None)]
+                return _mono_increasing(mapped[sp.item_ids >= 0])
+            return _mono_increasing(slot_items)
+
+        if not ex._static_get(
+            ("slotmono", d.space, d.snap.generation, multi), build
+        ):
+            return None
+        if len(slot_items) and int(slot_items.max()) >= n_items:
+            n_items = int(slot_items.max()) + 1
+    n_items = _round_pow2(n_items)
+    if n_items > (1 << 26):
+        return None
+    return n_items
+
+
+def _attempt_rrf_device(
+    ex, query, base, state, ctx, group, need, total, kkp, rest_keys, n_items,
+):
+    """Exact RRF page via the device rank join + f32-boundary certification."""
+    kk = min(kkp, n_items)
+    cand_items, cand_ranks, t32 = ex._rrf_join_candidates(group, kk, n_items)
+    base_items = base.col("item_id")
+    pos = np.searchsorted(base_items, cand_items)
+    pos_c = np.minimum(pos, max(base.n - 1, 0))
+    ok = base_items[pos_c] == cand_items
+    keep = ok & ctx[pos_c]
+    sel = np.flatnonzero(keep)
+    rows_sel = pos_c[sel]
+    ranks_sel = cand_ranks[sel]
+    eff_need = min(need, total)
+    if len(sel) < eff_need:
+        return _INSUFFICIENT
+    # Exact totals, mirroring Executor._combine_group's numeric pipeline:
+    # each term f32-rounded (rank arrays are f32 there), f64 accumulation
+    # in entry order.
+    totals = np.zeros(len(sel), dtype=np.float64)
+    for si, e in enumerate(group):
+        rrf = e.rrf or pql.Rrf()
+        rank32 = ranks_sel[:, si].astype(F32)
+        totals = totals + (rrf.weight * (1.0 / (rrf.k + rank32)))
+    # Ascending-row candidate order = the full path's lexsort tie order.
+    order0 = np.argsort(rows_sel, kind="stable")
+    rows_sel = rows_sel[order0]
+    totals = totals[order0]
+    ranks_sel = ranks_sel[order0]
+    primary_t = _sort_key(totals, True)
+    keys = [base.col("file_id")[rows_sel]]
+    for values, descending in reversed(rest_keys):
+        keys.append(_sort_key(values[rows_sel], descending))
+    keys.append(primary_t)
+    order = np.lexsort(keys)
+    prefix = order[:eff_need]
+    if total > len(sel):
+        # Items beyond the device top-kk (or dropped by ctx) have f32
+        # totals ≤ the kk-th; certify the page strictly above that bound
+        # inflated by the f32 rounding envelope.
+        tail = float(t32[-1]) if len(t32) else 0.0
+        bound_excl = tail * (1.0 + 4e-7) if tail > 0 else 0.0
+        threshold = float(totals[prefix[-1]])
+        if not (threshold > bound_excl):
+            return _INSUFFICIENT
+    extra = {}
+    for e in state.order_list:
+        if e.select_as and e.deferred is None:
+            extra[e.select_as] = e.values
+    for si, e in enumerate(group):
+        if not e.select_as:
+            continue
+        col = np.full(base.n, np.nan, dtype=F32)
+        col[rows_sel] = ranks_sel[:, si].astype(F32)
+        extra[e.select_as] = col
+    return rows_sel[prefix], extra
+
+
+def fused_page(ex, query, base, state, ctx, seed):
+    """Build the exact ordered row prefix covering the requested page, or
+    return None to signal the full-readback fallback."""
+    need = query.page * query.page_size
+    if need <= 0 or need > MAX_NEED:
+        return None
+    items = ex._order_items(query, state)
+    if not items or items[0][1] != 0:
+        return None  # primary order is a top-level arg — page isn't score-led
+    group, rest_i = ex._take_group(items, 0)
+    if not all(getattr(e, "deferred", None) is not None for e in group):
+        return None  # mixed semantic/metadata primary group
+    in_group = set(map(id, group))
+    for e in state.order_list:
+        if e.deferred is not None and id(e) not in in_group:
+            return None  # deferred entry used as a secondary key
+    if len(group) == 1:
+        gtype = "single"
+        desc_key = group[0].direction == "desc"
+    elif group[0].rrf is not None:
+        gtype = "rrf"
+        desc_key = True
+        for e in group:
+            rrf = e.rrf or pql.Rrf()
+            if rrf.k + 1.0 <= 0.0 or rrf.weight < 0.0:
+                return None  # non-monotonic contribution — bounds unsound
+    else:
+        gtype = "coalesce"
+        desc_key = group[0].direction == "desc"
+    specs = []
+    for e in group:
+        spec = _entry_spec(e, gtype, desc_key)
+        if spec is None:
+            return None
+        specs.append(spec)
+
+    # Secondary key columns (groups after the first) — full-length arrays,
+    # gathered per candidate row later. Built once per query, outside the
+    # kk escalation loop.
+    rest_keys: list[tuple[np.ndarray, bool]] = []
+    i = rest_i
+    while i < len(items):
+        _, kind, _, obj = items[i]
+        if kind == 1:
+            rest_keys.append(ex._order_args_key(obj, base, seed))
+            i += 1
+        else:
+            group2, i = ex._take_group(items, i)
+            rest_keys.append(ex._combine_group(group2, base.n))
+
+    total = int(np.count_nonzero(ctx))
+    if gtype == "rrf":
+        # RRF needs every candidate's rank in EVERY space — per-space
+        # candidate lists can't certify a page when spaces are independent
+        # (a row top-ranked in one space has an unknown rank in the other).
+        # The exact device rank join computes full ranks on device and
+        # reads back only the fused top candidates.
+        n_items = _rrf_device_eligible(ex, base, group)
+        if n_items is not None:
+            kkp = max(2 * need + 64, 128)
+            for kk in (kkp, 8 * kkp):
+                out = _attempt_rrf_device(
+                    ex, query, base, state, ctx, group, need, total, kk,
+                    rest_keys, n_items,
+                )
+                if out is not _INSUFFICIENT:
+                    return out
+                if kk >= n_items:
+                    break
+            return None
+    for kk in KK_BUCKETS:
+        out = _attempt(
+            ex, query, base, state, ctx, group, specs, gtype, desc_key,
+            need, total, kk, rest_keys,
+        )
+        if out is not _INSUFFICIENT:
+            return out
+        if kk >= min(e.deferred.snap.num_groups for e in group):
+            break  # escalation exhausted the slot domain
+    return None
+
+
+def _attempt(
+    ex, query, base, state, ctx, group, specs, gtype, desc_key,
+    need, total, kk, rest_keys,
+):
+    per: list[_PerEntry] = []
+    for e, (mode, largest) in zip(group, specs):
+        d = e.deferred
+        vals, slots, complete = ex._deferred_candidates(d, kk=kk, largest=largest)
+        item_ids = ex._slot_item_ids(d.space, d.snap)[slots]
+        rows, pos = _expand_items(base, item_ids)
+        keep = d.scope_mask[rows]
+        rows = rows[keep]
+        pos = pos[keep]
+        rvals = vals[pos].astype(F32, copy=False)
+        sort_key = -rvals if largest else rvals
+        order = np.lexsort((rows, sort_key))
+        rows = rows[order]
+        rvals = rvals[order]
+        if complete:
+            boundary = None
+            exact = np.ones(len(rows), dtype=bool)
+        else:
+            boundary = float(vals[-1]) if len(vals) else None
+            if boundary is None:
+                exact = np.ones(len(rows), dtype=bool)
+                complete = True
+            elif mode == "rank":
+                # Rank exact only strictly inside the boundary: an unseen
+                # item tied at the boundary value could interleave (ties
+                # break by row index) and shift these rows' ranks.
+                exact = rvals > boundary if largest else rvals < boundary
+            else:
+                exact = np.ones(len(rows), dtype=bool)  # values themselves exact
+        if mode == "rank":
+            v = np.arange(1, len(rows) + 1, dtype=F32)
+            nc_exact = int(exact.sum())
+            bound_v = float(nc_exact + 1)
+        else:
+            v = rvals
+            bound_v = boundary if boundary is not None else (
+                -np.inf if largest else np.inf
+            )
+        per.append(_PerEntry(
+            e=e, mode=mode, largest=largest, rows=rows, v=v, exact=exact,
+            boundary=boundary, complete=complete, bound_v=float(bound_v),
+        ))
+
+    # Candidate row universe, restricted to the final context; ascending row
+    # order makes np.lexsort's stability reproduce the full path's final
+    # row-index tiebreak.
+    if per and any(len(p.rows) for p in per):
+        all_rows = np.unique(np.concatenate([p.rows for p in per]))
+    else:
+        all_rows = np.empty(0, np.int64)
+    U = all_rows[ctx[all_rows]] if len(all_rows) else all_rows
+    nu = len(U)
+
+    # Per-entry aligned arrays over U.
+    vU = []  # f32 values (NaN where unknown/absent)
+    knownU = []
+    exactU = []
+    presentU = []
+    unseen_present_possible = False
+    for p in per:
+        vu = np.full(nu, np.nan, dtype=F32)
+        ku = np.zeros(nu, dtype=bool)
+        xu = np.zeros(nu, dtype=bool)
+        if len(p.rows):
+            posU = np.searchsorted(U, p.rows)
+            ok = (posU < nu)
+            ok[ok] &= U[posU[ok]] == p.rows[ok]
+            vu[posU[ok]] = p.v[ok]
+            ku[posU[ok]] = True
+            xu[posU[ok]] = p.exact[ok]
+        pu = p.e.deferred.scope_mask[U] if nu else np.zeros(0, bool)
+        vU.append(vu)
+        knownU.append(ku)
+        exactU.append(xu)
+        presentU.append(pu)
+        if not p.complete:
+            unseen_present_possible = True
+
+    # Key-exactness per U row. RRF and single need every PRESENT entry
+    # known-and-exact (contributions are additive); coalesce is relaxed
+    # below (a known value that beats every unknown entry's bound decides
+    # the min/max regardless).
+    key_exact = np.ones(nu, dtype=bool)
+    for pu, ku, xu in zip(presentU, knownU, exactU):
+        key_exact &= ~pu | (ku & xu)
+
+    # Primary key — the same numeric pipeline as Executor._combine_group +
+    # _sort_key over the full arrays, so values are bit-identical.
+    if gtype == "rrf":
+        primary = np.zeros(nu, dtype=np.float64)
+        opt = np.zeros(nu, dtype=np.float64)
+        glob = 0.0
+        for p, pu, ku, xu, vu in zip(per, presentU, knownU, exactU, vU):
+            rrf = p.e.rrf or pql.Rrf()
+            rank = np.where(pu & ku, vu, np.inf)
+            contrib = rrf.weight * (1.0 / (rrf.k + rank))
+            primary = primary + contrib
+            # Optimistic: unknown-or-inexact present rows at their best
+            # possible key value.
+            opt_rank = np.where(
+                pu & ku & xu, vu,
+                np.where(pu, F32(p.bound_v), np.inf),
+            )
+            opt = opt + rrf.weight * (1.0 / (rrf.k + opt_rank))
+            if not p.complete:
+                glob += rrf.weight * (1.0 / (rrf.k + p.bound_v))
+        desc = True
+    elif gtype == "coalesce":
+        fallback = F32(-np.inf) if desc_key else F32(np.inf)
+        # Combined over exactly-known entries: a row's min/max is decided
+        # (and equal to the full path's, whose unknown entries can only sit
+        # beyond their bounds) whenever it beats every present-unknown
+        # entry's optimistic bound.
+        stacked = np.stack([
+            np.where(pu & ku & xu, vu, fallback)
+            for pu, ku, xu, vu in zip(presentU, knownU, exactU, vU)
+        ]) if nu else np.zeros((len(per), 0), F32)
+        primary = stacked.max(axis=0) if desc_key else stacked.min(axis=0)
+        # Optimistic bound of the not-exactly-known entries: a known rank
+        # position when available (boundary-tied row_n rows), else the
+        # space-level bound.
+        stacked_ub = np.stack([
+            np.where(
+                pu & ~(ku & xu),
+                np.where(ku, vu, F32(p.bound_v)),
+                fallback,
+            )
+            for p, pu, ku, xu, vu in zip(per, presentU, knownU, exactU, vU)
+        ]) if nu else stacked
+        ub = stacked_ub.max(axis=0) if desc_key else stacked_ub.min(axis=0)
+        has_known = np.zeros(nu, dtype=bool)
+        for pu, ku, xu in zip(presentU, knownU, exactU):
+            has_known |= pu & ku & xu
+        coalesce_exact = has_known & (
+            (primary >= ub) if desc_key else (primary <= ub)
+        )
+        key_exact = coalesce_exact
+        opt = np.maximum(primary, ub) if desc_key else np.minimum(primary, ub)
+        bounds = [p.bound_v for p in per if not p.complete]
+        glob = (max(bounds) if desc_key else min(bounds)) if bounds else (
+            -np.inf if desc_key else np.inf
+        )
+        desc = desc_key
+    else:  # single
+        p = per[0]
+        primary = np.where(presentU[0] & knownU[0], vU[0], np.nan)
+        opt = np.where(
+            presentU[0] & knownU[0] & exactU[0], vU[0],
+            np.where(presentU[0], F32(p.bound_v), np.nan),
+        )
+        glob = p.bound_v if not p.complete else (
+            -np.inf if desc_key else np.inf
+        )
+        desc = desc_key
+
+    # Transform to the ascending sort domain (NaN → +inf) — identical to
+    # the full path's primary = _sort_key(values, desc).
+    primary_t = _sort_key(np.asarray(primary), desc)
+    opt_t = _sort_key(np.asarray(opt), desc)
+    glob_t = -glob if desc else glob
+    if np.isnan(glob_t):
+        glob_t = np.inf
+
+    # Sort U: uncertain rows pinned last (their true key is unknown).
+    sortable_primary = np.where(key_exact, primary_t, np.inf)
+    keys = [base.col("file_id")[U]] if nu else [np.empty(0)]
+    for values, descending in reversed(rest_keys):
+        keys.append(_sort_key(values[U], descending))
+    keys.append(sortable_primary)
+    order = np.lexsort(keys)
+
+    eff_need = min(need, total)
+    if eff_need == 0:
+        return np.empty(0, np.int64), _extra_cols(ex, base, state, per, vU, knownU, exactU, U)
+    if total <= need:
+        # The page wants EVERY member: we must hold all of them, exactly.
+        if nu < total or not bool(key_exact.all()):
+            if all(p.complete for p in per):
+                return None  # members outside every space — full path
+            return _INSUFFICIENT
+        prefix = order
+    else:
+        if nu < eff_need or not bool(key_exact[order[:eff_need]].all()):
+            if all(p.complete for p in per):
+                return None
+            return _INSUFFICIENT
+        prefix = order[:eff_need]
+        threshold = float(sortable_primary[prefix[-1]])
+        # Proof obligation 1: no partially-known row can reach the page.
+        uncertain = ~key_exact
+        if bool(uncertain.any()) and not bool(
+            (opt_t[uncertain] > threshold).all()
+        ):
+            return _INSUFFICIENT
+        # Proof obligation 2: no unseen row (present somewhere but beyond a
+        # candidate boundary) can reach the page. Strict: an equal key could
+        # win on secondary keys.
+        if unseen_present_possible and not (threshold < glob_t):
+            return _INSUFFICIENT
+        # rrf only: rows present in NO scored space still carry key 0.0
+        # (Σ of zero contributions) on the full path; they are absent from
+        # U, so the page must sit strictly above them.
+        if gtype == "rrf" and total > nu:
+            zero_t = -0.0
+            if not (threshold < zero_t or threshold < 0.0):
+                return _INSUFFICIENT
+
+    return U[prefix], _extra_cols(ex, base, state, per, vU, knownU, exactU, U)
+
+
+def _extra_cols(ex, base, state, per, vU, knownU, exactU, U):
+    """select_as columns: full arrays for eager entries, sparse fills (page
+    rows are always exact) for deferred ones."""
+    out = {}
+    for e in state.order_list:
+        if not e.select_as:
+            continue
+        if e.deferred is None:
+            out[e.select_as] = e.values
+    for p, vu, ku, xu in zip(per, vU, knownU, exactU):
+        alias = p.e.select_as
+        if not alias:
+            continue
+        col = np.full(base.n, np.nan, dtype=F32)
+        sel = ku & xu
+        if len(U):
+            col[U[sel]] = vu[sel]
+        out[alias] = col
+    return out

@@ -235,6 +235,112 @@ class TestHostCompositionPerf:
         assert best < 0.350, f"host composition too slow: {times}"
 
 
+class FakeSnap:
+    """Minimal SpaceSnapshot stand-in: 1M one-row-per-item space."""
+
+    def __init__(self, n):
+        self.generation = 1
+        self.dim = 8
+        self.size = n
+        self.capacity = n
+        self.num_groups = n
+        self.group_ids = np.arange(n, dtype=np.int32)
+        self.row_valid = np.ones(n, dtype=bool)
+        self.scale = None
+        self.quant_ready = False
+
+
+class FakeSnapIndex(SlotIndex):
+    def __init__(self, n):
+        self._snap = FakeSnap(n)
+
+    def snapshot(self, space):
+        return self._snap
+
+
+class TestFusedServingPerf:
+    def test_fused_rrf_1m_host_time_under_15ms(self):
+        """VERDICT r3 ask #1's bar: composed 2-space RRF at 1M base rows
+        through the FUSED path must cost ≤ ~15 ms of host time per query
+        (vs 200–350 ms for the full-readback composition above). The
+        device rank join is stubbed — this measures the host side: static
+        masks, eligibility checks, candidate assembly, final page sort."""
+        n = 1_000_000
+        ex = make_executor(n)
+        ex.index = FakeSnapIndex(n)
+        # On the multi-device test mesh the eligibility check consults the
+        # sharded layout's packed slot order; a flat stand-in keeps this a
+        # host-only measurement.
+        ex._sharded_space = lambda *a, **k: types.SimpleNamespace(
+            item_ids=np.arange(n, dtype=np.int64)
+        )
+
+        def fake_join(group, kk, n_items):
+            items = np.arange(1, kk + 1, dtype=np.int64)
+            ranks = np.stack(
+                [np.arange(1, kk + 1, dtype=np.float64)] * len(group), axis=1
+            )
+            t32 = np.asarray(
+                sum((e.rrf.weight if e.rrf else 1.0) / (60.0 + ranks[:, 0])
+                    for e in group),
+                dtype=np.float32,
+            )
+            return items, ranks, t32
+
+        ex._rrf_join_candidates = fake_join
+        payload = {
+            "query": {"and_": [
+                {"text_embeddings": {
+                    "query": b64(np.zeros(8, np.float32)), "model": "m",
+                    "embed": None, "index": "exact"},
+                 "row_n": True, "priority": 5, "rrf": {"k": 60, "weight": 1.0}},
+                {"text_embeddings": {
+                    "query": b64(np.ones(8, np.float32)), "model": "m",
+                    "embed": None, "index": "exact"},
+                 "row_n": True, "priority": 5, "rrf": {"k": 60, "weight": 1.0}},
+            ]},
+            "page_size": 10,
+        }
+        query = pql.PqlQuery.from_json(payload)
+        res = ex.execute(query)  # warm static caches (hit masks, item index)
+        assert res.count == n
+        assert len(res.results) == 10
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res = ex.execute(pql.PqlQuery.from_json(payload))
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        assert res.count == n and len(res.results) == 10
+        assert best < 0.015, f"fused host composition too slow: {times}"
+
+    def test_fused_single_space_1m_host_time_under_10ms(self):
+        n = 1_000_000
+        ex = make_executor(n)
+        ex.index = FakeSnapIndex(n)
+
+        def fake_candidates(d, *, kk, largest):
+            vals = np.linspace(0.0, 0.5, kk, dtype=np.float32)
+            slots = np.arange(kk, dtype=np.int64)
+            return vals, slots, False
+
+        ex._deferred_candidates = fake_candidates
+        payload = {
+            "query": {"text_embeddings": {
+                "query": b64(np.zeros(8, np.float32)), "model": "m",
+                "embed": None, "index": "exact"}},
+            "page_size": 10,
+        }
+        res = ex.execute(pql.PqlQuery.from_json(payload))
+        assert res.count == n and len(res.results) == 10
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res = ex.execute(pql.PqlQuery.from_json(payload))
+            times.append(time.perf_counter() - t0)
+        assert min(times) < 0.010, f"fused single-space too slow: {times}"
+
+
 class TestDeviceCacheBudget:
     def test_lru_eviction_over_budget(self):
         ex = make_executor(4)

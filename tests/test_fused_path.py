@@ -1,0 +1,456 @@
+"""Fused candidate page path vs the full-readback path: exact equivalence.
+
+The fused path (pql/fused.py) must reproduce the full executor's results
+bit-for-bit — same page rows in the same order, same counts, same
+select_as extras — including under quant-arm value ties and with candidate
+lists much smaller than the corpus (the boundary/uncertainty proof logic).
+Every test runs the SAME query with enable_fused on and off and asserts
+identical output.
+"""
+
+import types
+
+import numpy as np
+import pytest
+
+import panoptikon_tpu.pql.fused as fused
+from panoptikon_tpu.db.epochs import EPOCHS
+from panoptikon_tpu.index.vector_index import VectorIndex
+from panoptikon_tpu.pql import model as pql
+from panoptikon_tpu.pql.executor import BaseSnapshot, Executor
+from panoptikon_tpu.utils import npy
+
+
+def b64(vec):
+    import base64
+
+    return base64.standard_b64encode(
+        npy.serialize_npy(np.asarray(vec, np.float32))
+    ).decode()
+
+
+def build_executor(n_items=4000, dim=32, seed=0, multi_file_every=7,
+                   multi_row_every=11, quant=True):
+    """Executor over a real VectorIndex + synthetic base snapshot.
+
+    Some items own two files (membership expansion), some items own two
+    embedding rows (grouped aggregation).
+    """
+    rng = np.random.default_rng(seed)
+    # Base rows: item i gets 1 file, every `multi_file_every`-th gets 2.
+    item_of_row = []
+    for i in range(1, n_items + 1):
+        item_of_row.append(i)
+        if i % multi_file_every == 0:
+            item_of_row.append(i)
+    n = len(item_of_row)
+    item_col = np.asarray(item_of_row, dtype=np.int64)
+    file_col = np.arange(1, n + 1, dtype=np.int64)
+    columns = {
+        "file_id": file_col,
+        "item_id": item_col,
+        "sha256": np.array([f"{i:064x}" for i in range(n)], dtype=object),
+        "path": np.array([f"/m/{i % 13}/f{i}.png" for i in range(n)], dtype=object),
+        "filename": np.array([f"f{i}.png" for i in range(n)], dtype=object),
+        "last_modified": np.array(
+            [f"2026-01-{1 + (i % 28):02d}T00:00:00" for i in range(n)],
+            dtype=object,
+        ),
+        "md5": np.full(n, "0" * 32, dtype=object),
+        "type": np.where(
+            rng.random(n) < 0.5, "image/png", "video/mp4"
+        ).astype(object),
+        "size": rng.integers(100, 10_000, n).astype(np.float64),
+        "width": rng.integers(100, 4000, n).astype(np.float64),
+        "height": np.full(n, 480.0),
+        "duration": np.full(n, np.nan),
+        "audio_tracks": np.zeros(n),
+        "video_tracks": np.zeros(n),
+        "subtitle_tracks": np.zeros(n),
+        "blurhash": np.full(n, "", dtype=object),
+        "time_added": np.full(n, "2026-01-01T00:00:00", dtype=object),
+    }
+    index = VectorIndex(chunk_rows=1024)
+    # Space "m": every item embedded; every multi_row_every-th item gets a
+    # second row (multi-row aggregation). Space "m2": half the items.
+    for space, keep in (("m", None), ("m2", 2)):
+        items, rows, vecs = [], [], []
+        rid = 1
+        for i in range(1, n_items + 1):
+            if keep and i % keep == 0:
+                continue
+            v = rng.normal(size=dim).astype(np.float32)
+            v /= np.linalg.norm(v)
+            items.append(i)
+            rows.append(rid)
+            rid += 1
+            vecs.append(v)
+            if i % multi_row_every == 0:
+                v2 = rng.normal(size=dim).astype(np.float32)
+                v2 /= np.linalg.norm(v2)
+                items.append(i)
+                rows.append(rid)
+                rid += 1
+                vecs.append(v2)
+        index.add(space, np.array(items), np.array(rows), np.stack(vecs))
+        if quant:
+            index.build_quant(space)
+    db = types.SimpleNamespace(name="fusedtest")
+    ex = Executor(db, index, manager=None)
+    snap = BaseSnapshot(
+        entity="file", epoch=EPOCHS.index_epoch("fusedtest"),
+        columns=columns, n=n,
+    )
+    ex._base_cache["file"] = snap
+    return ex, rng
+
+
+def run_both(ex, payload, expect_fused=True, allow_materialize=False):
+    """Execute with fused on/off; assert the fused path engaged (or not)
+    and that results are identical."""
+    calls = {"n": 0, "mat": 0}
+    orig = ex._deferred_surface
+    orig_mat = ex._materialize_deferred
+
+    def counting(d, **kw):
+        calls["n"] += 1
+        return orig(d, **kw)
+
+    def counting_mat(*a, **kw):
+        calls["mat"] += 1
+        return orig_mat(*a, **kw)
+
+    ex._deferred_surface = counting
+    ex._materialize_deferred = counting_mat
+    ex.enable_fused = True
+    r_fused = ex.execute(pql.PqlQuery.from_json(payload))
+    ex._deferred_surface = orig
+    ex._materialize_deferred = orig_mat
+    ex.enable_fused = False
+    r_full = ex.execute(pql.PqlQuery.from_json(payload))
+    ex.enable_fused = True
+    if expect_fused:
+        assert calls["n"] > 0, "fused path did not engage"
+        if not allow_materialize:
+            assert calls["mat"] == 0, (
+                "fused page fell back to full materialization"
+            )
+    assert r_fused.count == r_full.count
+    assert [r["file_id"] for r in r_fused.results] == [
+        r["file_id"] for r in r_full.results
+    ]
+    # extras (select_as ranks/distances) must agree where present
+    for a, b in zip(r_fused.results, r_full.results):
+        ea, eb = a.get("extra", {}), b.get("extra", {})
+        assert set(ea) == set(eb)
+        for k in ea:
+            if isinstance(ea[k], float):
+                np.testing.assert_allclose(ea[k], eb[k], rtol=0, atol=0)
+            else:
+                assert ea[k] == eb[k]
+    return r_fused, r_full
+
+
+def q_of(rng, dim=32):
+    v = rng.normal(size=dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+@pytest.fixture(scope="module")
+def small_kk():
+    """Candidate lists far smaller than the corpus: the boundary /
+    uncertainty proof logic must carry every page."""
+    old = fused.KK_BUCKETS
+    fused.KK_BUCKETS = (64, 512)
+    yield
+    fused.KK_BUCKETS = old
+
+
+@pytest.fixture(scope="module")
+def ex_rng():
+    return build_executor()
+
+
+class TestSingleSpace:
+    def test_exact_page(self, ex_rng, small_kk):
+        ex, rng = ex_rng
+        payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "exact"}},
+            "page_size": 10,
+        }
+        r_fused, _ = run_both(ex, payload)
+        assert len(r_fused.results) == 10
+
+    def test_quant_arm_ties(self, ex_rng, small_kk):
+        ex, rng = ex_rng
+        payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "quant"}},
+            "page_size": 25,
+            "page": 3,
+        }
+        run_both(ex, payload)
+
+    def test_deep_page(self, ex_rng, small_kk):
+        ex, rng = ex_rng
+        payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "exact"}},
+            "page_size": 100,
+            "page": 4,
+        }
+        run_both(ex, payload)
+
+    def test_desc_direction(self, ex_rng, small_kk):
+        ex, rng = ex_rng
+        payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "exact"}, "direction": "desc"},
+            "page_size": 10,
+        }
+        run_both(ex, payload)
+
+    def test_select_as(self, ex_rng, small_kk):
+        ex, rng = ex_rng
+        payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "exact"}, "select_as": "dist"},
+            "page_size": 10,
+        }
+        r_fused, _ = run_both(ex, payload)
+        assert all(
+            isinstance(r["extra"]["dist"], float) for r in r_fused.results
+        )
+
+    def test_count_only_no_device(self, ex_rng):
+        ex, rng = ex_rng
+        calls = {"n": 0}
+        orig_c = ex._deferred_candidates
+        orig_s = ex._space_scores
+        ex._deferred_candidates = lambda *a, **k: calls.update(
+            n=calls["n"] + 1) or orig_c(*a, **k)
+        ex._space_scores = lambda *a, **k: calls.update(
+            n=calls["n"] + 1) or orig_s(*a, **k)
+        try:
+            payload = {
+                "query": {"text_embeddings": {
+                    "query": b64(q_of(rng)), "model": "m", "embed": None,
+                    "index": "exact"}},
+                "results": False, "page_size": 10,
+            }
+            r = ex.execute(pql.PqlQuery.from_json(payload))
+        finally:
+            ex._deferred_candidates = orig_c
+            ex._space_scores = orig_s
+        assert calls["n"] == 0, "count-only query touched the device"
+        ex.enable_fused = False
+        r_full = ex.execute(pql.PqlQuery.from_json(payload))
+        ex.enable_fused = True
+        assert r.count == r_full.count
+
+
+def rrf_payload(rng, models=("m", "m2"), index="exact", page=1,
+                weights=(1.0, 0.5)):
+    return {
+        "query": {"and_": [
+            {"text_embeddings": {"query": b64(q_of(rng)), "model": mdl,
+                                 "embed": None, "index": index},
+             "row_n": True, "priority": 5,
+             "rrf": {"k": 60, "weight": w}}
+            for mdl, w in zip(models, weights)
+        ]},
+        "page_size": 10, "page": page,
+    }
+
+
+class TestComposition:
+    def test_rrf_multi_file_base_falls_back_exactly(self, ex_rng, small_kk):
+        # Multi-file items shift row-grain ranks with ctx multiplicity —
+        # the device rank join declines and the page comes from the full
+        # materialized path, identically.
+        ex, rng = ex_rng
+        run_both(ex, rrf_payload(rng), allow_materialize=True)
+
+    def test_rrf_quant_multi_file(self, ex_rng, small_kk):
+        ex, rng = ex_rng
+        run_both(
+            ex, rrf_payload(rng, models=("m", "m"), index="quant", page=2),
+            allow_materialize=True,
+        )
+
+    def test_coalesce_min_or(self, ex_rng, small_kk):
+        ex, rng = ex_rng
+        payload = {
+            "query": {"or_": [
+                {"text_embeddings": {"query": b64(q_of(rng)), "model": "m",
+                                     "embed": None, "index": "exact"},
+                 "priority": 5},
+                {"text_embeddings": {"query": b64(q_of(rng)), "model": "m2",
+                                     "embed": None, "index": "exact"},
+                 "priority": 5},
+            ]},
+            "page_size": 12,
+        }
+        run_both(ex, payload)
+
+    def test_meta_and_semantic(self, ex_rng, small_kk):
+        ex, rng = ex_rng
+        payload = {
+            "query": {"and_": [
+                {"match": {"eq": {"type": "image/png"}}},
+                {"text_embeddings": {"query": b64(q_of(rng)), "model": "m",
+                                     "embed": None, "index": "exact"}},
+            ]},
+            "page_size": 10,
+        }
+        run_both(ex, payload)
+
+    def test_semantic_then_meta(self, ex_rng, small_kk):
+        ex, rng = ex_rng
+        payload = {
+            "query": {"and_": [
+                {"text_embeddings": {"query": b64(q_of(rng)), "model": "m",
+                                     "embed": None, "index": "exact"}},
+                {"match": {"gt": {"width": 1000}}},
+            ]},
+            "page_size": 10,
+        }
+        run_both(ex, payload)
+
+    def test_membership_only_random_order(self, ex_rng):
+        ex, rng = ex_rng
+        payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "exact"}, "order_by": False},
+            "order_by": [{"order_by": "random"}],
+            "seed": 77,
+            "page_size": 10,
+        }
+        # order_by False → membership is static; no candidates needed.
+        run_both(ex, payload, expect_fused=False)
+
+
+@pytest.fixture(scope="module")
+def ex_mono():
+    """One file per item, one embedding row per item — the serving-shaped
+    corpus where the exact device rank join must carry RRF pages."""
+    return build_executor(
+        n_items=3000, multi_file_every=10**9, multi_row_every=10**9, seed=3
+    )
+
+
+class TestRrfDeviceJoin:
+    def test_exact_independent_spaces(self, ex_mono, small_kk):
+        ex, rng = ex_mono
+        run_both(ex, rrf_payload(rng))
+
+    def test_quant_arm_ties(self, ex_mono, small_kk):
+        ex, rng = ex_mono
+        run_both(ex, rrf_payload(rng, models=("m", "m2"), index="quant"))
+
+    def test_deep_page(self, ex_mono, small_kk):
+        ex, rng = ex_mono
+        run_both(ex, rrf_payload(rng, page=5))
+
+    def test_same_space_two_queries(self, ex_mono, small_kk):
+        ex, rng = ex_mono
+        run_both(ex, rrf_payload(rng, models=("m", "m")))
+
+    def test_or_composition(self, ex_mono, small_kk):
+        ex, rng = ex_mono
+        payload = {
+            "query": {"or_": [
+                {"text_embeddings": {"query": b64(q_of(rng)), "model": "m",
+                                     "embed": None, "index": "exact"},
+                 "row_n": True, "priority": 5,
+                 "rrf": {"k": 60, "weight": 1.0}},
+                {"text_embeddings": {"query": b64(q_of(rng)), "model": "m2",
+                                     "embed": None, "index": "exact"},
+                 "row_n": True, "priority": 5,
+                 "rrf": {"k": 30, "weight": 0.7}},
+            ]},
+            "page_size": 10,
+        }
+        run_both(ex, payload)
+
+    def test_meta_scoped_rrf_falls_back_exactly(self, ex_mono, small_kk):
+        # A metadata filter before the RRF group changes the rank scope —
+        # the join declines (ranks would count excluded rows); results
+        # still exact via materialization.
+        ex, rng = ex_mono
+        payload = {
+            "query": {"and_": [
+                {"match": {"eq": {"type": "image/png"}}},
+                {"text_embeddings": {"query": b64(q_of(rng)), "model": "m",
+                                     "embed": None, "index": "exact"},
+                 "row_n": True, "priority": 5,
+                 "rrf": {"k": 60, "weight": 1.0}},
+                {"text_embeddings": {"query": b64(q_of(rng)), "model": "m2",
+                                     "embed": None, "index": "exact"},
+                 "row_n": True, "priority": 5,
+                 "rrf": {"k": 60, "weight": 0.5}},
+            ]},
+            "page_size": 10,
+        }
+        run_both(ex, payload, allow_materialize=True)
+
+    def test_rrf_rank_select_as(self, ex_mono, small_kk):
+        ex, rng = ex_mono
+        payload = rrf_payload(rng)
+        payload["query"]["and_"][0]["select_as"] = "r1"
+        run_both(ex, payload)
+
+
+class TestFallbacks:
+    def test_gt_bound_falls_back(self, ex_rng):
+        ex, rng = ex_rng
+        payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "exact"}, "lt": 1.2},
+            "page_size": 10,
+        }
+        run_both(ex, payload, expect_fused=False)
+
+    def test_partition_by_falls_back(self, ex_rng):
+        ex, rng = ex_rng
+        payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "exact"}},
+            "partition_by": ["item_id"],
+            "page_size": 10,
+        }
+        r_f, r_full = run_both(ex, payload, expect_fused=False)
+        assert r_f.count == r_full.count
+
+    def test_meta_primary_order_falls_back(self, ex_rng):
+        ex, rng = ex_rng
+        payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "exact"}, "priority": 0},
+            "order_by": [{"order_by": "size", "priority": 10}],
+            "page_size": 10,
+        }
+        run_both(ex, payload, expect_fused=False)
+
+    def test_not_wrapped_falls_back(self, ex_rng):
+        ex, rng = ex_rng
+        payload = {
+            "query": {"and_": [
+                {"match": {"eq": {"type": "image/png"}}},
+                {"not_": {"text_embeddings": {
+                    "query": b64(q_of(rng)), "model": "m2", "embed": None,
+                    "index": "exact"}}},
+            ]},
+            "page_size": 10,
+        }
+        run_both(ex, payload, expect_fused=False)
