@@ -155,14 +155,29 @@ class VectorIndex:
             st.row_ids[sl] = row_ids
             st.row_valid[sl] = True
             st.weights[sl] = np.asarray(weights, dtype=np.float32)
-            gids = np.empty(n, dtype=np.int32)
-            for j, item in enumerate(item_ids.tolist()):
-                slot = st.group_of_item.get(item)
-                if slot is None:
-                    slot = len(st.item_of_group)
-                    st.group_of_item[item] = slot
-                    st.item_of_group.append(item)
-                gids[j] = slot
+            known = len(st.item_of_group)
+            if known == 0 and len(item_ids) and bool(
+                np.all(np.diff(item_ids) >= 0)
+            ):
+                # Bulk-build fast path (the extraction pipeline and bench
+                # rigs append ascending-sorted batches): vectorized slot
+                # assignment instead of a per-row dict loop — the loop costs
+                # ~30 s at 1M rows on a 1-core host.
+                uniq, gids_new = np.unique(item_ids, return_inverse=True)
+                gids = gids_new.astype(np.int32)
+                st.item_of_group.extend(uniq.tolist())
+                st.group_of_item.update(
+                    zip(uniq.tolist(), range(len(uniq)))
+                )
+            else:
+                gids = np.empty(n, dtype=np.int32)
+                for j, item in enumerate(item_ids.tolist()):
+                    slot = st.group_of_item.get(item)
+                    if slot is None:
+                        slot = len(st.item_of_group)
+                        st.group_of_item[item] = slot
+                        st.item_of_group.append(item)
+                    gids[j] = slot
             st.group_ids[sl] = gids
             st.size = need
             # New rows are not covered by the frozen codes array; quant

@@ -948,23 +948,48 @@ class Md5LookupImpl(InferenceModel):
         self.dump_path = dump_path
         self.namespace = namespace
         self.table: Optional[dict] = None
+        self._conn = None  # sqlite backend (the at-scale default)
 
     @classmethod
     def name(cls) -> str:
         return "md5_lookup"
 
     def load(self) -> None:
-        if self.table is not None or self.dump_path is None:
+        if self.table is not None or self._conn is not None or self.dump_path is None:
             return
-        import json as _json
         from pathlib import Path as _Path
 
         path = _Path(self.dump_path)
-        if path.exists():
+        if not path.exists():
+            return
+        if path.suffix in (".db", ".sqlite", ".sqlite3"):
+            # sqlite dump (a danbooru-scale table is GBs as a resident
+            # dict): `tags(md5 TEXT, namespace TEXT, name TEXT,
+            # confidence REAL)` with an md5 index, queried per batch.
+            import sqlite3 as _sqlite3
+
+            self._conn = _sqlite3.connect(
+                f"file:{path}?mode=ro", uri=True, check_same_thread=False
+            )
+        else:
+            import json as _json
+
             self.table = _json.loads(path.read_text())
+
+    def _lookup(self, md5: str):
+        if self.table is not None:
+            return self.table.get(md5)
+        rows = self._conn.execute(
+            "SELECT namespace, name, confidence FROM tags WHERE md5 = ?",
+            (md5,),
+        ).fetchall()
+        return rows or None
 
     def unload(self) -> None:
         self.table = None
+        if self._conn is not None:
+            self._conn.close()
+            self._conn = None
 
     def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
         self.load()
@@ -974,7 +999,7 @@ class Md5LookupImpl(InferenceModel):
             if md5 is None:
                 out.append(SlotError("input", "md5 lookup requires data.md5").to_slot())
                 continue
-            if self.table is None:
+            if self.table is None and self._conn is None:
                 out.append(
                     {
                         "__error__": {
@@ -984,7 +1009,7 @@ class Md5LookupImpl(InferenceModel):
                     }
                 )
                 continue
-            entry = self.table.get(md5)
+            entry = self._lookup(md5)
             tags: dict[str, float] = {}
             if entry:
                 for ns, tag_name, conf in entry:

@@ -109,9 +109,20 @@ class ModelManager:
             if not already:
                 impl_cls = self.impl_index.get(resolved.impl_class)
                 if impl_cls is None:
-                    raise ModelLoadError(
-                        f"unknown impl_class {resolved.impl_class!r} for {inference_id}"
-                    )
+                    # User custom impls (reference impl_dirs/IMPL_CLASS
+                    # discovery): resolved lazily at LOAD so a broken user
+                    # module can never break package import.
+                    from panoptikon_tpu.models import discovery
+
+                    try:
+                        impl_cls = discovery.find(
+                            self.registry.impl_dirs(), resolved.impl_class
+                        )
+                    except LookupError as exc:
+                        raise ModelLoadError(
+                            f"unknown impl_class {resolved.impl_class!r} "
+                            f"for {inference_id}: {exc}"
+                        ) from exc
                 try:
                     model = impl_cls(**resolved.spawn_kwargs())
                     model.load()

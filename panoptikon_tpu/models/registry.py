@@ -119,12 +119,22 @@ class Registry:
             return
         groups: dict[str, GroupEntry] = {}
         defined_ids: set[str] = set()
+        impl_dirs: list[Path] = []
         for path in files:
             try:
                 doc = tomllib.loads(path.read_text())
             except tomllib.TOMLDecodeError as exc:
                 raise RegistryError(f"{path}: invalid TOML: {exc}") from exc
             allow_override = bool(doc.get("allow_override", False))
+            # User custom-impl directories (reference registry `impl_dirs`,
+            # inferio/registry.rs:1-64): relative paths resolve against the
+            # declaring TOML's folder.
+            for d in doc.get("impl_dirs") or []:
+                p = Path(d)
+                if not p.is_absolute():
+                    p = path.parent / p
+                if p not in impl_dirs:
+                    impl_dirs.append(p)
             for group_name, group_doc in (doc.get("group") or {}).items():
                 if not isinstance(group_doc, dict):
                     raise RegistryError(f"{path}: group.{group_name} must be a table")
@@ -150,8 +160,14 @@ class Registry:
                         metadata=(id_doc or {}).get("metadata") or {},
                     )
         self._groups = groups
+        self._impl_dirs = impl_dirs
         self._mtime = latest
         self._loaded = True
+
+    def impl_dirs(self) -> list[Path]:
+        """Custom-impl directories declared across registry files."""
+        self.load()
+        return list(getattr(self, "_impl_dirs", []) or [])
 
     # -- queries ------------------------------------------------------------
 

@@ -86,6 +86,15 @@ def quantize_int8(vectors: np.ndarray, scale: float) -> np.ndarray:
     Works on any shape; the last axis is the component axis.
     """
     x = np.asarray(vectors, dtype=np.float32)
+    if x.ndim >= 2 and x.nbytes > (256 << 20):
+        # Chunk big corpora: the elementwise chain below materializes ~4
+        # f32 temporaries of corpus size — 10 GB of allocation thrash at
+        # 1M×512 (measured: ~6 min wall in the e2e rig vs seconds chunked).
+        out = np.empty(x.shape, dtype=np.int8)
+        step = max(1, (64 << 20) // max(x[0].nbytes, 1))
+        for lo in range(0, x.shape[0], step):
+            out[lo : lo + step] = quantize_int8(x[lo : lo + step], scale)
+        return out
     scaled = x / np.float32(scale)
     codes = np.rint(scaled)
     codes = np.where(np.isnan(codes), np.float32(0.0), codes)

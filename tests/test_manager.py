@@ -412,3 +412,78 @@ class TestOomRetry:
         omanager._models["fixtures/oom"].model.oom_above = 0
         with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
             omanager.predict("fixtures/oom", [PredictionInput(data={})])
+
+
+class TestCustomImplDiscovery:
+    """User custom impls (reference impl_dirs/IMPL_CLASS discovery:
+    python/inferio_worker/discovery.py, inferio/registry.rs:1-64)."""
+
+    def _write_user_impl(self, tmp_path):
+        custom = tmp_path / "custom_impls"
+        custom.mkdir()
+        (custom / "my_model.py").write_text(
+            "IMPL_CLASS = 'shout_impl'\n"
+            "\n"
+            "class shout_impl:\n"
+            "    def __init__(self, suffix='!', **kw):\n"
+            "        self.suffix = suffix\n"
+            "    @classmethod\n"
+            "    def name(cls):\n"
+            "        return 'shout'\n"
+            "    def load(self):\n"
+            "        pass\n"
+            "    def unload(self):\n"
+            "        pass\n"
+            "    def predict(self, inputs):\n"
+            "        return [str(i.data).upper() + self.suffix for i in inputs]\n"
+        )
+        (custom / "broken_module.py").write_text("raise RuntimeError('boom')\n")
+        return custom
+
+    def test_user_impl_loads_and_predicts(self, tmp_path):
+        self._write_user_impl(tmp_path)
+        user = tmp_path / "user_reg"
+        user.mkdir()
+        (user / "90_custom.toml").write_text(
+            'impl_dirs = ["../custom_impls"]\n'
+            "[group.custom]\n"
+            'config.impl_class = "shout_impl"\n'
+            "[group.custom.inference_ids.shout]\n"
+            'config.suffix = "?!"\n'
+        )
+        builtin = tmp_path / "builtin"
+        builtin.mkdir()
+        (builtin / "00_base.toml").write_text(BUILTIN)
+        reg = Registry(builtin, user)
+        assert any(p.name == "custom_impls" for p in reg.impl_dirs())
+        m = ModelManager(reg, IMPL_INDEX)
+        try:
+            m.load_model("custom/shout")
+            out = m.predict("custom/shout", [PredictionInput(data="hey")])
+            assert out == ["HEY?!"]
+        finally:
+            m.shutdown()
+
+    def test_unknown_class_errors_at_load_with_module_error(self, tmp_path):
+        self._write_user_impl(tmp_path)
+        user = tmp_path / "user_reg"
+        user.mkdir()
+        (user / "90_custom.toml").write_text(
+            'impl_dirs = ["../custom_impls"]\n'
+            "[group.custom]\n"
+            'config.impl_class = "missing_impl"\n'
+            "[group.custom.inference_ids.x]\n"
+        )
+        builtin = tmp_path / "builtin"
+        builtin.mkdir()
+        (builtin / "00_base.toml").write_text(BUILTIN)
+        m = ModelManager(Registry(builtin, user), IMPL_INDEX)
+        try:
+            with pytest.raises(ModelLoadError) as err:
+                m.load_model("custom/x")
+            # The broken sibling module's import error surfaces in the
+            # message so users can see WHY their class is missing.
+            assert "missing_impl" in str(err.value)
+            assert "boom" in str(err.value)
+        finally:
+            m.shutdown()

@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+"""End-to-end server benchmark: POST /api/search/pql on a real corpus.
+
+VERDICT r3 missing #2: every published number was kernel-level; the
+reference's baseline table is e2e medians through its API
+(/root/reference/docs/vector-int8-quant.md:236-252). This rig runs the
+PRODUCTION server in-process (real aiohttp listener on a TCP port, real
+SQLite DB with 1M file/item rows + live FTS triggers, real VectorIndex
+spaces, the span cache, the full PQL pipeline) and measures:
+
+- single-space int8 semantic search at 1M×512 (p50/p95 latency, QPS under
+  concurrency),
+- composed 2-space RRF (1M×512 + 250k×768) through the exact device rank
+  join,
+- span-cache hits (repeat query).
+
+Queries carry raw base64-npy embeddings (the reference's differential
+suites inject pseudo-embeddings the same way) so no model inference rides
+the measurement; embedding throughput is measured separately by bench.py.
+
+Usage: python tools/e2e_server_bench.py [--n 1000000] [--quick]
+Import: run(n=..., n2=...) -> dict (bench.py stage 5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+def _b64(vec: np.ndarray) -> str:
+    from panoptikon_tpu.utils import npy
+
+    return base64.standard_b64encode(
+        npy.serialize_npy(np.asarray(vec, np.float32))
+    ).decode()
+
+
+def _seed_db(state, name: str, n: int) -> float:
+    """1M items + files through the writer (live FTS triggers)."""
+    db = state.db(name)
+    writer = state.writers.get(db)
+    t0 = time.perf_counter()
+
+    def unit(conn):
+        conn.executemany(
+            "INSERT INTO items (id, sha256, md5, type, size, time_added)"
+            " VALUES (?,?,?,?,?,?)",
+            (
+                (i, f"{i:08x}" + "0" * 56, f"{i:032x}"[:32], "image/png",
+                 1000 + i % 5000, "2026-01-01T00:00:00")
+                for i in range(1, n + 1)
+            ),
+        )
+        conn.executemany(
+            "INSERT INTO files (id, sha256, item_id, path, filename,"
+            " last_modified) VALUES (?,?,?,?,?,?)",
+            (
+                (i, f"{i:08x}" + "0" * 56, i, f"/corpus/{i:07d}.png",
+                 f"{i:07d}.png", "2026-01-01T00:00:00")
+                for i in range(1, n + 1)
+            ),
+        )
+
+    writer.call(unit)
+    return time.perf_counter() - t0
+
+
+def _make_space(index, space: str, n: int, d: int, seed: int) -> None:
+    rng = np.random.default_rng(seed)
+    chunk = 125_000
+    vecs = np.empty((n, d), dtype=np.float32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        block = rng.standard_normal((hi - lo, d), dtype=np.float32)
+        block /= np.linalg.norm(block, axis=1, keepdims=True)
+        vecs[lo:hi] = block
+    items = np.arange(1, n + 1, dtype=np.int64)
+    index.add(space, items, items, vecs)
+    index.build_quant(space)
+
+
+async def _measure(session, url, payload, *, warm: int, seq: int,
+                   conc: int, conc_total: int, make_payload=None):
+    """Latency (sequential, distinct queries) + QPS (bounded concurrency)."""
+    async def one(p):
+        t0 = time.perf_counter()
+        async with session.post(url, json=p) as resp:
+            body = await resp.json()
+            assert resp.status == 200, body
+        return time.perf_counter() - t0, body
+
+    gen = make_payload or (lambda i: payload)
+    for i in range(warm):
+        await one(gen(-1 - i))
+    lats, execs, compiles = [], [], []
+    for i in range(seq):
+        dt, body = await one(gen(i))
+        lats.append(dt)
+        m = body.get("metrics") or {}
+        execs.append(float(m.get("execute") or 0.0))
+        compiles.append(float(m.get("compile") or 0.0))
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    p95 = lats[min(len(lats) - 1, int(len(lats) * 0.95))]
+
+    sem = asyncio.Semaphore(conc)
+
+    async def bounded(i):
+        async with sem:
+            return await one(gen(10_000 + i))
+
+    t0 = time.perf_counter()
+    await asyncio.gather(*[bounded(i) for i in range(conc_total)])
+    qps = conc_total / (time.perf_counter() - t0)
+    execs.sort()
+    return {"p50_ms": round(p50 * 1e3, 2), "p95_ms": round(p95 * 1e3, 2),
+            "qps": round(qps, 1), "concurrency": conc,
+            "executor_p50_ms": round(execs[len(execs) // 2] * 1e3, 2),
+            "preprocess_p50_ms": round(
+                sorted(compiles)[len(compiles) // 2] * 1e3, 2)}
+
+
+def run(n: int = 1_000_000, d: int = 512, n2: int = 250_000, d2: int = 768,
+        seq: int = 32, conc: int = 16, conc_total: int = 160,
+        log=print) -> dict:
+    import jax  # noqa: F401  (claims the device before the server spawns)
+
+    from panoptikon_tpu.api.server import AppState, build_app
+
+    out: dict = {"corpus": {"n1": n, "d1": d, "n2": n2, "d2": d2}}
+    with tempfile.TemporaryDirectory() as tmp:
+        reg = Path(tmp) / "registry"
+        reg.mkdir()
+        state = AppState.create(Path(tmp) / "data", reg)
+        name = "default"
+        t = _seed_db(state, name, n)
+        out["seed_db_s"] = round(t, 1)
+        log(f"[e2e] seeded {n} rows in {t:.1f}s")
+        index = state.index(name)
+        t0 = time.perf_counter()
+        _make_space(index, "clip/e2e", n, d, seed=1)
+        _make_space(index, "st/e2e", n2, d2, seed=2)
+        out["index_build_s"] = round(time.perf_counter() - t0, 1)
+        log(f"[e2e] index built in {out['index_build_s']}s")
+
+        rng = np.random.default_rng(7)
+
+        def qvec(dd):
+            v = rng.standard_normal(dd).astype(np.float32)
+            return v / np.linalg.norm(v)
+
+        def single_payload(i):
+            return {
+                "query": {"image_embeddings": {
+                    "query": _b64(qvec(d)), "model": "clip/e2e",
+                    "embed": None, "index": "quant"}},
+                "page_size": 10,
+            }
+
+        def rrf_payload(i):
+            return {
+                "query": {"and_": [
+                    {"image_embeddings": {
+                        "query": _b64(qvec(d)), "model": "clip/e2e",
+                        "embed": None, "index": "quant"},
+                     "row_n": True, "priority": 5,
+                     "rrf": {"k": 60, "weight": 1.0}},
+                    {"text_embeddings": {
+                        "query": _b64(qvec(d2)), "model": "st/e2e",
+                        "embed": None, "index": "quant"},
+                     "row_n": True, "priority": 5,
+                     "rrf": {"k": 60, "weight": 0.5}},
+                ]},
+                "page_size": 10,
+            }
+
+        cached_payload = single_payload(0)
+
+        async def drive():
+            import aiohttp
+            from aiohttp import web
+
+            app = build_app(state)
+            runner = web.AppRunner(app)
+            await runner.setup()
+            site = web.TCPSite(runner, "127.0.0.1", 0)
+            await site.start()
+            port = runner.addresses[0][1]
+            url = f"http://127.0.0.1:{port}/api/search/pql"
+            try:
+                timeout = aiohttp.ClientTimeout(total=None)
+                async with aiohttp.ClientSession(timeout=timeout) as session:
+                    t0 = time.perf_counter()
+                    out["single_space_1M"] = await _measure(
+                        session, url, None, warm=3, seq=seq, conc=conc,
+                        conc_total=conc_total, make_payload=single_payload,
+                    )
+                    log(f"[e2e] single-space: {out['single_space_1M']} "
+                        f"({time.perf_counter()-t0:.0f}s)")
+                    t0 = time.perf_counter()
+                    out["rrf_2space"] = await _measure(
+                        session, url, None, warm=3, seq=seq, conc=conc,
+                        conc_total=conc_total, make_payload=rrf_payload,
+                    )
+                    log(f"[e2e] rrf 2-space: {out['rrf_2space']} "
+                        f"({time.perf_counter()-t0:.0f}s)")
+                    out["cache_hit"] = await _measure(
+                        session, url, cached_payload, warm=2, seq=seq,
+                        conc=conc, conc_total=conc_total,
+                    )
+                    log(f"[e2e] cache-hit: {out['cache_hit']}")
+            finally:
+                await runner.cleanup()
+
+        asyncio.run(drive())
+    # Release the executor's device cache (0.7 GB of codes) before any
+    # later bench stage allocates multi-GB corpora.
+    del state
+    import gc
+
+    gc.collect()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--n2", type=int, default=250_000)
+    ap.add_argument("--quick", action="store_true",
+                    help="50k corpus, short measurement")
+    args = ap.parse_args()
+    if args.quick:
+        out = run(n=50_000, n2=20_000, seq=16, conc=8, conc_total=64)
+    else:
+        out = run(n=args.n, n2=args.n2)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -22,12 +22,21 @@ import os
 import subprocess
 import sys
 
-COORD = "localhost:19877"
 N_PROC = 2
 LOCAL_DEVICES = 4
 
 
-def worker(proc_id: int) -> None:
+def _free_port() -> int:
+    """Ephemeral coordinator port (bind-then-release): a fixed port made
+    a stale process or a parallel CI run collide (VERDICT r3 weak #5)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def worker(proc_id: int, coord: str) -> None:
     import numpy as np
 
     import jax
@@ -41,7 +50,7 @@ def worker(proc_id: int) -> None:
     from panoptikon_tpu.parallel import multihost
 
     ok = multihost.initialize(
-        coordinator=COORD, num_processes=N_PROC, process_id=proc_id
+        coordinator=coord, num_processes=N_PROC, process_id=proc_id
     )
     assert ok, "distributed init did not run"
     assert jax.process_count() == N_PROC, jax.process_count()
@@ -117,10 +126,11 @@ def launch() -> int:
     env_base.pop("PALLAS_AXON_POOL_IPS", None)
     env_base.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     env_base["JAX_PLATFORMS"] = "cpu"
+    coord = f"localhost:{_free_port()}"
     procs = []
     for i in range(N_PROC):
         procs.append(subprocess.Popen(
-            [sys.executable, __file__, "--proc", str(i)],
+            [sys.executable, __file__, "--proc", str(i), "--coord", coord],
             env=env_base,
             stdout=subprocess.PIPE if i else None,
             stderr=subprocess.STDOUT if i else None,
@@ -147,6 +157,9 @@ def launch() -> int:
 
 if __name__ == "__main__":
     if "--proc" in sys.argv:
-        worker(int(sys.argv[sys.argv.index("--proc") + 1]))
+        worker(
+            int(sys.argv[sys.argv.index("--proc") + 1]),
+            sys.argv[sys.argv.index("--coord") + 1],
+        )
     else:
         sys.exit(launch())
