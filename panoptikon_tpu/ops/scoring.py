@@ -420,6 +420,21 @@ def topk_of_scores(dist, valid, *, kk: int, largest: bool = False):
     return top_v, top_i, jnp.isfinite(top_v)
 
 
+@jax.jit
+def gather_of_scores(dist, valid, idx):
+    """Gather specific slots' scores off a device surface: (Q, M) × (S,)
+    padded slot indices (−1 = pad) → ((Q, S) values, (Q, S) valid).
+
+    The fused path's SCOPED primitive: when a metadata/FTS filter narrows
+    the context to a small row set, the exact ranks inside that scope need
+    each scope item's score — a tiny gather instead of a top-k over the
+    whole domain. Readback is S·8 bytes."""
+    safe = jnp.clip(idx, 0, dist.shape[1] - 1)
+    ok = (idx >= 0)[None, :] & jnp.take(valid, safe, axis=1)
+    vals = jnp.where(ok, jnp.take(dist, safe, axis=1), INF)
+    return vals, ok
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "distance", "aggregation", "num_groups", "chunk_rows", "weighted"),

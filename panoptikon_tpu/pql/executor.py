@@ -1521,6 +1521,53 @@ class Executor:
         complete = nvalid < kk_eff or kk_eff >= snap.num_groups
         return vals[:nvalid], slots[:nvalid].astype(np.int64), complete
 
+    def _item_slot_lut(self, space: str, snap) -> tuple[np.ndarray, int]:
+        """Dense item-id → group-slot LUT (−1 = absent), cached per
+        generation. Returns (lut, max_item_id)."""
+        def build():
+            items = self._slot_item_ids(space, snap)
+            hi = int(items.max()) if len(items) else 0
+            lut = np.full(max(hi, 0) + 1, -1, dtype=np.int64)
+            ok = items >= 0
+            lut[items[ok]] = np.flatnonzero(ok)
+            return lut, hi
+        return self._static_get(("slotlut", space, snap.generation), build)
+
+    def _deferred_gather(
+        self, d: DeferredScore, item_ids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact scores for SPECIFIC items off the device surface: (values,
+        valid) aligned with ``item_ids``. The scoped fused primitive — a
+        small metadata/FTS context gathers its own scores instead of
+        hoping a global top-kk covers it."""
+        snap = d.snap
+        lut, hi = self._item_slot_lut(d.space, snap)
+        safe = np.where(
+            (item_ids >= 0) & (item_ids <= hi), item_ids, 0
+        )
+        slots = np.where(
+            (item_ids >= 0) & (item_ids <= hi), lut[safe], -1
+        )
+        dist, valid, packed_map = self._deferred_surface(d)
+        if packed_map is not None:
+            # The sharded surface is keyed by PACKED global slot; translate
+            # snapshot slots through the per-generation reverse map.
+            rev = self._static_get(
+                ("packedrev", d.space, snap.generation),
+                lambda: _invert_packed(packed_map, snap.num_groups),
+            )
+            ok = (slots >= 0) & (slots < len(rev))
+            slots = np.where(ok, rev[np.clip(slots, 0, None)], -1)
+        # Pad to a pow2 bucket so the gather jit compiles once per scale.
+        s = len(slots)
+        bucket = 256
+        while bucket < s:
+            bucket *= 2
+        padded = np.full(bucket, -1, dtype=np.int64)
+        padded[:s] = slots
+        vals, ok = scoring.gather_of_scores(dist, valid, padded)
+        return np.asarray(vals)[0][:s], np.asarray(ok)[0][:s]
+
     def _rrf_item_index(self, d: DeferredScore, packed: bool, n_items: int):
         """Device-resident slot→item-id map for the rank join, cached per
         (space, generation, domain). Entries ≥ n_items or < 0 scatter to
@@ -1923,6 +1970,14 @@ class Executor:
                 f"similar_to target has no embeddings for model {args.model!r}"
             )
         return self._apply_item_scores(el, scored, agg, ctx, base, state)
+
+
+def _invert_packed(packed_map: np.ndarray, num_groups: int) -> np.ndarray:
+    """snapshot slot → packed global slot (−1 where absent)."""
+    rev = np.full(num_groups, -1, dtype=np.int64)
+    ok = (packed_map >= 0) & (packed_map < num_groups)
+    rev[packed_map[ok]] = np.flatnonzero(ok)
+    return rev
 
 
 def _pyval(v):

@@ -51,17 +51,25 @@ MAX_NEED = 20_000
 _INSUFFICIENT = object()  # sentinel: retry with a larger kk
 
 
+# A scoped deferred entry whose context is at most this many rows fetches
+# its scores via a device gather (exact, complete) instead of candidates.
+GATHER_MAX = 65_536
+# Eager (host-evaluated) entries above this match count take the full path.
+EAGER_MAX = 250_000
+
+
 @dataclass
 class _PerEntry:
     e: object  # OrderEntry
     mode: str  # "rank" | "value"
     largest: bool
     rows: np.ndarray  # candidate scope rows, in candidate (best-first) order
-    v: np.ndarray  # per-row key value (rank 1.. or raw value), f32
+    v: np.ndarray  # per-row key value (rank 1.. or raw value)
     exact: np.ndarray  # per-row: key exactly known
     boundary: Optional[float]  # worst returned item value; None = complete
     complete: bool
     bound_v: float  # optimistic key value for any unseen present row
+    present_mask: np.ndarray = None  # (n,) bool — rows where the entry applies
 
 
 def _item_rows_index(base):
@@ -243,8 +251,8 @@ def fused_page(ex, query, base, state, ctx, seed):
     if not items or items[0][1] != 0:
         return None  # primary order is a top-level arg — page isn't score-led
     group, rest_i = ex._take_group(items, 0)
-    if not all(getattr(e, "deferred", None) is not None for e in group):
-        return None  # mixed semantic/metadata primary group
+    if not any(getattr(e, "deferred", None) is not None for e in group):
+        return None  # no deferred entry leads the ordering
     in_group = set(map(id, group))
     for e in state.order_list:
         if e.deferred is not None and id(e) not in in_group:
@@ -262,8 +270,25 @@ def fused_page(ex, query, base, state, ctx, seed):
     else:
         gtype = "coalesce"
         desc_key = group[0].direction == "desc"
+    # Per-entry fetch plan: eager entries (host-evaluated filters like FTS
+    # rank joining a hybrid RRF) are complete by construction; deferred
+    # entries with a SMALL scope gather their scope's scores exactly (a
+    # metadata/FTS-filtered semantic search must rank within the scope, and
+    # a global top-kk rarely covers a narrow scope); everything else
+    # fetches boundary-certified candidates.
     specs = []
     for e in group:
+        if e.deferred is None:
+            if e.values is None or int(
+                np.count_nonzero(~np.isnan(e.values))
+            ) > EAGER_MAX:
+                return None
+            specs.append(("eager", False))
+            continue
+        scope_count = int(np.count_nonzero(e.deferred.scope_mask))
+        if scope_count <= GATHER_MAX:
+            specs.append(("gather", False))
+            continue
         spec = _entry_spec(e, gtype, desc_key)
         if spec is None:
             return None
@@ -284,7 +309,7 @@ def fused_page(ex, query, base, state, ctx, seed):
             rest_keys.append(ex._combine_group(group2, base.n))
 
     total = int(np.count_nonzero(ctx))
-    if gtype == "rrf":
+    if gtype == "rrf" and all(e.deferred is not None for e in group):
         # RRF needs every candidate's rank in EVERY space — per-space
         # candidate lists can't certify a page when spaces are independent
         # (a row top-ranked in one space has an unknown rank in the other).
@@ -321,7 +346,44 @@ def _attempt(
 ):
     per: list[_PerEntry] = []
     for e, (mode, largest) in zip(group, specs):
+        if mode == "eager":
+            # Host-evaluated filter (FTS rank, tag confidence…): its values
+            # array is already final and total — a complete entry.
+            present = ~np.isnan(e.values)
+            rows = np.flatnonzero(present)
+            per.append(_PerEntry(
+                e=e, mode="value", largest=False, rows=rows,
+                v=np.ascontiguousarray(e.values[rows]),
+                exact=np.ones(len(rows), dtype=bool), boundary=None,
+                complete=True, bound_v=np.inf, present_mask=present,
+            ))
+            continue
         d = e.deferred
+        if mode == "gather":
+            # Small scope: fetch the scope's own scores exactly.
+            rows = np.flatnonzero(d.scope_mask)
+            item_ids = base.col("item_id")[rows]
+            uniq, inv = np.unique(item_ids, return_inverse=True)
+            vals, ok = ex._deferred_gather(d, uniq)
+            rvals = vals[inv].astype(F32, copy=False)
+            okr = ok[inv]
+            rows = rows[okr]
+            rvals = rvals[okr]
+            s = d.sort
+            if s.row_n:
+                key = -rvals if s.row_n_direction == "desc" else rvals
+                order = np.lexsort((rows, key))
+                rows = rows[order]
+                v = np.arange(1, len(rows) + 1, dtype=F32)
+            else:
+                v = rvals
+            per.append(_PerEntry(
+                e=e, mode="rank" if s.row_n else "value", largest=False,
+                rows=rows, v=v, exact=np.ones(len(rows), dtype=bool),
+                boundary=None, complete=True, bound_v=np.inf,
+                present_mask=d.scope_mask,
+            ))
+            continue
         vals, slots, complete = ex._deferred_candidates(d, kk=kk, largest=largest)
         item_ids = ex._slot_item_ids(d.space, d.snap)[slots]
         rows, pos = _expand_items(base, item_ids)
@@ -360,6 +422,7 @@ def _attempt(
         per.append(_PerEntry(
             e=e, mode=mode, largest=largest, rows=rows, v=v, exact=exact,
             boundary=boundary, complete=complete, bound_v=float(bound_v),
+            present_mask=d.scope_mask,
         ))
 
     # Candidate row universe, restricted to the final context; ascending row
@@ -379,7 +442,10 @@ def _attempt(
     presentU = []
     unseen_present_possible = False
     for p in per:
-        vu = np.full(nu, np.nan, dtype=F32)
+        # Per-entry HOST dtype is load-bearing: the full path's RRF terms
+        # and coalesce stacks inherit each entry's array dtype (f32 ranks,
+        # f64 FTS scores); matching it keeps combined keys bit-identical.
+        vu = np.full(nu, np.nan, dtype=p.v.dtype if p.v.size else F32)
         ku = np.zeros(nu, dtype=bool)
         xu = np.zeros(nu, dtype=bool)
         if len(p.rows):
@@ -389,7 +455,7 @@ def _attempt(
             vu[posU[ok]] = p.v[ok]
             ku[posU[ok]] = True
             xu[posU[ok]] = p.exact[ok]
-        pu = p.e.deferred.scope_mask[U] if nu else np.zeros(0, bool)
+        pu = p.present_mask[U] if nu else np.zeros(0, bool)
         vU.append(vu)
         knownU.append(ku)
         exactU.append(xu)
@@ -540,8 +606,8 @@ def _extra_cols(ex, base, state, per, vU, knownU, exactU, U):
             out[e.select_as] = e.values
     for p, vu, ku, xu in zip(per, vU, knownU, exactU):
         alias = p.e.select_as
-        if not alias:
-            continue
+        if not alias or p.e.deferred is None:
+            continue  # eager aliases already carry their full arrays
         col = np.full(base.n, np.nan, dtype=F32)
         sel = ku & xu
         if len(U):

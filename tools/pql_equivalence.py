@@ -741,6 +741,56 @@ def build_shapes(db, rows, spaces, board_id, rng):
             ]}, "page_size": 10_000},
             lambda arm=arm: rrf_oracle(arm), mode="order")
 
+    def hybrid_oracle(arm):
+        """Hybrid FTS × embedding RRF (BASELINE config #4; reference
+        match_text.rs:18-70): FTS rank list fused with semantic ranks.
+        Rank scoping is sequential (AND order): FTS ranks over its own
+        matches; semantic ranks over FTS-matched ∧ embedded rows."""
+        # Mirror the engine's aggregate exactly: MAX(-rank), not -MAX(rank).
+        fts = {
+            r[0]: r[1]
+            for r in conn.execute(
+                """SELECT d.item_id, MAX(-fts.rank)
+                   FROM extracted_text t
+                   JOIN item_data d ON d.id = t.id
+                   JOIN (SELECT rowid, rank FROM extracted_text_fts
+                         WHERE extracted_text_fts MATCH ? LIMIT -1) fts
+                     ON fts.rowid = t.id
+                   GROUP BY d.item_id""",
+                ('"token"',),
+            ).fetchall()
+        }
+        fts_files = sorted(
+            (f for it, v in fts.items() for f in file_of_item.get(it, ())),
+        )
+        # row_n over (value desc, row asc) — MatchText row_n defaults desc.
+        r1_order = sorted(fts_files, key=lambda f: (-fts[by_file[f][1]], f))
+        r1 = {f: i + 1 for i, f in enumerate(r1_order)}
+        sem = {i: v for i, (v, _) in st.scores(
+            qst, distance="cosine", agg="min",
+            use_quant=(arm == "quant")).items()}
+        scope2 = [f for f in fts_files if by_file[f][1] in sem]
+        r2_order = sorted(scope2, key=lambda f: (sem[by_file[f][1]], f))
+        r2 = {f: i + 1 for i, f in enumerate(r2_order)}
+        members = scope2
+        totals = {
+            f: 1.0 / (60.0 + r1[f]) + 0.5 / (60.0 + r2[f]) for f in members
+        }
+        return sorted(members, key=lambda f: (-totals[f],) + tiebreak(f))
+
+    for arm in ("exact", "quant"):
+        add(f"hybrid-fts-rrf-{arm}",
+            {"query": {"and_": [
+                {"match_text": {"match": '"token"'},
+                 "order_by": True, "row_n": True, "priority": 5,
+                 "rrf": {"k": 60, "weight": 1.0}},
+                {"text_embeddings": {"query": b64(qst), "model": "st/test",
+                                     "embed": None, "index": arm},
+                 "row_n": True, "priority": 5,
+                 "rrf": {"k": 60, "weight": 0.5}},
+            ]}, "page_size": 10_000},
+            lambda arm=arm: hybrid_oracle(arm), mode="order")
+
     def coalesce_oracle(arm, desc):
         a = {i: v for i, (v, _) in clip.scores(
             qv, distance="cosine", agg="min", use_quant=(arm == "quant")).items()}
