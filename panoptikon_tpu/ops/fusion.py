@@ -84,9 +84,11 @@ def rrf_fuse_candidates(cand_ids, weights, *, k: int, rrf_k=60.0):
     return top_v, top_ids
 
 
-@functools.partial(jax.jit, static_argnames=("kk", "n_items"))
+@functools.partial(
+    jax.jit, static_argnames=("kk", "n_items", "contig_offsets")
+)
 def rank_join_topk(surfs, valids, item_idx, weights, rrf_ks, *, kk: int,
-                   n_items: int):
+                   n_items: int, contig_offsets=None):
     """EXACT device-side RRF rank join over full score surfaces.
 
     The serving answer to SURVEY §7 hard part 3: per-space distance
@@ -109,20 +111,34 @@ def rank_join_topk(surfs, valids, item_idx, weights, rrf_ks, *, kk: int,
     Returns (cand_items (kk,) int32, cand_ranks (kk, S) int32 with
     RANK_MISSING for absent, totals_f32 (kk,)).
     """
+    if contig_offsets is None:
+        contig_offsets = (None,) * len(surfs)
     total = jnp.zeros((n_items,), jnp.float32)
     item_ranks = []
-    for si, (surf, valid, idx) in enumerate(zip(surfs, valids, item_idx)):
+    for si, (surf, valid, idx, off) in enumerate(
+        zip(surfs, valids, item_idx, contig_offsets)
+    ):
         key = jnp.where(valid, surf, jnp.inf)
-        order = jnp.argsort(key)  # stable: ties by slot index
         m = key.shape[0]
-        rank = jnp.zeros((m,), jnp.int32).at[order].set(
-            jnp.arange(1, m + 1, dtype=jnp.int32)
+        # Inverse permutation via double argsort: a positional scatter
+        # costs ~70 ms at 4M on this chip; the second argsort rides the
+        # already-sorted keys for ~10 ms (measured, tools/rank_join_probe).
+        rank = (
+            jnp.argsort(jnp.argsort(key)).astype(jnp.int32) + jnp.int32(1)
         )
         rank = jnp.where(valid, rank, RANK_MISSING)
-        safe_idx = jnp.where(idx >= 0, idx, n_items)  # pads → scrap slot
-        ir = jnp.full((n_items + 1,), RANK_MISSING, jnp.int32)
-        ir = ir.at[safe_idx].min(rank)
-        ir = ir[:n_items]
+        if off is not None:
+            # Contiguous slot→item map (fresh corpora: item id = slot +
+            # off): pad/slice instead of a scatter (~100 ms saved at 4M).
+            ir = jnp.pad(
+                rank, (off, max(n_items - off - m, 0)),
+                constant_values=RANK_MISSING,
+            )[:n_items]
+        else:
+            safe_idx = jnp.where(idx >= 0, idx, n_items)  # pads → scrap
+            ir = jnp.full((n_items + 1,), RANK_MISSING, jnp.int32)
+            ir = ir.at[safe_idx].min(rank)
+            ir = ir[:n_items]
         item_ranks.append(ir)
         contrib = jnp.where(
             ir < RANK_MISSING,

@@ -1588,7 +1588,17 @@ class Executor:
             mapped = np.where(
                 (mapped >= 0) & (mapped < n_items), mapped, -1
             ).astype(np.int32)
-            return jax.device_put(mapped)
+            # Contiguity (item id = slot + offset) unlocks the kernel's
+            # pad/slice path over a device scatter (~100 ms at 4M).
+            off = None
+            if len(mapped) and mapped[0] >= 0:
+                first = int(mapped[0])
+                if np.array_equal(
+                    mapped,
+                    np.arange(first, first + len(mapped), dtype=np.int32),
+                ):
+                    off = first
+            return jax.device_put(mapped), off
 
         return self._static_get(key, build)
 
@@ -1601,20 +1611,22 @@ class Executor:
         from panoptikon_tpu.ops import fusion
 
         multi = jax.device_count() > 1
-        surfs, valids, idxs, ws, ks = [], [], [], [], []
+        surfs, valids, idxs, offs, ws, ks = [], [], [], [], [], []
         for e in group:
             d = e.deferred
             dist, valid, _packed = self._deferred_surface(d)
             surfs.append(dist[0])
             valids.append(valid[0])
-            idxs.append(self._rrf_item_index(d, multi, n_items))
+            idx_dev, off = self._rrf_item_index(d, multi, n_items)
+            idxs.append(idx_dev)
+            offs.append(off)
             rrf = e.rrf or pql.Rrf()
             ws.append(rrf.weight)
             ks.append(rrf.k)
         cand, cand_ranks, t32 = fusion.rank_join_topk(
             tuple(surfs), tuple(valids), tuple(idxs),
             np.asarray(ws, np.float32), np.asarray(ks, np.float32),
-            kk=kk, n_items=n_items,
+            kk=kk, n_items=n_items, contig_offsets=tuple(offs),
         )
         cand = np.asarray(cand).astype(np.int64)
         cand_ranks = np.asarray(cand_ranks).astype(np.float64)

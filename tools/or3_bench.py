@@ -1,0 +1,310 @@
+#!/usr/bin/env python
+"""BASELINE config #5: 3-space OR-composition ranking at chip capacity.
+
+"multi-model PQL fusion: CLIP + tagger + text-embedding spaces,
+OR-composition ranking over 10M vectors sharded across chips"
+(BASELINE.json configs[4]; reference anchor
+/root/reference/docs/or-composition-penalty.md:41-57 — the reference's
+composed OR query cost 12.4–15.9 s before its fix, 2.5 s after).
+
+One v5e chip's HBM holds ≈7M int8 vectors in the 512/768/1024 mix
+(4M + 2M + 1M = 4.5 GB of codes); this rig builds exactly that, measures
+the composed OR-of-3 RRF query THROUGH THE EXECUTOR'S FUSED PATH (the
+device rank join — pql/fused.py), asserts the full-readback fallback never
+fires, and reports per-space int8-vs-f32 recall@10 measured on the same
+corpora before the f32 arms are freed. Corpora are generated and quantized
+ON DEVICE (the tunnel reads back at ~11 MB/s, so nothing bulk ever crosses
+host-ward); the executor sees prepopulated device caches plus host-side
+metadata, which is exactly what it sees in production after upload.
+
+The 10M/8-chip projection: 10M vectors in the same mix ≈ 6.4 GB of codes —
+sharded over 8 chips that is 0.8 GB/chip of HBM, and the composed scan
+reads each byte once per query; `dryrun_multichip` runs this same 3-space
+OR composition on the 8-device mesh and asserts it equals the single-chip
+oracle, so capacity, not correctness, is the only scaling variable.
+
+Usage: python tools/or3_bench.py [--quick]     (import: run() for bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+import types
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+class _Snap:
+    """SpaceSnapshot stand-in: metadata host-side, payload device-side."""
+
+    def __init__(self, n, dim, scale, generation=1):
+        self.generation = generation
+        self.dim = dim
+        self.size = n
+        self.capacity = n
+        self.num_groups = n
+        self.group_ids = np.arange(n, dtype=np.int32)
+        self.row_valid = np.ones(n, dtype=bool)
+        self.weights = np.ones(n, dtype=np.float32)
+        self.row_ids = np.arange(1, n + 1, dtype=np.int64)
+        self.scale = scale
+        self.quant_ready = True
+        self.codes = None  # device-resident; the exec cache is prepopulated
+        self.vectors = None
+
+
+class _Index:
+    def __init__(self):
+        self.snaps = {}
+
+    def snapshot(self, space):
+        return self.snaps[space]
+
+    def item_id_of_groups(self, space, slots):
+        return np.asarray(slots, dtype=np.int64) + 1
+
+
+def _build_base(n):
+    from panoptikon_tpu.db.epochs import EPOCHS
+    from panoptikon_tpu.pql.executor import BaseSnapshot
+
+    cols = {
+        "file_id": np.arange(1, n + 1, dtype=np.int64),
+        "item_id": np.arange(1, n + 1, dtype=np.int64),
+        "sha256": np.full(n, "00" * 32, dtype=object),
+        "path": np.full(n, "/m/x.png", dtype=object),
+        "filename": np.full(n, "x.png", dtype=object),
+        "last_modified": np.full(n, "2026-01-01T00:00:00", dtype=object),
+        "md5": np.full(n, "0" * 32, dtype=object),
+        "type": np.full(n, "image/png", dtype=object),
+        "size": np.full(n, 1000.0),
+        "width": np.full(n, 640.0),
+        "height": np.full(n, 480.0),
+        "duration": np.full(n, np.nan),
+        "audio_tracks": np.zeros(n),
+        "video_tracks": np.zeros(n),
+        "subtitle_tracks": np.zeros(n),
+        "blurhash": np.full(n, "", dtype=object),
+        "time_added": np.full(n, "2026-01-01T00:00:00", dtype=object),
+    }
+    return BaseSnapshot(
+        entity="file", epoch=EPOCHS.index_epoch("or3"), columns=cols, n=n
+    )
+
+
+def _device_space(jax, jnp, codec, scoring, *, n, d, seed, recall_queries,
+                  chunks=8):
+    """Build one space on device; return (codes, sumsq, scale, recall@10)."""
+    import functools
+
+    key = jax.random.key(seed)
+    rows = n // chunks
+    assert rows * chunks == n
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def gen_chunk(ck, buf, start):
+        c = jax.random.normal(ck, (rows, d), dtype=jnp.float32)
+        c = c / jnp.linalg.norm(c, axis=1, keepdims=True)
+        # `start` stays a traced scalar: a Python int would bake into the
+        # HLO and recompile per chunk.
+        return jax.lax.dynamic_update_slice(
+            buf, c, (start, jnp.int32(0))
+        ), jnp.max(jnp.abs(c))
+
+    vecs = jnp.zeros((n, d), dtype=jnp.float32)
+    absmax = 0.0
+    for i in range(chunks):
+        vecs, am = gen_chunk(
+            jax.random.fold_in(key, i), vecs, jnp.int32(i * rows)
+        )
+        absmax = max(absmax, float(am))
+    scale = codec.scale_from_absmax(absmax)
+    codes = jax.jit(lambda v: codec.quantize_int8_jax(v, scale))(vecs)
+    sumsq = jax.jit(scoring.row_sumsq)(codes)
+    # recall@10 int8 vs the f32 exact arm, while the f32 is still resident.
+    qk = jax.random.key(seed + 99)
+    q = jax.random.normal(qk, (recall_queries, d), dtype=jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    qc = codec.quantize_int8_jax(q, scale)
+    f32_sumsq = scoring.row_sumsq_chunked(vecs)
+    ev, ei, _ = scoring.streaming_topk(
+        vecs, f32_sumsq, jnp.ones((n,), bool), q, k=10, distance="cosine",
+        chunk_rows=n // chunks,
+    )
+    qv, qi, _ = scoring.int8_topk_rescored(
+        codes, sumsq, jnp.ones((n,), bool), codes, qc, qc, k=10,
+        oversample=4, distance="cosine", scale=scale, rescore=False,
+    )
+    ei = np.asarray(ei)
+    qi = np.asarray(qi)
+    recall = float(np.mean([
+        len(set(ei[i]) & set(qi[i])) / 10.0 for i in range(len(ei))
+    ]))
+    del vecs, f32_sumsq
+    return codes, sumsq, scale, recall
+
+
+def run(n1=4_000_000, n2=2_000_000, n3=1_000_000, seq=24, threads=8,
+        thread_total=96, recall_queries=32, log=print) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from panoptikon_tpu.ops import codec, scoring
+    from panoptikon_tpu.pql import model as pql
+    from panoptikon_tpu.pql.executor import Executor
+    from panoptikon_tpu.utils import npy
+
+    import base64
+
+    dims = {"clip/or3": (n1, 512, 1), "tags/or3": (n2, 768, 2),
+            "st/or3": (n3, 1024, 3)}
+    index = _Index()
+    ex = Executor(types.SimpleNamespace(name="or3"), index, manager=None)
+    ex.device_cache_budget = 16 << 30
+    out = {"corpus": {k: {"n": v[0], "d": v[1]} for k, v in dims.items()}}
+    t_all = time.perf_counter()
+    recalls = {}
+    for space, (n, d, seed) in dims.items():
+        t0 = time.perf_counter()
+        codes, sumsq, scale, recall = _device_space(
+            jax, jnp, codec, scoring, n=n, d=d, seed=seed,
+            recall_queries=recall_queries,
+        )
+        snap = _Snap(n, d, scale)
+        index.snaps[space] = snap
+        key = (space, snap.generation, True)
+        with ex._cache_lock:
+            ex._device_cache[key] = {
+                "corpus": codes,
+                "sumsq": sumsq,
+                "group_ids": jax.device_put(snap.group_ids),
+                "weights": jax.device_put(snap.weights),
+                "row_valid": jax.device_put(snap.row_valid),
+            }
+            ex._device_cache_bytes[key] = int(codes.nbytes)
+        recalls[space] = round(recall, 4)
+        log(f"[or3] {space}: n={n} d={d} recall@10={recall:.4f} "
+            f"({time.perf_counter()-t0:.0f}s)")
+    out["recall_at_10_int8_vs_f32"] = recalls
+    out["build_s"] = round(time.perf_counter() - t_all, 1)
+
+    base = _build_base(n1)
+    ex._base_cache["file"] = base
+
+    def fail_materialize(*a, **k):
+        raise RuntimeError("fused 3-space OR fell back to full readback")
+
+    ex._materialize_deferred = fail_materialize
+
+    def b64(v):
+        return base64.standard_b64encode(
+            npy.serialize_npy(np.asarray(v, np.float32))
+        ).decode()
+
+    rng = np.random.default_rng(11)
+
+    def payload():
+        def leaf(space, d, w):
+            v = rng.standard_normal(d).astype(np.float32)
+            v /= np.linalg.norm(v)
+            return {"image_embeddings": {
+                "query": b64(v), "model": space, "embed": None,
+                "index": "quant"},
+                "row_n": True, "priority": 5,
+                "rrf": {"k": 60, "weight": w}}
+
+        return {"query": {"or_": [
+            leaf("clip/or3", 512, 1.0),
+            leaf("tags/or3", 768, 0.8),
+            leaf("st/or3", 1024, 0.6),
+        ]}, "page_size": 10}
+
+    # Warm (compiles: 3 surfaces + rank join + top_k).
+    t0 = time.perf_counter()
+    r = ex.execute(pql.PqlQuery.from_json(payload()))
+    assert r.count == n1 and len(r.results) == 10
+    out["warm_s"] = round(time.perf_counter() - t0, 1)
+    ex.execute(pql.PqlQuery.from_json(payload()))
+
+    # One-query parity: the fused device rank join must equal the
+    # full-readback path on the REAL chip (the CPU-mesh suites cover the
+    # scatter layout; this covers the contiguous fast path).
+    parity_q = pql.PqlQuery.from_json(payload())
+    got = [x["file_id"] for x in ex.execute(parity_q).results]
+    mat = ex._materialize_deferred
+    try:
+        ex._materialize_deferred = type(ex)._materialize_deferred.__get__(ex)
+        ex.enable_fused = False
+        want = [x["file_id"] for x in ex.execute(parity_q).results]
+    finally:
+        ex.enable_fused = True
+        ex._materialize_deferred = mat
+    assert got == want, f"fused != full on chip: {got[:5]} vs {want[:5]}"
+    out["parity_fused_vs_full"] = True
+
+    lats = []
+    for _ in range(seq):
+        t0 = time.perf_counter()
+        r = ex.execute(pql.PqlQuery.from_json(payload()))
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    out["or3_p50_ms"] = round(lats[len(lats) // 2] * 1e3, 2)
+    out["or3_p95_ms"] = round(
+        lats[min(len(lats) - 1, int(len(lats) * 0.95))] * 1e3, 2
+    )
+
+    payloads = [pql.PqlQuery.from_json(payload()) for _ in range(thread_total)]
+    errs = []
+
+    def drive(chunk):
+        try:
+            for q in chunk:
+                ex.execute(q)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    parts = [payloads[i::threads] for i in range(threads)]
+    t0 = time.perf_counter()
+    ts = [threading.Thread(target=drive, args=(p,)) for p in parts]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if errs:
+        raise errs[0]
+    out["or3_qps"] = round(thread_total / (time.perf_counter() - t0), 1)
+    out["hbm_codes_gb"] = round(
+        sum(n * d for n, d, _ in dims.values()) / 2**30, 2
+    )
+    out["projection_10M_8chip"] = (
+        "10M vectors in the same 512/768/1024 mix = 6.4 GB int8 codes; "
+        "sharded over 8 chips = 0.8 GB/chip; dryrun_multichip asserts the "
+        "sharded 3-space OR equals the single-chip oracle"
+    )
+    log(f"[or3] composed OR-of-3 RRF: p50={out['or3_p50_ms']} ms, "
+        f"QPS={out['or3_qps']} over {out['hbm_codes_gb']} GB of codes")
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        out = run(n1=400_000, n2=200_000, n3=100_000, seq=8,
+                  thread_total=24, recall_queries=8)
+    else:
+        out = run()
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
