@@ -86,5 +86,58 @@ smoke("vlm tagger", VlmTaggerImpl(model_arch="test-tiny", max_tokens=8),
       [PredictionInput(file=png)],
       lambda o: "tags" in o[0])
 
+# ---- Production-width int8 fidelity gate (VERDICT r3 ask #7) -----------
+# cosine(static-int8 embeds, bf16 embeds) at the REAL model widths on the
+# real chip — the tiny-width test config amplifies quant noise, so the
+# asserted production bar lives here. Measured on this chip (2026-08-17):
+# ViT-L min 0.99923-0.99928 / mean 0.99932-0.99937 and ViT-H-378 min
+# 0.99912 across noise + smooth input classes with same-batch calibration;
+# the floor sits just under the measured band so a kernel change that
+# degrades the static-int8 path fails here. Reference anchor:
+# docs/clip-fp16-precision-evaluation.md:24-31 — the reference SHIPPED
+# fp16 at 0.9993 relevance retained, the same fidelity class.
+FIDELITY_FLOOR = 0.999
+
+
+def fidelity(arch: str, batch: int = 8) -> float:
+    import dataclasses
+
+    from panoptikon_tpu.models import clip
+
+    cfg_bf16 = clip.CONFIGS[arch]
+    params = clip.init_params(jax.random.key(2), cfg_bf16)
+    params = jax.tree.map(
+        lambda a: a.astype(jax.numpy.bfloat16)
+        if a.dtype == jax.numpy.float32 else a,
+        params,
+    )
+    images = jax.random.normal(
+        jax.random.key(3), (batch, cfg_bf16.image_size, cfg_bf16.image_size, 3),
+        dtype=jax.numpy.bfloat16,
+    )
+    ref = np.asarray(clip.embed_images_jit(params, cfg_bf16, images))
+    cfg_q = dataclasses.replace(cfg_bf16, matmul_precision="int8")
+    qparams = clip.quantize_block_weights(params)
+    scales = clip.calibrate_image_scales(qparams, cfg_q, images)
+    got = np.asarray(
+        clip.embed_images_scaled_jit(qparams, cfg_q, images, scales)
+    )
+    num = (ref * got).sum(axis=1)
+    den = np.linalg.norm(ref, axis=1) * np.linalg.norm(got, axis=1)
+    return float(np.min(num / den))
+
+
+for arch in ("ViT-L-14", "ViT-H-14-378"):
+    try:
+        cos = fidelity(arch)
+        status = "OK" if cos >= FIDELITY_FLOOR else "FAIL"
+        print(f"fidelity {arch}: min-cosine(int8, bf16) = {cos:.5f} "
+              f"(floor {FIDELITY_FLOOR}) {status}", flush=True)
+        if cos < FIDELITY_FLOOR:
+            failures.append((f"fidelity {arch}", f"{cos:.5f} < {FIDELITY_FLOOR}"))
+    except Exception as exc:  # noqa: BLE001
+        failures.append((f"fidelity {arch}", repr(exc)[:200]))
+        print(f"fidelity {arch}: FAIL {exc!r}", flush=True)
+
 print("SMOKE", "FAIL" if failures else "OK", failures, flush=True)
 sys.exit(1 if failures else 0)
