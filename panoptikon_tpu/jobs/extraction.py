@@ -173,6 +173,36 @@ def run_extraction_job(
     after = 0
     pending_vectors: list[tuple[int, int, np.ndarray, float]] = []
 
+    # Bounded-concurrency loading (the reference's loader_slots + KiB
+    # budget_slots semaphores, extraction.rs:462-478): file reads + decode
+    # overlap while inference output order stays deterministic; the byte
+    # budget caps in-flight payload memory so a run of large videos can't
+    # balloon the host heap. The loop keeps ONE chunk of lookahead in
+    # flight: the loader threads read/decode batch k+1 WHILE the device
+    # embeds batch k, so host decode tracks the TPU embed rate instead of
+    # serializing in front of it (the overlap extraction.rs gets from its
+    # spawned loader tasks; measured in tools/build_bench.py).
+    pool = None
+    if loader_concurrency > 1 and target_entity == "items":
+        from concurrent.futures import ThreadPoolExecutor
+
+        budget = ByteBudget(LOADER_BUDGET_BYTES)
+        pool = ThreadPoolExecutor(max_workers=loader_concurrency)
+
+        def load_one(row):
+            # row[3] is the item size from the work query.
+            est = int(row[3]) if len(row) == 4 and row[3] else 1 << 20
+            with budget.hold(est):
+                return _load_payloads(
+                    db.reader(), db, row, target_entity, threshold,
+                    input_handler, input_handler_opts,
+                )
+
+    def submit_chunk(chunk):
+        if pool is None:
+            return chunk, None
+        return chunk, [pool.submit(load_one, row) for row in chunk]
+
     while not cancelled():
         if target_entity == "items":
             work = store.unprocessed_items(
@@ -184,33 +214,22 @@ def run_extraction_job(
         if not work:
             break
         after = work[-1][0]
-        for chunk_start in range(0, len(work), batch_size):
+        chunks = [
+            work[s : s + batch_size] for s in range(0, len(work), batch_size)
+        ]
+        pending = submit_chunk(chunks[0])
+        for ci in range(len(chunks)):
             if cancelled():
                 break
-            chunk = work[chunk_start : chunk_start + batch_size]
+            chunk, futures = pending
+            pending = (
+                submit_chunk(chunks[ci + 1]) if ci + 1 < len(chunks)
+                else (None, None)
+            )
             t0 = time.perf_counter()
             inputs, loadable, spans = [], [], []
-            # Bounded-concurrency loading (the reference's loader_slots +
-            # KiB budget_slots semaphores, extraction.rs:462-478): file
-            # reads + decode overlap while inference output order stays
-            # deterministic; the byte budget caps in-flight payload memory
-            # so a run of large videos can't balloon the host heap.
-            if loader_concurrency > 1 and target_entity == "items":
-                from concurrent.futures import ThreadPoolExecutor
-
-                budget = ByteBudget(LOADER_BUDGET_BYTES)
-
-                def load_one(row):
-                    # row[3] is the item size from the work query.
-                    est = int(row[3]) if len(row) == 4 and row[3] else 1 << 20
-                    with budget.hold(est):
-                        return _load_payloads(
-                            db.reader(), db, row, target_entity, threshold,
-                            input_handler, input_handler_opts,
-                        )
-
-                with ThreadPoolExecutor(max_workers=loader_concurrency) as pool:
-                    loaded = list(pool.map(load_one, chunk))
+            if futures is not None:
+                loaded = [f.result() for f in futures]
             else:
                 loaded = [
                     _load_payloads(
@@ -307,6 +326,9 @@ def run_extraction_job(
                 )
                 report.processed += 1
         report.summary.wrote_data = True
+
+    if pool is not None:
+        pool.shutdown(wait=True)
 
     # Flush device-index appends in row-id order.
     if pending_vectors:
@@ -413,6 +435,23 @@ def _load_payloads(
         if input_handler == "sha256_md5_path":
             data["sha256"] = row_meta[1]
             data["path"] = file_row[0]
+        return [PredictionInput(data=data)]
+    if input_handler == "decoded_image":
+        # Decode + model-native preprocess IN THE LOADER THREAD (PIL
+        # releases the GIL for decode/resize), so the manager thread ships
+        # ready pixel batches to the device instead of serializing decode
+        # in front of every embed (the host-decode saturation SURVEY §7
+        # hard part 6 predicts; measured in tools/build_bench.py).
+        from panoptikon_tpu.models.base import SlotError
+        from panoptikon_tpu.models.impls import decode_image
+
+        opts = input_handler_opts or {}
+        size = int(opts.get("size", 224))
+        try:
+            arr = decode_image(payload, size)
+        except SlotError as err:
+            return LoadError("decode", err.error_class, None, err.message)
+        data["pixels"] = arr
         return [PredictionInput(data=data)]
     if input_handler == "audio_tracks":
         from panoptikon_tpu.jobs import media

@@ -186,6 +186,19 @@ class ClipImpl(InferenceModel):
                     image_pos.append(i)
                 except SlotError as err:
                     outputs[i] = err.to_slot()
+            elif isinstance(inp.data, dict) and "pixels" in inp.data:
+                # Pre-decoded pixels from the `decoded_image` input handler:
+                # the loader pool already ran decode_image, so this thread
+                # goes straight to the device batch.
+                arr = np.asarray(inp.data["pixels"], dtype=np.float32)
+                want = (self.cfg.image_size, self.cfg.image_size, 3)
+                if arr.shape != want:
+                    outputs[i] = SlotError(
+                        "input", f"pixels shape {arr.shape} != {want}"
+                    ).to_slot()
+                else:
+                    images.append(arr)
+                    image_pos.append(i)
             elif isinstance(inp.data, dict) and "text" in inp.data:
                 texts.append(str(inp.data["text"]))
                 text_pos.append(i)

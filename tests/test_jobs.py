@@ -291,6 +291,54 @@ class TestExtraction:
         remaining = store.count_unprocessed(conn, "flaky", ["image/"])
         assert remaining == 1
 
+    def test_decoded_image_handler_matches_in_predict_decode(self, env):
+        """The `decoded_image` loader-thread handler (build-path pipeline
+        overlap, tools/build_bench.py) must produce byte-identical
+        embeddings to the decode-in-predict path, across multiple chunks so
+        the prefetch lookahead is exercised."""
+        media = env["media"]
+        for i in range(9):  # + 3 fixture images = 12 items, 6 chunks of 2
+            make_png(media / f"extra_{i}.png", (i * 20 % 255, 40, 90))
+        self._scan(env)
+        kwargs = dict(
+            db=env["db"], writer=env["writer"], index=env["index"],
+            manager=env["manager"], inference_id="clip/tiny",
+            output_type="clip", batch_size=2, loader_concurrency=4,
+        )
+        extraction.run_extraction_job(
+            setter_name="decoded", input_handler="decoded_image",
+            input_handler_opts={"size": 32}, **kwargs,
+        )
+        extraction.run_extraction_job(setter_name="plain", **kwargs)
+        conn = env["db"].reader()
+        rows = conn.execute(
+            """SELECT s.name, d.item_id, e.embedding FROM embeddings e
+               JOIN item_data d ON d.id = e.id
+               JOIN setters s ON s.id = d.setter_id
+               ORDER BY d.item_id, s.name"""
+        ).fetchall()
+        by_setter = {}
+        for setter, item_id, blob in rows:
+            by_setter.setdefault(setter, {})[item_id] = blob
+        assert len(by_setter["decoded"]) == 12
+        assert by_setter["decoded"].keys() == by_setter["plain"].keys()
+        for item_id, blob in by_setter["decoded"].items():
+            assert blob == by_setter["plain"][item_id], item_id
+
+    def test_decoded_image_handler_bad_payload_is_input_error(self, env):
+        media = env["media"]
+        (media / "broken.png").write_bytes(b"\x89PNG\r\n\x1a\n garbage")
+        self._scan(env)
+        report = extraction.run_extraction_job(
+            db=env["db"], writer=env["writer"], index=env["index"],
+            manager=env["manager"], inference_id="clip/tiny",
+            setter_name="decerr", output_type="clip",
+            input_handler="decoded_image", input_handler_opts={"size": 32},
+            loader_concurrency=2,
+        )
+        assert report.processed == 3
+        assert report.input_errors == 1
+
 
 class TestQueue:
     def test_cancel_pending_job(self):
