@@ -791,3 +791,39 @@ class TestDesktopLifecycle:
         )
         assert status == 400
         assert "LD_PRELOAD" not in os.environ
+
+
+class TestUiUserFlow:
+    def test_search_inspect_bookmark_flow(self, client_env):
+        """The built-in UI's primary user journey, driven as the exact
+        endpoint sequence its JS performs (ui.html:344 insp-bookmark,
+        :395 loadBookmarks): search → open the inspector's item payload →
+        bookmark it → find it in the bookmarks view (VERDICT r3 ask #10)."""
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders",
+             json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+        # 1. Search (the UI's default match-all query).
+        status, res = call(
+            "POST", "/api/search/pql", json={"page_size": 12},
+        )
+        assert status == 200 and res["results"], res
+        sha = res["results"][0]["sha256"]
+        # 2. Inspector payload (item + its text/tags), thumbnail served.
+        status, item = call("GET", f"/api/items/{sha}")
+        assert status == 200 and item["sha256"] == sha
+        status, _ = call("GET", f"/api/items/{sha}/thumbnail")
+        assert status == 200
+        # 3. Bookmark from the inspector button.
+        status, _ = call("PUT", f"/api/bookmarks/user/default/{sha}", json={})
+        assert status in (200, 201, 204)
+        # 4. The bookmarks view lists it.
+        status, listing = call("GET", "/api/bookmarks/user")
+        assert status == 200
+        rows = listing if isinstance(listing, list) else listing["bookmarks"]
+        assert sha in [b["sha256"] for b in rows]
+        # 5. The UI page itself carries the flow's wiring.
+        _, page = call("GET", "/ui")
+        text = bytes(page).decode()
+        for marker in ("insp-bookmark", "/api/bookmarks/user", "openItem"):
+            assert marker in text, marker

@@ -52,6 +52,9 @@ def _seed_db(state, name: str, n: int) -> float:
     writer = state.writers.get(db)
     t0 = time.perf_counter()
 
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "ocean",
+             "forest", "mountain", "river"]
+
     def unit(conn):
         conn.executemany(
             "INSERT INTO items (id, sha256, md5, type, size, time_added)"
@@ -68,6 +71,27 @@ def _seed_db(state, name: str, n: int) -> float:
             (
                 (i, f"{i:08x}" + "0" * 56, i, f"/corpus/{i:07d}.png",
                  f"{i:07d}.png", "2026-01-01T00:00:00")
+                for i in range(1, n + 1)
+            ),
+        )
+        # 1M text chunks under an OCR setter (BASELINE #4's hybrid corpus):
+        # item_data id i pairs with extracted_text id i, live FTS triggers.
+        cur = conn.execute("INSERT INTO setters (name) VALUES ('ocr/e2e')")
+        sid = cur.lastrowid
+        conn.executemany(
+            "INSERT INTO item_data (id, item_id, setter_id, data_type, idx,"
+            " is_origin) VALUES (?,?,?,?,0,1)",
+            ((i, i, sid, "text") for i in range(1, n + 1)),
+        )
+        conn.executemany(
+            "INSERT INTO extracted_text (id, text, language,"
+            " language_confidence, confidence, text_length)"
+            " VALUES (?,?,?,?,?,?)",
+            (
+                (i,
+                 f"{words[i % 10]} {words[(i // 10) % 10]} "
+                 f"{words[(i // 100) % 10]} tok{i % 5000:04d}",
+                 "en", 0.9, 0.8, 40)
                 for i in range(1, n + 1)
             ),
         )
@@ -131,7 +155,7 @@ async def _measure(session, url, payload, *, warm: int, seq: int,
                 sorted(compiles)[len(compiles) // 2] * 1e3, 2)}
 
 
-def run(n: int = 1_000_000, d: int = 512, n2: int = 250_000, d2: int = 768,
+def run(n: int = 1_000_000, d: int = 512, n2: int = 1_000_000, d2: int = 768,
         seq: int = 32, conc: int = 16, conc_total: int = 160,
         log=print) -> dict:
     import jax  # noqa: F401  (claims the device before the server spawns)
@@ -185,6 +209,34 @@ def run(n: int = 1_000_000, d: int = 512, n2: int = 250_000, d2: int = 768,
                 "page_size": 10,
             }
 
+        def hybrid_payload(i):
+            # Hybrid FTS × embedding RRF over 1M text chunks (BASELINE #4;
+            # reference match_text.rs:18-70): each token matches ~n/5000
+            # chunks, so the semantic side ranks inside a narrow scope —
+            # the fused path's device-gather shape.
+            tok = f"tok{(7 + 13 * (i % 997)) % 5000:04d}"
+            return {
+                "query": {"and_": [
+                    {"match_text": {"match": f'"{tok}"'}, "order_by": True,
+                     "row_n": True, "priority": 5,
+                     "rrf": {"k": 60, "weight": 1.0}},
+                    {"text_embeddings": {
+                        "query": _b64(qvec(d2)), "model": "st/e2e",
+                        "embed": None, "index": "quant"},
+                     "row_n": True, "priority": 5,
+                     "rrf": {"k": 60, "weight": 0.5}},
+                ]},
+                "page_size": 10,
+            }
+
+        def fts_payload(i):
+            tok = f"tok{(3 + 29 * (i % 997)) % 5000:04d}"
+            return {
+                "query": {"match_text": {"match": f'"{tok}"'},
+                          "order_by": True},
+                "page_size": 10,
+            }
+
         cached_payload = single_payload(0)
 
         async def drive():
@@ -215,6 +267,18 @@ def run(n: int = 1_000_000, d: int = 512, n2: int = 250_000, d2: int = 768,
                     )
                     log(f"[e2e] rrf 2-space: {out['rrf_2space']} "
                         f"({time.perf_counter()-t0:.0f}s)")
+                    t0 = time.perf_counter()
+                    out["hybrid_fts_rrf"] = await _measure(
+                        session, url, None, warm=3, seq=seq, conc=conc,
+                        conc_total=conc_total, make_payload=hybrid_payload,
+                    )
+                    log(f"[e2e] hybrid FTS×RRF: {out['hybrid_fts_rrf']} "
+                        f"({time.perf_counter()-t0:.0f}s)")
+                    out["fts_only"] = await _measure(
+                        session, url, None, warm=2, seq=seq, conc=conc,
+                        conc_total=conc_total, make_payload=fts_payload,
+                    )
+                    log(f"[e2e] FTS-only: {out['fts_only']}")
                     out["cache_hit"] = await _measure(
                         session, url, cached_payload, warm=2, seq=seq,
                         conc=conc, conc_total=conc_total,
