@@ -353,7 +353,39 @@ def main() -> None:
             print(f"[bench] e2e server bench failed: {exc}", file=sys.stderr)
             e2e = {"error": str(exc)}
 
-    # 5) 5M×512 memory parity: int8 scan + bf16 rescore (3 B/dim resident).
+    # 5) BASELINE config #5: 3-space OR-of-RRF composition at one-chip
+    # capacity (4M×512 + 2M×768 + 1M×1024 int8 = 7 GB of codes), through
+    # the executor's FUSED device path with on-chip fused-vs-full parity.
+    or3 = None
+    if "--skip-or3" not in sys.argv:
+        try:
+            from tools import or3_bench
+
+            or3 = or3_bench.run(
+                seq=16, thread_total=48, recall_queries=8,
+                log=lambda *a: print(*a, file=sys.stderr),
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] or3 bench failed: {exc}", file=sys.stderr)
+            or3 = {"error": str(exc)}
+
+    # 6) BASELINE config #3: the BUILD path — scan → decode → embed
+    # (static-int8 ViT-L/14) → quantize → insert over 50k generated JPEGs,
+    # plus the decode-in-predict baseline that shows the host-decode
+    # saturation point.
+    build = None
+    if "--skip-build" not in sys.argv:
+        try:
+            from tools import build_bench
+
+            build = build_bench.run(
+                n=50_000, log=lambda *a: print(*a, file=sys.stderr)
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] build bench failed: {exc}", file=sys.stderr)
+            build = {"error": str(exc)}
+
+    # 7) 5M×512 memory parity: int8 scan + bf16 rescore (3 B/dim resident).
     # q_batch kept at 256: XLA materializes the (Q, N) f32 distance matrix
     # on this path when it does not fuse approx_min_k into the GEMM; at
     # 5M rows a 1024-query batch is a 19 GiB intermediate (> HBM).
@@ -393,6 +425,8 @@ def main() -> None:
                     "oversample": oversample,
                     "recall_floor": RECALL_FLOOR,
                     "e2e_server": e2e,
+                    "or3_composition": or3,
+                    "build_path": build,
                 },
             }
         )

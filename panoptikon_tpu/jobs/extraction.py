@@ -228,6 +228,7 @@ def run_extraction_job(
             )
             t0 = time.perf_counter()
             inputs, loadable, spans = [], [], []
+            batch_writes: list[tuple[int, tuple, Any]] = []
             if futures is not None:
                 loaded = [f.result() for f in futures]
             else:
@@ -320,11 +321,12 @@ def run_extraction_job(
                     report.input_errors += 1
                     continue
                 merged = _merge_outputs(output_type, kept)
-                _write_output(
-                    writer, index, output_type, setter, setter_id, job_id,
-                    item_id, row, merged, report, pending_vectors,
+                batch_writes.append((item_id, row, merged))
+            if batch_writes:
+                _flush_writes(
+                    writer, output_type, setter_id, job_id, batch_writes,
+                    report, pending_vectors,
                 )
-                report.processed += 1
         report.summary.wrote_data = True
 
     if pool is not None:
@@ -504,80 +506,93 @@ def _merge_outputs(output_type: str, outputs: list):
     return outputs[0]
 
 
-def _write_output(
-    writer, index, output_type, setter, setter_id, job_id, item_id, row,
-    output, report, pending_vectors,
+def _flush_writes(
+    writer, output_type, setter_id, job_id, batch_writes, report,
+    pending_vectors,
 ):
-    decoded = _decode_outputs(output_type, output)
+    """Persist one dispatch batch's outputs in a SINGLE writer transaction.
 
-    if "embeddings" in decoded:
-        matrix = decoded["embeddings"]
-        source_id = row[2] if len(row) >= 6 else None  # text rows carry src data_id
-        weight = 1.0
-        if len(row) > 4:
-            conf = row[4] if row[4] is not None else 1.0
-            lconf = row[5] if row[5] is not None else 1.0
-            weight = float(conf) * float(lconf)
+    One ``writer.call`` per batch (not per item) means one SQLite
+    transaction + commit + epoch bump per dispatch batch — the build-path
+    analogue of the reference's per-batch insert loop
+    (extraction.rs:531-560, which holds one write unit across a batch's
+    rows). Output decode (npy parse, payload shaping) happens here on the
+    job thread, BEFORE entering the writer actor, so the single-writer
+    thread only executes SQL and is never the decode bottleneck.
+    """
+    prepared = []
+    for item_id, row, output in batch_writes:
+        prepared.append((item_id, row, _decode_outputs(output_type, output)))
 
-        def unit(c):
-            ids = []
-            for i in range(matrix.shape[0]):
+    def unit(c):
+        results = []
+        for item_id, row, decoded in prepared:
+            if "embeddings" in decoded:
+                matrix = decoded["embeddings"]
+                source_id = row[2] if len(row) >= 6 else None
+                ids = []
+                for i in range(matrix.shape[0]):
+                    did = store.insert_item_data(
+                        c, item_id, setter_id, output_type, idx=i,
+                        job_id=job_id, source_id=source_id,
+                    )
+                    store.insert_embedding(c, did, matrix[i])
+                    ids.append(did)
+                results.append(ids)
+            elif "tags" in decoded:
+                payload = decoded["tags"]
                 did = store.insert_item_data(
-                    c, item_id, setter_id, output_type, idx=i, job_id=job_id,
-                    source_id=source_id,
+                    c, item_id, setter_id, "tags", job_id=job_id
                 )
-                store.insert_embedding(c, did, matrix[i])
-                ids.append(did)
-            return ids
-
-        data_ids = writer.call(unit)
-        for did, i in zip(data_ids, range(matrix.shape[0])):
-            pending_vectors.append((item_id, did, matrix[i], weight))
-        report.segments += matrix.shape[0]
-
-    elif "tags" in decoded:
-        payload = decoded["tags"]
-
-        def unit(c):
-            did = store.insert_item_data(
-                c, item_id, setter_id, "tags", job_id=job_id
-            )
-            n = 0
-            namespace = payload.get("namespace", "tags")
-            for sub_ns, tag_map in payload.get("tags", []):
-                if not tag_map:
-                    continue
-                full_ns = f"{namespace}:{sub_ns}" if sub_ns else namespace
-                for name, confidence in tag_map.items():
-                    tid = store.upsert_tag(c, full_ns, name)
-                    store.tag_item(c, did, item_id, tid, float(confidence))
-                    n += 1
-            if n == 0:
-                c.execute(
-                    "UPDATE item_data SET is_placeholder = 1 WHERE id = ?", (did,)
+                n = 0
+                namespace = payload.get("namespace", "tags")
+                for sub_ns, tag_map in payload.get("tags", []):
+                    if not tag_map:
+                        continue
+                    full_ns = f"{namespace}:{sub_ns}" if sub_ns else namespace
+                    for name, confidence in tag_map.items():
+                        tid = store.upsert_tag(c, full_ns, name)
+                        store.tag_item(c, did, item_id, tid, float(confidence))
+                        n += 1
+                if n == 0:
+                    c.execute(
+                        "UPDATE item_data SET is_placeholder = 1 WHERE id = ?",
+                        (did,),
+                    )
+                results.append(n)
+            elif "text" in decoded:
+                payload = decoded["text"]
+                text = payload.get("text", "")
+                did = store.insert_item_data(
+                    c, item_id, setter_id, "text", job_id=job_id,
+                    is_placeholder=not text,
                 )
-            return n
+                if text:
+                    store.insert_extracted_text(
+                        c,
+                        did,
+                        text,
+                        language=payload.get("language"),
+                        language_confidence=payload.get("language_confidence"),
+                        confidence=payload.get("confidence"),
+                    )
+                results.append(1 if text else 0)
+            else:
+                results.append(0)
+        return results
 
-        report.segments += writer.call(unit)
-
-    elif "text" in decoded:
-        payload = decoded["text"]
-        text = payload.get("text", "")
-
-        def unit(c):
-            did = store.insert_item_data(
-                c, item_id, setter_id, "text", job_id=job_id,
-                is_placeholder=not text,
-            )
-            if text:
-                store.insert_extracted_text(
-                    c,
-                    did,
-                    text,
-                    language=payload.get("language"),
-                    language_confidence=payload.get("language_confidence"),
-                    confidence=payload.get("confidence"),
-                )
-
-        writer.call(unit)
-        report.segments += 1 if text else 0
+    results = writer.call(unit)
+    for (item_id, row, decoded), res in zip(prepared, results):
+        if "embeddings" in decoded:
+            matrix = decoded["embeddings"]
+            weight = 1.0
+            if len(row) > 4:
+                conf = row[4] if row[4] is not None else 1.0
+                lconf = row[5] if row[5] is not None else 1.0
+                weight = float(conf) * float(lconf)
+            for did, i in zip(res, range(matrix.shape[0])):
+                pending_vectors.append((item_id, did, matrix[i], weight))
+            report.segments += matrix.shape[0]
+        else:
+            report.segments += int(res)
+        report.processed += 1
