@@ -620,19 +620,18 @@ class WhisperImpl(InferenceModel):
             # Language ID from the SOT-step language-token logits (the
             # standard whisper probe; reference impl/whisper.py reports
             # detected language + its probability).
-            lang_idx, lang_conf = self._w.detect_language(
+            import jax
+
+            lang_idx, lang_conf = jax.device_get(self._w.detect_language(
                 self.params, self.cfg, batch
-            )
-            lang_idx = np.asarray(lang_idx)
-            lang_conf = np.asarray(lang_conf)
+            ))
             lang_tokens = (self.cfg.language_base + lang_idx).astype(np.int32)
-            tokens, lengths, logprob = self._w.greedy_decode(
+            # One batched transfer: per-array readbacks each pay the relay's
+            # ~25 ms round-trip constant.
+            tokens, lengths, logprob = jax.device_get(self._w.greedy_decode(
                 self.params, self.cfg, batch, max_tokens=self.max_tokens,
                 lang_tokens=lang_tokens,
-            )
-            tokens = np.asarray(tokens)
-            lengths = np.asarray(lengths)
-            logprob = np.asarray(logprob)
+            ))
             for j, pos in enumerate(kept):
                 toks = tokens[j, 4 : lengths[j]].tolist()
                 text = (

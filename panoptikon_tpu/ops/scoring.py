@@ -420,6 +420,26 @@ def topk_of_scores(dist, valid, *, kk: int, largest: bool = False):
     return top_v, top_i, jnp.isfinite(top_v)
 
 
+@functools.partial(jax.jit, static_argnames=("kk", "largest"))
+def masked_topk_of_scores(dist, valid, mask, *, kk: int, largest: bool = False):
+    """Top-kk over a surface RESTRICTED to a per-query group mask.
+
+    The fused path's scoped primitive for big scopes: a metadata/FTS
+    filter's item-set ships host→device as a (B, M) bool mask (uploads are
+    ~70× cheaper than readbacks over the serving link), the top-k runs over
+    the masked surface on device, and only kk entries read back — instead
+    of gathering the whole scope's scores to the host. Same tie/fill
+    semantics as :func:`topk_of_scores`."""
+    fill = -INF if largest else INF
+    key = jnp.where(valid & mask, dist, fill)
+    if largest:
+        top_v, top_i = jax.lax.top_k(key, kk)
+    else:
+        neg, top_i = jax.lax.top_k(-key, kk)
+        top_v = -neg
+    return top_v, top_i, jnp.isfinite(top_v)
+
+
 @jax.jit
 def gather_of_scores(dist, valid, idx):
     """Gather specific slots' scores off a device surface: (Q, M) × (S,)
@@ -432,6 +452,17 @@ def gather_of_scores(dist, valid, idx):
     safe = jnp.clip(idx, 0, dist.shape[1] - 1)
     ok = (idx >= 0)[None, :] & jnp.take(valid, safe, axis=1)
     vals = jnp.where(ok, jnp.take(dist, safe, axis=1), INF)
+    return vals, ok
+
+
+@jax.jit
+def gather_rows_of_scores(dist, valid, idx):
+    """Per-row gather variant for COALESCED queries: (B, M) surfaces ×
+    (B, S) padded slot indices (−1 = pad), each batched query gathering its
+    OWN scope. Same element semantics as :func:`gather_of_scores`."""
+    safe = jnp.clip(idx, 0, dist.shape[1] - 1)
+    ok = (idx >= 0) & jnp.take_along_axis(valid, safe, axis=1)
+    vals = jnp.where(ok, jnp.take_along_axis(dist, safe, axis=1), INF)
     return vals, ok
 
 

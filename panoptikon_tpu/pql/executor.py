@@ -45,6 +45,58 @@ from panoptikon_tpu.utils.splitmix import pk_mix_array
 VERY_LARGE = np.inf
 XMODAL_PREFIX = "t"  # the reference's `t`-sibling naming (vector_quants.rs:51)
 
+# Max queries merged into one coalesced device scan. Bounds both the
+# compile-cache footprint (Q buckets 1..8) and the identity fast path's
+# (Q, capacity) f32 HBM surface.
+SCAN_COALESCE_MAX = 8
+
+
+class _ScanCoalescer:
+    """Dispatch-time batching for concurrent single-query device scans.
+
+    Concurrent API searches each dispatch their own (1, d) scan and pay the
+    device round-trip + readback constant alone. Requests that share one
+    compiled program — same (space, generation, arm, distance, aggregation,
+    kk) — are drained by the first-arriving thread into one (B, d) dispatch
+    with ONE readback. This is the model manager's dispatch-window batching
+    (reference dispatch.rs:28-35) applied to the search scan; it is only
+    used on the int8 arm, whose dot products are int32-exact, so a batched
+    row is bit-identical to its solo run.
+    """
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._pending: dict[tuple, list] = {}
+        self._busy: set[tuple] = set()
+
+    def run(self, key, payload, runner):
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        with self._lock:
+            self._pending.setdefault(key, []).append((payload, fut))
+            leader = key not in self._busy
+            if leader:
+                self._busy.add(key)
+        if leader:
+            # Drain loop: requests arriving while a batch executes join the
+            # next batch, still led by this thread.
+            while True:
+                with self._lock:
+                    batch = self._pending.pop(key, None)
+                    if not batch:
+                        self._busy.discard(key)
+                        break
+                try:
+                    results = runner([p for p, _ in batch])
+                except BaseException as exc:  # noqa: BLE001 — waiters must wake
+                    for _, f in batch:
+                        f.set_exception(exc)
+                else:
+                    for (_, f), r in zip(batch, results):
+                        f.set_result(r)
+        return fut.result()
+
 
 # ---------------------------------------------------------------------------
 # Base snapshot
@@ -479,6 +531,10 @@ class Executor:
         # Static per-(space, generation) host artifacts: slot→item-id
         # arrays, identity-layout flags, per-base static hit masks.
         self._static_cache: dict[tuple, Any] = {}
+        # Concurrent-query scan batching (int8 arm only — see
+        # _ScanCoalescer). Disable to force per-query dispatch.
+        self.enable_coalesce = True
+        self._scan_coalescer = _ScanCoalescer()
 
     def _device_arrays(self, space: str, snap, use_quant: bool) -> dict:
         import jax
@@ -1500,26 +1556,178 @@ class Executor:
         return dist, valid, None
 
     def _deferred_candidates(
-        self, d: DeferredScore, *, kk: int, largest: bool
+        self, d: DeferredScore, *, kk: int, largest: bool,
+        group_mask: Optional[np.ndarray] = None,
     ) -> tuple[np.ndarray, np.ndarray, bool]:
         """Device top-kk ITEM candidates for a deferred leaf: (values, slots,
         complete). A device top-k chained onto the surface replaces the full
         readback; scope filtering happens on the host against the candidate
         list."""
+        import jax
+
         snap = d.snap
         kk_eff = min(kk, snap.num_groups)
-        dist, valid, packed_map = self._deferred_surface(d)
-        vals, slots, fin = scoring.topk_of_scores(
-            dist, valid, kk=kk_eff, largest=largest
-        )
-        vals = np.asarray(vals)[0]
-        fin = np.asarray(fin)[0]
-        slots = np.asarray(slots)[0]
-        if packed_map is not None:
-            slots = packed_map[slots]  # packed global slot → snapshot slot
+        if self._coalesce_eligible(d):
+            q = prep.codec.compute_query_quant(d.queries, snap.scale)
+            if group_mask is None:
+                key = ("cand", d.space, snap.generation, d.distance,
+                       d.aggregation, kk_eff, largest)
+                vals, slots, fin = self._scan_coalescer.run(
+                    key, q,
+                    lambda ps: self._coalesced_candidates(
+                        d, kk_eff, largest, ps
+                    ),
+                )
+            else:
+                key = ("mcand", d.space, snap.generation, d.distance,
+                       d.aggregation, kk_eff, largest)
+                vals, slots, fin = self._scan_coalescer.run(
+                    key, (q, group_mask),
+                    lambda ps: self._coalesced_candidates(
+                        d, kk_eff, largest,
+                        [p[0] for p in ps], masks=[p[1] for p in ps],
+                    ),
+                )
+        else:
+            dist, valid, packed_map = self._deferred_surface(d)
+            if group_mask is None:
+                vals, slots, fin = scoring.topk_of_scores(
+                    dist, valid, kk=kk_eff, largest=largest
+                )
+            else:
+                mask = group_mask
+                if packed_map is not None:
+                    mask = np.where(
+                        packed_map >= 0,
+                        group_mask[np.clip(packed_map, 0, None)], False,
+                    )
+                vals, slots, fin = scoring.masked_topk_of_scores(
+                    dist, valid, mask[None, :], kk=kk_eff, largest=largest
+                )
+            # ONE batched transfer: each separate np.asarray pays the
+            # relay's ~25 ms round-trip constant; device_get overlaps the
+            # copies.
+            vals, slots, fin = jax.device_get((vals, slots, fin))
+            vals, slots, fin = vals[0], slots[0], fin[0]
+            if packed_map is not None:
+                slots = packed_map[slots]  # packed global slot → snapshot slot
         nvalid = int(fin.sum())
         complete = nvalid < kk_eff or kk_eff >= snap.num_groups
         return vals[:nvalid], slots[:nvalid].astype(np.int64), complete
+
+    def _scope_group_mask(self, d: DeferredScore, base) -> np.ndarray:
+        """A query's scope (base-row mask) as a SNAPSHOT-GROUP bool mask: a
+        group is in scope iff any of its item's base rows is. Ships to the
+        device so scoped top-k candidates never gather the scope's scores
+        host-ward (uploads are ~70× cheaper than readbacks)."""
+        rows = np.flatnonzero(d.scope_mask)
+        item_ids = np.unique(base.col("item_id")[rows])
+        lut, hi = self._item_slot_lut(d.space, d.snap)
+        ok = (item_ids >= 0) & (item_ids <= hi)
+        slots = lut[item_ids[ok]]
+        mask = np.zeros(d.snap.num_groups, dtype=bool)
+        mask[slots[slots >= 0]] = True
+        return mask
+
+    def _coalesce_eligible(self, d: DeferredScore) -> bool:
+        """Coalescing is sound only where a batched row is bit-identical to
+        its solo run: the int8 arm (int32-exact dots + elementwise epilogue,
+        per-query segment reductions — on both the single-device and the
+        sharded program), one query row (similar_to anchor batches keep
+        their own program)."""
+        return (
+            self.enable_coalesce
+            and d.use_quant
+            and d.queries.shape[0] == 1
+        )
+
+    def _scan_surface_batched(self, d: DeferredScore, qs: np.ndarray):
+        """The `_deferred_surface` program at (B, d) — same identity gate,
+        same scale, same chunking (and the same sharded program on >1
+        devices), so each batched row is the solo program's row. Returns
+        (dist, valid, packed→snapshot slot map or None)."""
+        import jax
+
+        snap = d.snap
+        if jax.device_count() > 1:
+            from panoptikon_tpu.index import sharded as shlib
+
+            sp = self._sharded_space(d.space, snap, True)
+            dist, valid, _cnt = shlib.sharded_grouped_scores(
+                sp, qs, distance=d.distance, aggregation=d.aggregation,
+            )
+            return dist, valid, sp.item_ids
+        dev = self._device_arrays(d.space, snap, True)
+        ident = (
+            self._identity_groups(d.space, snap)
+            and max(snap.capacity, 1) <= (1 << 25)
+        )
+        dist, valid, _cnt = scoring.grouped_scores(
+            dev["corpus"],
+            dev["sumsq"],
+            dev["row_valid"],
+            dev["group_ids"],
+            qs,
+            num_groups=snap.num_groups,
+            distance=d.distance,
+            aggregation=d.aggregation,
+            scale=float(snap.scale),
+            chunk_rows=min(32768, snap.capacity),
+            weighted=False,
+            weights=dev["weights"],
+            identity=ident,
+        )
+        return dist, valid, None
+
+    @staticmethod
+    def _pad_batch(chunk: list[np.ndarray]) -> np.ndarray:
+        """Stack (1, d) queries into a bucketed (B, d) batch; pad rows
+        replicate row 0 and are sliced off. Exactly TWO buckets (1 and
+        SCAN_COALESCE_MAX) exist per space geometry: the scan is
+        HBM-bandwidth-bound, so computing padded rows is nearly free, and
+        two programs mean one concurrent warm round precompiles both."""
+        b = len(chunk)
+        bucket = 1 if b == 1 else SCAN_COALESCE_MAX
+        return np.concatenate(chunk + [chunk[0]] * (bucket - b), axis=0)
+
+    def _coalesced_candidates(
+        self, d, kk_eff: int, largest: bool, payloads, masks=None,
+    ):
+        """Coalescer runner: one (B, d) scan + top-kk + ONE readback for a
+        drained batch of concurrent queries. ``masks`` (per-payload
+        snapshot-group bool scopes) restrict each row's top-k on device."""
+        import jax
+
+        out = []
+        for s in range(0, len(payloads), SCAN_COALESCE_MAX):
+            chunk = payloads[s : s + SCAN_COALESCE_MAX]
+            qs = self._pad_batch(chunk)
+            dist, valid, packed_map = self._scan_surface_batched(d, qs)
+            if masks is None:
+                vals, slots, fin = jax.device_get(scoring.topk_of_scores(
+                    dist, valid, kk=kk_eff, largest=largest
+                ))
+            else:
+                mchunk = masks[s : s + SCAN_COALESCE_MAX]
+                m = np.stack(
+                    mchunk + [mchunk[0]] * (qs.shape[0] - len(chunk))
+                )
+                if packed_map is not None:
+                    m = np.where(
+                        packed_map[None, :] >= 0,
+                        m[:, np.clip(packed_map, 0, None)], False,
+                    )
+                vals, slots, fin = jax.device_get(
+                    scoring.masked_topk_of_scores(
+                        dist, valid, m, kk=kk_eff, largest=largest
+                    )
+                )
+            if packed_map is not None:
+                slots = packed_map[slots]  # packed global → snapshot slot
+            out.extend(
+                (vals[i], slots[i], fin[i]) for i in range(len(chunk))
+            )
+        return out
 
     def _item_slot_lut(self, space: str, snap) -> tuple[np.ndarray, int]:
         """Dense item-id → group-slot LUT (−1 = absent), cached per
@@ -1548,6 +1756,35 @@ class Executor:
         slots = np.where(
             (item_ids >= 0) & (item_ids <= hi), lut[safe], -1
         )
+        import jax
+
+        # Pad to a pow2 bucket so the gather jit compiles once per scale.
+        s = len(slots)
+        bucket = 256
+        while bucket < s:
+            bucket *= 2
+        if self._coalesce_eligible(d):
+            if jax.device_count() > 1:
+                # The coalesced surface is in PACKED order on a mesh;
+                # translate snapshot slots up front so the runner's gather
+                # needs no per-payload map.
+                sp = self._sharded_space(d.space, snap, True)
+                rev = self._static_get(
+                    ("packedrev", d.space, snap.generation),
+                    lambda: _invert_packed(sp.item_ids, snap.num_groups),
+                )
+                okr = (slots >= 0) & (slots < len(rev))
+                slots = np.where(okr, rev[np.clip(slots, 0, None)], -1)
+            key = ("gather", d.space, snap.generation, d.distance,
+                   d.aggregation, bucket)
+            q = prep.codec.compute_query_quant(d.queries, snap.scale)
+            padded = np.full(bucket, -1, dtype=np.int64)
+            padded[:s] = slots
+            vals, ok = self._scan_coalescer.run(
+                key, (q, padded),
+                lambda ps: self._coalesced_gather(d, bucket, ps),
+            )
+            return vals[:s], ok[:s]
         dist, valid, packed_map = self._deferred_surface(d)
         if packed_map is not None:
             # The sharded surface is keyed by PACKED global slot; translate
@@ -1558,15 +1795,30 @@ class Executor:
             )
             ok = (slots >= 0) & (slots < len(rev))
             slots = np.where(ok, rev[np.clip(slots, 0, None)], -1)
-        # Pad to a pow2 bucket so the gather jit compiles once per scale.
-        s = len(slots)
-        bucket = 256
-        while bucket < s:
-            bucket *= 2
         padded = np.full(bucket, -1, dtype=np.int64)
         padded[:s] = slots
-        vals, ok = scoring.gather_of_scores(dist, valid, padded)
-        return np.asarray(vals)[0][:s], np.asarray(ok)[0][:s]
+        vals, ok = jax.device_get(scoring.gather_of_scores(dist, valid, padded))
+        return vals[0][:s], ok[0][:s]
+
+    def _coalesced_gather(self, d, bucket: int, payloads):
+        """Coalescer runner for scoped gathers: one (B, d) scan, each row
+        gathering its OWN padded slot set, ONE readback."""
+        import jax
+
+        out = []
+        for s0 in range(0, len(payloads), SCAN_COALESCE_MAX):
+            chunk = payloads[s0 : s0 + SCAN_COALESCE_MAX]
+            qs = self._pad_batch([q for q, _ in chunk])
+            idx = np.stack(
+                [i for _, i in chunk]
+                + [chunk[0][1]] * (qs.shape[0] - len(chunk))
+            )
+            dist, valid, _packed_map = self._scan_surface_batched(d, qs)
+            vals, ok = jax.device_get(
+                scoring.gather_rows_of_scores(dist, valid, idx)
+            )
+            out.extend((vals[i], ok[i]) for i in range(len(chunk)))
+        return out
 
     def _rrf_item_index(self, d: DeferredScore, packed: bool, n_items: int):
         """Device-resident slot→item-id map for the rank join, cached per
@@ -1628,10 +1880,11 @@ class Executor:
             np.asarray(ws, np.float32), np.asarray(ks, np.float32),
             kk=kk, n_items=n_items, contig_offsets=tuple(offs),
         )
-        cand = np.asarray(cand).astype(np.int64)
-        cand_ranks = np.asarray(cand_ranks).astype(np.float64)
+        cand, cand_ranks, t32 = jax.device_get((cand, cand_ranks, t32))
+        cand = cand.astype(np.int64)
+        cand_ranks = cand_ranks.astype(np.float64)
         cand_ranks[cand_ranks >= float(int(fusion.RANK_MISSING))] = np.inf
-        return cand, cand_ranks, np.asarray(t32)
+        return cand, cand_ranks, t32
 
     def _space_scores(
         self,
@@ -1702,7 +1955,7 @@ class Executor:
                 weighted=weighted, row_valid=extra_valid,
                 weights=extra_weights,
             )
-            d, v, c = np.asarray(d), np.asarray(v), np.asarray(c)
+            d, v, c = jax.device_get((d, v, c))
             # Packed global slots → snapshot group slots.
             m = snap.num_groups
             dist = np.full((d.shape[0], m), np.inf, dtype=np.float32)
@@ -1742,9 +1995,7 @@ class Executor:
                 else dev["weights"],
                 identity=ident,
             )
-            dist = np.asarray(dist)
-            valid = np.asarray(valid)
-            counts = np.asarray(counts)
+            dist, valid, counts = jax.device_get((dist, valid, counts))
 
         agg = aggregation
         if dist.shape[0] > 1:

@@ -271,11 +271,13 @@ def fused_page(ex, query, base, state, ctx, seed):
         gtype = "coalesce"
         desc_key = group[0].direction == "desc"
     # Per-entry fetch plan: eager entries (host-evaluated filters like FTS
-    # rank joining a hybrid RRF) are complete by construction; deferred
-    # entries with a SMALL scope gather their scope's scores exactly (a
-    # metadata/FTS-filtered semantic search must rank within the scope, and
-    # a global top-kk rarely covers a narrow scope); everything else
-    # fetches boundary-certified candidates.
+    # rank joining a hybrid RRF) are complete by construction; SCOPED
+    # deferred entries (a metadata/FTS filter narrowed the context) ship
+    # the scope to the device as a group mask and fetch boundary-certified
+    # candidates WITHIN it (readback stays kk-sized; gathering the scope's
+    # scores host-ward costs scope·8 bytes over an ~11 MB/s serving link);
+    # the host-side gather stays only for shapes _entry_spec can't order
+    # (worst-rank-first pages) over small scopes.
     specs = []
     for e in group:
         if e.deferred is None:
@@ -283,16 +285,18 @@ def fused_page(ex, query, base, state, ctx, seed):
                 np.count_nonzero(~np.isnan(e.values))
             ) > EAGER_MAX:
                 return None
-            specs.append(("eager", False))
+            specs.append(("eager", False, False))
             continue
-        scope_count = int(np.count_nonzero(e.deferred.scope_mask))
-        if scope_count <= GATHER_MAX:
-            specs.append(("gather", False))
-            continue
+        d = e.deferred
         spec = _entry_spec(e, gtype, desc_key)
         if spec is None:
+            if int(np.count_nonzero(d.scope_mask)) <= GATHER_MAX:
+                specs.append(("gather", False, False))
+                continue
             return None
-        specs.append(spec)
+        hit = ex._static_hit_rows(d.space, d.snap, base)
+        scoped = not np.array_equal(d.scope_mask, hit)
+        specs.append((spec[0], spec[1], scoped))
 
     # Secondary key columns (groups after the first) — full-length arrays,
     # gathered per candidate row later. Built once per query, outside the
@@ -345,7 +349,7 @@ def _attempt(
     need, total, kk, rest_keys,
 ):
     per: list[_PerEntry] = []
-    for e, (mode, largest) in zip(group, specs):
+    for e, (mode, largest, scoped) in zip(group, specs):
         if mode == "eager":
             # Host-evaluated filter (FTS rank, tag confidence…): its values
             # array is already final and total — a complete entry.
@@ -384,7 +388,10 @@ def _attempt(
                 present_mask=d.scope_mask,
             ))
             continue
-        vals, slots, complete = ex._deferred_candidates(d, kk=kk, largest=largest)
+        vals, slots, complete = ex._deferred_candidates(
+            d, kk=kk, largest=largest,
+            group_mask=ex._scope_group_mask(d, base) if scoped else None,
+        )
         item_ids = ex._slot_item_ids(d.space, d.snap)[slots]
         rows, pos = _expand_items(base, item_ids)
         keep = d.scope_mask[rows]

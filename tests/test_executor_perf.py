@@ -319,7 +319,7 @@ class TestFusedServingPerf:
         ex = make_executor(n)
         ex.index = FakeSnapIndex(n)
 
-        def fake_candidates(d, *, kk, largest):
+        def fake_candidates(d, *, kk, largest, group_mask=None):
             vals = np.linspace(0.0, 0.5, kk, dtype=np.float32)
             slots = np.arange(kk, dtype=np.int64)
             return vals, slots, False

@@ -110,21 +110,30 @@ def run_both(ex, payload, expect_fused=True, allow_materialize=False):
     and that results are identical."""
     calls = {"n": 0, "mat": 0}
     orig = ex._deferred_surface
+    orig_batched = ex._scan_surface_batched
     orig_mat = ex._materialize_deferred
 
     def counting(d, **kw):
         calls["n"] += 1
         return orig(d, **kw)
 
+    def counting_batched(d, qs):
+        # The coalesced int8 path runs the same program without touching
+        # _deferred_surface; it counts as the fused path engaging.
+        calls["n"] += 1
+        return orig_batched(d, qs)
+
     def counting_mat(*a, **kw):
         calls["mat"] += 1
         return orig_mat(*a, **kw)
 
     ex._deferred_surface = counting
+    ex._scan_surface_batched = counting_batched
     ex._materialize_deferred = counting_mat
     ex.enable_fused = True
     r_fused = ex.execute(pql.PqlQuery.from_json(payload))
     ex._deferred_surface = orig
+    ex._scan_surface_batched = orig_batched
     ex._materialize_deferred = orig_mat
     ex.enable_fused = False
     r_full = ex.execute(pql.PqlQuery.from_json(payload))

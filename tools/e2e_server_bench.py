@@ -127,6 +127,13 @@ async def _measure(session, url, payload, *, warm: int, seq: int,
     gen = make_payload or (lambda i: payload)
     for i in range(warm):
         await one(gen(-1 - i))
+    # Concurrent warm rounds: the executor coalesces co-arriving queries
+    # into one (SCAN_COALESCE_MAX, d) program — compile it BEFORE timing
+    # (production pays this once per space geometry).
+    for r in range(2):
+        await asyncio.gather(*[
+            one(gen(-100 - r * conc - j)) for j in range(conc)
+        ])
     lats, execs, compiles = [], [], []
     for i in range(seq):
         dt, body = await one(gen(i))
