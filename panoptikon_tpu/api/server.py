@@ -2043,10 +2043,26 @@ def build_app(
     return app
 
 
+def widen_default_executor(max_workers: int = 32) -> None:
+    """Widen the running loop's default executor (asyncio.to_thread pool).
+
+    The stdlib default is ``cpu_count + 4`` threads — 5 on a 1-core TPU VM
+    — which caps co-arriving searches below the scan coalescer's dispatch
+    window (SCAN_COALESCE_MAX).  Search threads spend their time blocked on
+    device futures, not the GIL, so a wide pool lets the coalescer drain a
+    full batch per device round-trip."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    asyncio.get_running_loop().set_default_executor(
+        ThreadPoolExecutor(max_workers=max_workers, thread_name_prefix="api")
+    )
+
+
 async def serve_all(settings, state: AppState) -> list[web.AppRunner]:
     """Bind ALL configured listeners before serving any (main.rs:637-646),
     each with its policy-pinned app. When [upstreams].ui is configured, a
     catch-all reverse proxy mounts AFTER the API routes (proxy.rs)."""
+    widen_default_executor()
     runners = []
     # One HMAC key per boot shared by every listener: SSR tokens minted on
     # UI-bound proxies verify at any listener's policy ingress

@@ -87,6 +87,66 @@ def rrf_fuse_candidates(cand_ids, weights, *, k: int, rrf_k=60.0):
 @functools.partial(
     jax.jit, static_argnames=("kk", "n_items", "contig_offsets")
 )
+def rank_join_topk_batch(surfs, valids, item_idx, weights, rrf_ks, *,
+                         kk: int, n_items: int, contig_offsets=None):
+    """Batched EXACT RRF rank join: ``rank_join_topk`` over B co-arriving
+    queries in ONE program (the serving coalescer's composed-query runner).
+
+    surfs/valids: tuples of (B, M_s) arrays; item_idx: tuples of (M_s,)
+    slot→item maps SHARED across the batch (one space snapshot serves all
+    rows); weights/rrf_ks: (B, S) f32 — each query keeps its own PQL
+    ``Rrf{k, weight}``. Every per-row operation (argsort ranks, scatter,
+    contribution sum, top-k) is row-independent, so row b of the batched
+    program is bit-identical to its solo ``rank_join_topk`` run — the same
+    argument that makes the int8 scan coalescer exact.
+
+    Returns (cand_items (B, kk) int32, cand_ranks (B, kk, S) int32 with
+    RANK_MISSING for absent, totals_f32 (B, kk)).
+    """
+    if contig_offsets is None:
+        contig_offsets = (None,) * len(surfs)
+    b = surfs[0].shape[0]
+    total = jnp.zeros((b, n_items), jnp.float32)
+    item_ranks = []
+    for si, (surf, valid, idx, off) in enumerate(
+        zip(surfs, valids, item_idx, contig_offsets)
+    ):
+        key = jnp.where(valid, surf, jnp.inf)
+        m = key.shape[1]
+        rank = (
+            jnp.argsort(jnp.argsort(key, axis=1), axis=1).astype(jnp.int32)
+            + jnp.int32(1)
+        )
+        rank = jnp.where(valid, rank, RANK_MISSING)
+        if off is not None:
+            ir = jnp.pad(
+                rank, ((0, 0), (off, max(n_items - off - m, 0))),
+                constant_values=RANK_MISSING,
+            )[:, :n_items]
+        else:
+            safe_idx = jnp.where(idx >= 0, idx, n_items)  # pads → scrap
+            ir = jnp.full((b, n_items + 1), RANK_MISSING, jnp.int32)
+            ir = ir.at[:, safe_idx].min(rank)
+            ir = ir[:, :n_items]
+        item_ranks.append(ir)
+        contrib = jnp.where(
+            ir < RANK_MISSING,
+            weights[:, si, None] / (
+                rrf_ks[:, si, None] + ir.astype(jnp.float32)
+            ),
+            0.0,
+        )
+        total = total + contrib
+    t32, cand = jax.lax.top_k(total, kk)
+    cand_ranks = jnp.stack(
+        [jnp.take_along_axis(ir, cand, axis=1) for ir in item_ranks], axis=2
+    )
+    return cand.astype(jnp.int32), cand_ranks, t32
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kk", "n_items", "contig_offsets")
+)
 def rank_join_topk(surfs, valids, item_idx, weights, rrf_ks, *, kk: int,
                    n_items: int, contig_offsets=None):
     """EXACT device-side RRF rank join over full score surfaces.

@@ -1886,6 +1886,93 @@ class Executor:
         cand_ranks[cand_ranks >= float(int(fusion.RANK_MISSING))] = np.inf
         return cand, cand_ranks, t32
 
+    def _rrf_join_coalesce_eligible(self, group) -> bool:
+        """The batched rank join is sound for the same reason the scan
+        coalescer is: int8 surfaces are int32-exact and every join stage
+        (row-wise argsort ranks, min-scatter, f32 contributions, row-wise
+        top-k) is independent per batch row, so a batched row is
+        bit-identical to its solo run."""
+        return self.enable_coalesce and all(
+            self._coalesce_eligible(e.deferred) for e in group
+        )
+
+    def _rrf_join_candidates_coalesced(self, group, kk: int, n_items: int):
+        """``_rrf_join_candidates`` through the dispatch-window coalescer:
+        co-arriving composed queries that share the same space group (and
+        kk / item domain) run as ONE batched program — S batched scans +
+        one batched rank join + ONE readback — instead of paying the
+        device round-trip constant each (dispatch.rs:28-35 applied to the
+        composed path, the round-3 verdict's kernel↔serving chasm)."""
+        specs = tuple(
+            (e.deferred.space, e.deferred.snap.generation,
+             e.deferred.distance, e.deferred.aggregation)
+            for e in group
+        )
+        key = ("rrfjoin", specs, kk, n_items)
+        qs = tuple(
+            prep.codec.compute_query_quant(
+                e.deferred.queries, e.deferred.snap.scale
+            )
+            for e in group
+        )
+        ws = np.asarray(
+            [(e.rrf or pql.Rrf()).weight for e in group], np.float32
+        )
+        ks = np.asarray([(e.rrf or pql.Rrf()).k for e in group], np.float32)
+        cand, cand_ranks, t32 = self._scan_coalescer.run(
+            key, (qs, ws, ks),
+            lambda ps: self._coalesced_rrf_join(group, kk, n_items, ps),
+        )
+        cand = cand.astype(np.int64)
+        cand_ranks = cand_ranks.astype(np.float64)
+        from panoptikon_tpu.ops import fusion
+
+        cand_ranks[cand_ranks >= float(int(fusion.RANK_MISSING))] = np.inf
+        return cand, cand_ranks, t32
+
+    def _coalesced_rrf_join(self, group, kk: int, n_items: int, payloads):
+        """Coalescer runner: S batched (B, d_s) scans + one batched rank
+        join + ONE readback for a drained batch of composed queries.
+        ``group`` supplies per-space snapshots (identical across the batch
+        by key); each payload carries its own query codes and RRF params."""
+        import jax
+
+        from panoptikon_tpu.ops import fusion
+
+        multi = jax.device_count() > 1
+        out = []
+        for s0 in range(0, len(payloads), SCAN_COALESCE_MAX):
+            chunk = payloads[s0 : s0 + SCAN_COALESCE_MAX]
+            surfs, valids, idxs, offs = [], [], [], []
+            for si, e in enumerate(group):
+                d = e.deferred
+                qb = self._pad_batch([p[0][si] for p in chunk])
+                dist, valid, _packed = self._scan_surface_batched(d, qb)
+                surfs.append(dist)
+                valids.append(valid)
+                idx_dev, off = self._rrf_item_index(d, multi, n_items)
+                idxs.append(idx_dev)
+                offs.append(off)
+            b = surfs[0].shape[0]
+            wb = np.stack(
+                [p[1] for p in chunk]
+                + [chunk[0][1]] * (b - len(chunk))
+            )
+            kb = np.stack(
+                [p[2] for p in chunk]
+                + [chunk[0][2]] * (b - len(chunk))
+            )
+            cand, cand_ranks, t32 = jax.device_get(
+                fusion.rank_join_topk_batch(
+                    tuple(surfs), tuple(valids), tuple(idxs), wb, kb,
+                    kk=kk, n_items=n_items, contig_offsets=tuple(offs),
+                )
+            )
+            out.extend(
+                (cand[i], cand_ranks[i], t32[i]) for i in range(len(chunk))
+            )
+        return out
+
     def _space_scores(
         self,
         space: str,

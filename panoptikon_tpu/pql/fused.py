@@ -187,7 +187,14 @@ def _attempt_rrf_device(
 ):
     """Exact RRF page via the device rank join + f32-boundary certification."""
     kk = min(kkp, n_items)
-    cand_items, cand_ranks, t32 = ex._rrf_join_candidates(group, kk, n_items)
+    if ex._rrf_join_coalesce_eligible(group):
+        cand_items, cand_ranks, t32 = ex._rrf_join_candidates_coalesced(
+            group, kk, n_items
+        )
+    else:
+        cand_items, cand_ranks, t32 = ex._rrf_join_candidates(
+            group, kk, n_items
+        )
     base_items = base.col("item_id")
     pos = np.searchsorted(base_items, cand_items)
     pos_c = np.minimum(pos, max(base.n - 1, 0))

@@ -149,3 +149,151 @@ class TestExecutorCoalescing:
         with ThreadPoolExecutor(max_workers=len(payloads)) as pool:
             got = list(pool.map(worker, payloads))
         assert got == base
+
+
+class TestComposedCoalescing:
+    """Concurrent COMPOSED (multi-space RRF) queries through the batched
+    device rank join (`_rrf_join_candidates_coalesced`): every query must
+    return exactly its solo result — same pages, same ranks, same extras —
+    while the drained batch runs as one program."""
+
+    def _rrf_payload(self, rng, weights=(1.0, 0.5), ks=(60, 30), page=1):
+        return {
+            "query": {"and_": [
+                {"text_embeddings": {
+                    "query": b64(q_of(rng, 16)), "model": mdl,
+                    "embed": None, "index": "quant"},
+                 "row_n": True, "priority": 5,
+                 "select_as": f"r{si}",
+                 "rrf": {"k": k, "weight": w}}
+                for si, (mdl, w, k) in enumerate(
+                    zip(("m", "m2"), weights, ks))
+            ]},
+            "page_size": 10, "page": page,
+        }
+
+    def test_concurrent_rrf_queries_match_solo(self):
+        ex, rng = build_executor(
+            n_items=500, dim=16, seed=7,
+            multi_file_every=10**9, multi_row_every=10**9,
+        )
+        # Vary per-query RRF params and pages: the batched join carries
+        # (B, S) weights/ks, so they must stay per-row.
+        payloads = [
+            self._rrf_payload(
+                rng,
+                weights=(1.0, 0.4 + 0.1 * (i % 3)),
+                ks=(60, 20 + 10 * (i % 2)),
+                page=1 + (i % 2),
+            )
+            for i in range(10)
+        ]
+
+        joins = {"solo": 0, "batched": 0}
+        orig_solo = ex._rrf_join_candidates
+        orig_co = ex._coalesced_rrf_join
+
+        def counting_solo(*a, **kw):
+            joins["solo"] += 1
+            return orig_solo(*a, **kw)
+
+        def counting_co(*a, **kw):
+            joins["batched"] += 1
+            return orig_co(*a, **kw)
+
+        ex._rrf_join_candidates = counting_solo
+        ex._coalesced_rrf_join = counting_co
+
+        ex.enable_coalesce = False
+        base = [
+            _result_tuple(ex.execute(pql.PqlQuery.from_json(p)))
+            for p in payloads
+        ]
+        assert joins["solo"] == len(payloads) and joins["batched"] == 0
+
+        ex.enable_coalesce = True
+        barrier = threading.Barrier(len(payloads))
+
+        def worker(p):
+            barrier.wait()
+            return _result_tuple(ex.execute(pql.PqlQuery.from_json(p)))
+
+        with ThreadPoolExecutor(max_workers=len(payloads)) as pool:
+            got = list(pool.map(worker, payloads))
+        assert got == base
+        assert joins["batched"] >= 1  # the coalesced runner engaged
+
+    def test_batched_join_kernel_rows_equal_solo(self):
+        """ops/fusion.rank_join_topk_batch row b ≡ rank_join_topk solo."""
+        import jax.numpy as jnp
+
+        from panoptikon_tpu.ops import fusion
+
+        rng = np.random.default_rng(2)
+        n_items, b = 64, 5
+        ms = (48, 32)
+        surfs = tuple(
+            jnp.asarray(rng.normal(size=(b, m)).astype(np.float32))
+            for m in ms
+        )
+        valids = tuple(
+            jnp.asarray(rng.random((b, m)) < 0.9) for m in ms
+        )
+        idxs = tuple(
+            jnp.asarray(
+                rng.permutation(n_items)[:m].astype(np.int32)
+            )
+            for m in ms
+        )
+        ws = rng.random((b, 2)).astype(np.float32) + 0.1
+        ks = (rng.integers(10, 90, (b, 2))).astype(np.float32)
+        cand_b, ranks_b, t_b = fusion.rank_join_topk_batch(
+            surfs, valids, idxs, jnp.asarray(ws), jnp.asarray(ks),
+            kk=8, n_items=n_items,
+        )
+        for i in range(b):
+            cand, ranks, t = fusion.rank_join_topk(
+                tuple(s[i] for s in surfs), tuple(v[i] for v in valids),
+                idxs, jnp.asarray(ws[i]), jnp.asarray(ks[i]),
+                kk=8, n_items=n_items,
+            )
+            np.testing.assert_array_equal(np.asarray(cand_b)[i], cand)
+            np.testing.assert_array_equal(np.asarray(ranks_b)[i], ranks)
+            np.testing.assert_array_equal(np.asarray(t_b)[i], t)
+
+    def test_batched_join_contig_path_rows_equal_solo(self):
+        import jax.numpy as jnp
+
+        from panoptikon_tpu.ops import fusion
+
+        rng = np.random.default_rng(4)
+        n_items, b = 64, 3
+        ms, offs = (40, 30), (2, 10)
+        surfs = tuple(
+            jnp.asarray(rng.normal(size=(b, m)).astype(np.float32))
+            for m in ms
+        )
+        valids = tuple(
+            jnp.asarray(rng.random((b, m)) < 0.85) for m in ms
+        )
+        idxs = tuple(
+            jnp.asarray(
+                np.arange(off, off + m, dtype=np.int32)
+            )
+            for m, off in zip(ms, offs)
+        )
+        ws = np.ones((b, 2), np.float32)
+        ks = np.full((b, 2), 60.0, np.float32)
+        cand_b, ranks_b, t_b = fusion.rank_join_topk_batch(
+            surfs, valids, idxs, jnp.asarray(ws), jnp.asarray(ks),
+            kk=8, n_items=n_items, contig_offsets=offs,
+        )
+        for i in range(b):
+            cand, ranks, t = fusion.rank_join_topk(
+                tuple(s[i] for s in surfs), tuple(v[i] for v in valids),
+                idxs, jnp.asarray(ws[i]), jnp.asarray(ks[i]),
+                kk=8, n_items=n_items, contig_offsets=offs,
+            )
+            np.testing.assert_array_equal(np.asarray(cand_b)[i], cand)
+            np.testing.assert_array_equal(np.asarray(ranks_b)[i], ranks)
+            np.testing.assert_array_equal(np.asarray(t_b)[i], t)

@@ -250,6 +250,9 @@ def run(n: int = 1_000_000, d: int = 512, n2: int = 1_000_000, d2: int = 768,
             import aiohttp
             from aiohttp import web
 
+            from panoptikon_tpu.api.server import widen_default_executor
+
+            widen_default_executor()
             app = build_app(state)
             runner = web.AppRunner(app)
             await runner.setup()

@@ -260,6 +260,17 @@ def run(n1=4_000_000, n2=2_000_000, n3=1_000_000, seq=24, threads=8,
         lats[min(len(lats) - 1, int(len(lats) * 0.95))] * 1e3, 2
     )
 
+    # Concurrent warm: the coalescer's batched (B=8) scan + rank-join
+    # programs compile on the first drained batch — pay that before the
+    # timed round (production pays it once per space-group geometry).
+    for _ in range(2):
+        wq = [pql.PqlQuery.from_json(payload()) for _ in range(8)]
+        wt = [threading.Thread(target=ex.execute, args=(q,)) for q in wq]
+        for t in wt:
+            t.start()
+        for t in wt:
+            t.join()
+
     payloads = [pql.PqlQuery.from_json(payload()) for _ in range(thread_total)]
     errs = []
 
