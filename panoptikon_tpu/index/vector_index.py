@@ -91,6 +91,9 @@ class _SpaceState:
     weights: np.ndarray | None = None
     group_of_item: dict[int, int] = field(default_factory=dict)
     item_of_group: list[int] = field(default_factory=list)
+    # Largest item id ever assigned a slot: lets chunked ascending appends
+    # of strictly-new items take the vectorized bulk path.
+    max_item: int = -(2**63)
     # Quant profile lifecycle: None → (scale, codes) once built.
     scale: float | None = None
     codes: np.ndarray | None = None
@@ -118,6 +121,25 @@ class VectorIndex:
     def space_names(self) -> list[str]:
         with self._lock:
             return list(self._spaces.keys())
+
+    def reserve(self, space: str, n: int, dim: int) -> None:
+        """Pre-size a space for ``n`` total rows (bulk builders).
+
+        Chunked appends into an unreserved space reallocate at every
+        capacity doubling; on this host fresh pages fault in from the VMM
+        at ~75 MB/s, so the doubling ladder roughly doubles a 1M-row
+        build's allocation bill. Idempotent; never shrinks."""
+        with self._lock:
+            st = self._spaces.get(space)
+            if st is None:
+                st = _SpaceState(dim=dim)
+                self._spaces[space] = st
+            if st.dim != dim:
+                raise ValueError(
+                    f"space {space!r} holds {st.dim}-d vectors, got {dim}-d"
+                )
+            if st.capacity < n:
+                self._grow(st, n)
 
     def add(
         self,
@@ -156,19 +178,22 @@ class VectorIndex:
             st.row_valid[sl] = True
             st.weights[sl] = np.asarray(weights, dtype=np.float32)
             known = len(st.item_of_group)
-            if known == 0 and len(item_ids) and bool(
+            if len(item_ids) and bool(
                 np.all(np.diff(item_ids) >= 0)
-            ):
+            ) and (known == 0 or int(item_ids[0]) > st.max_item):
                 # Bulk-build fast path (the extraction pipeline and bench
-                # rigs append ascending-sorted batches): vectorized slot
-                # assignment instead of a per-row dict loop — the loop costs
-                # ~30 s at 1M rows on a 1-core host.
+                # rigs append ascending-sorted batches of strictly-new
+                # items): vectorized slot assignment instead of a per-row
+                # dict loop — the loop costs ~30 s at 1M rows on a 1-core
+                # host. Also taken by chunked appends whose items are all
+                # beyond every item seen so far (``max_item``).
                 uniq, gids_new = np.unique(item_ids, return_inverse=True)
-                gids = gids_new.astype(np.int32)
+                gids = (gids_new + known).astype(np.int32)
                 st.item_of_group.extend(uniq.tolist())
                 st.group_of_item.update(
-                    zip(uniq.tolist(), range(len(uniq)))
+                    zip(uniq.tolist(), range(known, known + len(uniq)))
                 )
+                st.max_item = max(st.max_item, int(uniq[-1]))
             else:
                 gids = np.empty(n, dtype=np.int32)
                 for j, item in enumerate(item_ids.tolist()):
@@ -177,6 +202,8 @@ class VectorIndex:
                         slot = len(st.item_of_group)
                         st.group_of_item[item] = slot
                         st.item_of_group.append(item)
+                        if item > st.max_item:
+                            st.max_item = item
                     gids[j] = slot
             st.group_ids[sl] = gids
             st.size = need
@@ -216,11 +243,16 @@ class VectorIndex:
         with self._lock:
             st = self._require(space)
             if scale is None:
-                live = st.vectors[: st.size][st.row_valid[: st.size]]
-                scale = codec.scale_from_absmax(codec.corpus_absmax(live))
+                # Masked chunk-wise reduction: a boolean fancy-index copy of
+                # the corpus costs ~13 s per GB of fresh pages on this host.
+                scale = codec.scale_from_absmax(
+                    codec.corpus_absmax(
+                        st.vectors[: st.size], valid=st.row_valid[: st.size]
+                    )
+                )
                 st.quant_revision += 1
             codes = np.zeros((st.capacity, st.dim), dtype=np.int8)
-            codes[: st.size] = codec.quantize_int8(st.vectors[: st.size], scale)
+            codec.quantize_int8(st.vectors[: st.size], scale, out=codes[: st.size])
             st.scale = scale
             st.codes = codes
             st.codes_covered = st.size
@@ -240,7 +272,9 @@ class VectorIndex:
                 # frozen scale — per-row deterministic, so rows already
                 # coded at this scale come out byte-identical anyway.
                 codes = np.zeros((st.capacity, st.dim), dtype=np.int8)
-                codes[: st.size] = codec.quantize_int8(st.vectors[: st.size], scale)
+                codec.quantize_int8(
+                    st.vectors[: st.size], scale, out=codes[: st.size]
+                )
                 st.codes = codes
                 done = st.size
             elif st.codes_covered >= st.size:
@@ -251,7 +285,9 @@ class VectorIndex:
                 # own size, so the shared-array mutation is invisible to
                 # them — same invariant as `add`).
                 lo, hi = st.codes_covered, st.size
-                st.codes[lo:hi] = codec.quantize_int8(st.vectors[lo:hi], scale)
+                codec.quantize_int8(
+                    st.vectors[lo:hi], scale, out=st.codes[lo:hi]
+                )
                 done = hi - lo
             st.scale = scale
             st.codes_covered = st.size

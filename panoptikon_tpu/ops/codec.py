@@ -69,28 +69,58 @@ def artifact_scale(artifact: bytes) -> float | None:
     return None
 
 
-def corpus_absmax(vectors: np.ndarray) -> float:
-    """Largest component magnitude across a batch of f32 vectors."""
-    if vectors.size == 0:
+def corpus_absmax(vectors: np.ndarray, valid: np.ndarray | None = None) -> float:
+    """Largest component magnitude across a batch of f32 vectors.
+
+    ``valid`` (optional, (n,) bool) restricts the reduction to masked rows
+    without materializing a masked copy of the corpus. Big corpora reduce
+    chunk-wise: this VM faults fresh pages in from the VMM at ~75 MB/s, so
+    a full-size ``abs`` temporary costs minutes at 1M×512 while a 32 MB
+    rolling chunk runs at memory speed (measured 69×).
+    """
+    x = np.asarray(vectors)
+    if x.size == 0:
         return 0.0
     # NaN must not poison the absmax (max would propagate it); the reference
     # streams with `value > absmax` comparisons, which NaN never wins.
-    return float(np.nanmax(np.abs(vectors.astype(np.float32)), initial=0.0))
+    if x.ndim < 2 or x.nbytes <= (32 << 20):
+        x32 = x.astype(np.float32, copy=False)
+        if valid is not None:
+            x32 = x32[np.asarray(valid, bool)]
+        return float(np.nanmax(np.abs(x32), initial=0.0))
+    out = 0.0
+    step = max(1, (32 << 20) // max(x[0].nbytes, 1))
+    for lo in range(0, x.shape[0], step):
+        chunk = x[lo : lo + step].astype(np.float32, copy=False)
+        if valid is not None:
+            chunk = chunk[np.asarray(valid[lo : lo + step], bool)]
+        if chunk.size:
+            out = max(out, float(np.nanmax(np.abs(chunk), initial=0.0)))
+    return out
 
 
-def quantize_int8(vectors: np.ndarray, scale: float) -> np.ndarray:
+def quantize_int8(
+    vectors: np.ndarray, scale: float, out: np.ndarray | None = None
+) -> np.ndarray:
     """Quantize f32 vectors to int8 codes: ``clamp(rint(x/s), -128, 127)``.
 
     Round-half-to-even, matching ``quantize_int8`` (vector_quants.rs:1489).
     NaN inputs become 0, matching Rust's saturating `as i8` cast of NaN.
-    Works on any shape; the last axis is the component axis.
+    Works on any shape; the last axis is the component axis. ``out``
+    (optional, int8, same shape) receives the codes in place — bulk index
+    builds pass their destination slab so the codes are written exactly
+    once (a second full-size int8 temporary costs ~15 s of VMM page
+    faults at 1M×512 on this host).
     """
     x = np.asarray(vectors, dtype=np.float32)
-    if x.ndim >= 2 and x.nbytes > (256 << 20):
+    if x.ndim >= 2 and x.shape[0] and (
+        x.nbytes > (256 << 20) or out is not None
+    ):
         # Chunk big corpora: the elementwise chain below materializes ~4
         # f32 temporaries of corpus size — 10 GB of allocation thrash at
         # 1M×512 (measured: ~6 min wall in the e2e rig vs seconds chunked).
-        out = np.empty(x.shape, dtype=np.int8)
+        if out is None:
+            out = np.empty(x.shape, dtype=np.int8)
         step = max(1, (64 << 20) // max(x[0].nbytes, 1))
         for lo in range(0, x.shape[0], step):
             out[lo : lo + step] = quantize_int8(x[lo : lo + step], scale)
@@ -99,7 +129,11 @@ def quantize_int8(vectors: np.ndarray, scale: float) -> np.ndarray:
     codes = np.rint(scaled)
     codes = np.where(np.isnan(codes), np.float32(0.0), codes)
     codes = np.clip(codes, -128.0, INT8_MAX_CODE)
-    return codes.astype(np.int8)
+    codes = codes.astype(np.int8)
+    if out is not None:
+        out[...] = codes
+        return out
+    return codes
 
 
 def dequantize_int8(codes: np.ndarray, scale: float) -> np.ndarray:

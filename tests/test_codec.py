@@ -86,3 +86,45 @@ class TestJaxParity:
         vecs = np.array([np.nan, np.inf, -np.inf, 0.0], dtype=np.float32)
         dev = np.asarray(codec.quantize_int8_jax(vecs, 1.0))
         np.testing.assert_array_equal(dev, [0, 127, -128, 0])
+
+
+class TestFaultFrugalPaths:
+    """Chunked/masked/in-place variants added for the VMM-backed host
+    (fresh pages fault in at ~75 MB/s, so full-size temporaries are the
+    dominant cost of a 1M-row index build). Every variant must be
+    bit-identical to the plain path."""
+
+    def test_absmax_masked_matches_fancy_index(self):
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(1000, 32)).astype(np.float32)
+        x[3, 4] = np.nan
+        valid = np.ones(1000, bool)
+        valid[::7] = False
+        ref = float(np.nanmax(np.abs(x[valid]), initial=0.0))
+        assert codec.corpus_absmax(x, valid=valid) == ref
+
+    def test_absmax_masked_all_invalid_is_zero(self):
+        x = np.ones((8, 4), np.float32)
+        assert codec.corpus_absmax(x, valid=np.zeros(8, bool)) == 0.0
+
+    def test_absmax_chunked_path_matches(self):
+        # Force the chunked branch with a >32 MB corpus.
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(70_000, 128)).astype(np.float32)
+        assert x.nbytes > (32 << 20)
+        assert codec.corpus_absmax(x) == float(np.nanmax(np.abs(x)))
+
+    def test_quantize_out_param_bit_identical(self):
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(512, 64)).astype(np.float32) * 2.3
+        x[0, 0] = np.nan
+        plain = codec.quantize_int8(x, 0.013)
+        out = np.empty_like(plain)
+        ret = codec.quantize_int8(x, 0.013, out=out)
+        assert ret is out
+        np.testing.assert_array_equal(plain, out)
+
+    def test_quantize_out_param_empty(self):
+        out = np.empty((0, 16), np.int8)
+        ret = codec.quantize_int8(np.empty((0, 16), np.float32), 1.0, out=out)
+        assert ret is out

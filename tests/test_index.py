@@ -240,3 +240,60 @@ class TestMultihost:
         d, i, v, _ = sharded.sharded_search(space, vecs[:2], k=5)
         got = idx.item_id_of_groups("clip", space.item_ids[np.asarray(i)[:, 0]])
         np.testing.assert_array_equal(got, [1000, 1001])
+
+
+class TestBulkAppendFastPath:
+    """Chunked ascending appends of strictly-new items must take the
+    vectorized slot path and produce state identical to one bulk add —
+    including an item whose rows straddle a chunk boundary (that chunk
+    falls back to the per-row path)."""
+
+    def test_chunked_appends_match_single_bulk(self):
+        from panoptikon_tpu.index.vector_index import VectorIndex
+
+        rng = np.random.default_rng(3)
+        n = 5001
+        items = np.repeat(np.arange(1, n // 2 + 2, dtype=np.int64), 2)[:n]
+        vecs = rng.standard_normal((n, 16)).astype(np.float32)
+        rows = np.arange(1, n + 1, dtype=np.int64)
+        bulk = VectorIndex(chunk_rows=256)
+        chunked = VectorIndex(chunk_rows=256)
+        bulk.add("s", items, rows, vecs)
+        chunked.reserve("s", n, 16)
+        for lo in range(0, n, 701):  # odd step → straddled item boundary
+            hi = min(lo + 701, n)
+            chunked.add("s", items[lo:hi], rows[lo:hi], vecs[lo:hi])
+        a, b = bulk._spaces["s"], chunked._spaces["s"]
+        assert a.item_of_group == b.item_of_group
+        assert a.group_of_item == b.group_of_item
+        np.testing.assert_array_equal(
+            a.group_ids[: a.size], b.group_ids[: b.size]
+        )
+        bulk.build_quant("s")
+        chunked.build_quant("s")
+        assert a.scale == b.scale
+        np.testing.assert_array_equal(a.codes[: a.size], b.codes[: b.size])
+
+    def test_reserve_idempotent_and_typed(self):
+        from panoptikon_tpu.index.vector_index import VectorIndex
+
+        idx = VectorIndex(chunk_rows=256)
+        idx.reserve("s", 1000, 8)
+        cap = idx._spaces["s"].capacity
+        idx.reserve("s", 500, 8)  # never shrinks
+        assert idx._spaces["s"].capacity == cap
+        with pytest.raises(ValueError):
+            idx.reserve("s", 10, 16)
+
+    def test_interleaved_old_item_falls_back_correctly(self):
+        from panoptikon_tpu.index.vector_index import VectorIndex
+
+        idx = VectorIndex(chunk_rows=256)
+        v = np.ones((3, 4), np.float32)
+        idx.add("s", np.array([5, 7, 9]), np.array([1, 2, 3]), v)
+        # Second append revisits item 7 (≤ max_item) → per-row path; the
+        # existing slot must be reused, not duplicated.
+        idx.add("s", np.array([7, 12]), np.array([4, 5]), np.ones((2, 4), np.float32))
+        st = idx._spaces["s"]
+        assert st.item_of_group == [5, 7, 9, 12]
+        np.testing.assert_array_equal(st.group_ids[: st.size], [0, 1, 2, 1, 3])

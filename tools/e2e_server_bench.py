@@ -101,16 +101,22 @@ def _seed_db(state, name: str, n: int) -> float:
 
 
 def _make_space(index, space: str, n: int, d: int, seed: int) -> None:
+    # Fault-frugal bulk build: this VM faults fresh pages from the VMM at
+    # ~75 MB/s, so the build reuses ONE scratch chunk (generation +
+    # normalize in place) and appends into a pre-reserved space — total
+    # fresh memory is the index's own slabs, nothing else.
     rng = np.random.default_rng(seed)
-    chunk = 125_000
-    vecs = np.empty((n, d), dtype=np.float32)
+    chunk = 62_500
+    index.reserve(space, n, d)
+    scratch = np.empty((chunk, d), dtype=np.float32)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        block = rng.standard_normal((hi - lo, d), dtype=np.float32)
-        block /= np.linalg.norm(block, axis=1, keepdims=True)
-        vecs[lo:hi] = block
-    items = np.arange(1, n + 1, dtype=np.int64)
-    index.add(space, items, items, vecs)
+        block = scratch[: hi - lo]
+        rng.standard_normal(out=block, dtype=np.float32)
+        norms = np.sqrt(np.einsum("ij,ij->i", block, block))
+        block /= norms[:, None]
+        ids = np.arange(lo + 1, hi + 1, dtype=np.int64)
+        index.add(space, ids, ids, block)
     index.build_quant(space)
 
 
