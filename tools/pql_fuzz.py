@@ -32,6 +32,12 @@ A second phase fuzzes ORDERING/PAGING self-consistency: for random
 be exact slices of the full ordering, counts must agree, and a seeded
 ``random`` order must be stable across repeat queries.
 
+A fifth phase fuzzes CONCURRENT-COALESCING equivalence: batches of 8
+mixed random shapes (single-space pages, composed RRF with varied
+weights/ks, semantic × meta) run under real thread concurrency through
+the serving coalescer (batched scans + batched device rank join) and
+must return exactly their solo (coalescing-off) results.
+
 Usage: python tools/pql_fuzz.py [--trees 200] [--order-trees 60]
                                 [--items 300] [--seed 0]
 Exit nonzero on any divergence. Reference anchor: the reference's
@@ -180,6 +186,7 @@ def main() -> int:
     parser.add_argument("--order-trees", type=int, default=60)
     parser.add_argument("--sem-trees", type=int, default=40)
     parser.add_argument("--rrf-trees", type=int, default=24)
+    parser.add_argument("--conc-rounds", type=int, default=12)
     parser.add_argument("--items", type=int, default=300)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -404,8 +411,82 @@ def main() -> int:
                 if len(failures) >= 5:
                     break
 
+        # ---- phase 5: concurrent-coalescing equivalence -----------------
+        # The serving coalescer batches co-arriving single-space scans and
+        # composed RRF rank joins into one device program; every batched
+        # row must be bit-identical to its solo run. Fuzz it with mixed
+        # random shapes executed under real thread concurrency.
+        import threading as _threading
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        def _res_key(res):
+            return (res.count, tuple(r["file_id"] for r in res.results))
+
+        conc_checked = 0
+        for round_i in range(args.conc_rounds):
+            batch = []
+            for _ in range(8):
+                shape = int(rng.integers(3))
+                model_name, field, osp = sem_specs[int(rng.integers(2))]
+                qv = osp.vecs[int(rng.integers(len(osp.vecs)))]
+                if shape == 0:  # single-space page
+                    batch.append({"query": {field: {
+                        "query": b64vec(qv), "model": model_name,
+                        "embed": None, "index": "quant"}},
+                        "page_size": int(rng.integers(5, 30)),
+                        "page": int(rng.integers(1, 3)),
+                        "check_path": False})
+                elif shape == 1:  # composed 2-space RRF, varied params
+                    m2, f2, osp2 = sem_specs[int(rng.integers(2))]
+                    q2 = osp2.vecs[int(rng.integers(len(osp2.vecs)))]
+                    batch.append({"query": {"and_": [
+                        {field: {"query": b64vec(qv), "model": model_name,
+                                 "embed": None, "index": "quant"},
+                         "row_n": True, "priority": 5, "select_as": "a",
+                         "rrf": {"k": int(rng.choice([20, 60, 100])),
+                                 "weight": float(rng.choice([0.3, 1.0, 2.0]))}},
+                        {f2: {"query": b64vec(q2), "model": m2,
+                              "embed": None, "index": "quant"},
+                         "row_n": True, "priority": 5, "select_as": "b",
+                         "rrf": {"k": int(rng.choice([20, 60])),
+                                 "weight": float(rng.choice([0.5, 1.0]))}},
+                    ]}, "page_size": int(rng.integers(5, 30)),
+                        "check_path": False})
+                else:  # semantic x meta (coalesce-ineligible scope mix)
+                    tree, _ = gen_tree(prims, all_fids, rng, depth=1)
+                    batch.append({"query": {"and_": [
+                        tree,
+                        {field: {"query": b64vec(qv), "model": model_name,
+                                 "embed": None, "index": "quant"}},
+                    ]}, "page_size": 20, "check_path": False})
+            qs = [pql.PqlQuery.from_json(json.loads(json.dumps(p)))
+                  for p in batch]
+            ex.enable_coalesce = False
+            solo = [_res_key(ex.execute(q)) for q in qs]
+            ex.enable_coalesce = True
+            barrier = _threading.Barrier(len(qs))
+
+            def _worker(q):
+                barrier.wait()
+                return _res_key(ex.execute(q))
+
+            with _TPE(max_workers=len(qs)) as pool:
+                conc = list(pool.map(_worker, qs))
+            conc_checked += 1
+            if conc != solo:
+                bad = [j for j, (a, b) in enumerate(zip(conc, solo))
+                       if a != b]
+                failures.append({
+                    "phase": "concurrent", "round": round_i,
+                    "mismatched_queries": bad,
+                    "payloads": [batch[j] for j in bad[:2]],
+                })
+                if len(failures) >= 5:
+                    break
+
         print(json.dumps({
             "trees_checked": checked,
+            "conc_rounds_checked": conc_checked,
             "rrf_trees_checked": rrf_checked,
             "sem_trees_checked": sem_checked,
             "order_trees_checked": order_checked,
