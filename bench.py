@@ -334,6 +334,27 @@ def main() -> None:
 
     from panoptikon_tpu.ops import codec, scoring
 
+    # Wall-clock budget: the driver records THE one JSON line this prints
+    # at the very end; an external kill mid-stage would leave the round
+    # with no metric at all. Optional stages (e2e server / or3 / build)
+    # are skipped once the budget is spent so the line always prints.
+    t_start = time.perf_counter()
+    budget_s = 5400.0
+    for a in sys.argv[1:]:
+        if a.startswith("--budget-s="):
+            budget_s = float(a.split("=", 1)[1])
+
+    def _over_budget(stage: str) -> bool:
+        spent = time.perf_counter() - t_start
+        if spent > budget_s:
+            print(
+                f"[bench] skipping {stage}: {spent:.0f}s spent > "
+                f"{budget_s:.0f}s budget",
+                file=sys.stderr,
+            )
+            return True
+        return False
+
     # 1) Headline: 1M×512 int8+f32-rescore QPS + recall. The recall floor
     # is 0.992 — headroom over BASELINE's ≥0.99 so a silent tweak can't
     # creep up on the target (VERDICT r2 weak #1). Adaptive oversample:
@@ -379,7 +400,7 @@ def main() -> None:
     # baseline numbers are e2e API medians, docs/vector-int8-quant.md:236).
     # Runs BEFORE the 5M build so its device buffers don't contend for HBM.
     e2e = None
-    if "--skip-e2e" not in sys.argv:
+    if "--skip-e2e" not in sys.argv and not _over_budget("e2e server bench"):
         try:
             from tools import e2e_server_bench
 
@@ -394,7 +415,7 @@ def main() -> None:
     # capacity (4M×512 + 2M×768 + 1M×1024 int8 = 7 GB of codes), through
     # the executor's FUSED device path with on-chip fused-vs-full parity.
     or3 = None
-    if "--skip-or3" not in sys.argv:
+    if "--skip-or3" not in sys.argv and not _over_budget("or3 bench"):
         try:
             from tools import or3_bench
 
@@ -411,7 +432,7 @@ def main() -> None:
     # plus the decode-in-predict baseline that shows the host-decode
     # saturation point.
     build = None
-    if "--skip-build" not in sys.argv:
+    if "--skip-build" not in sys.argv and not _over_budget("build bench"):
         try:
             from tools import build_bench
 
