@@ -510,6 +510,7 @@ async def search_pql(request: web.Request) -> web.Response:
             metrics = {
                 "compile": round(result.metrics.compile_s, 6),
                 "execute": round(result.metrics.execute_s, 6),
+                "path": result.metrics.path,
             }
             all_rows = result.results[aligned:]
             window = all_rows[offset - aligned : offset - aligned + query.page_size]
@@ -658,6 +659,9 @@ async def search_stats(request: web.Request) -> web.Response:
                 {"name": s, "output_type": t, "count": c} for s, t, c in setters
             ],
             "spaces": state.index(name).stats(),
+            # Dispatch-window coalescer amortization (queries/dispatches):
+            # how many co-arriving searches each device round-trip carried.
+            "coalescer": state.executor(name)._scan_coalescer.stats(),
         }
 
     return web.json_response(await asyncio.to_thread(run))

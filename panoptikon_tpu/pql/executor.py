@@ -68,6 +68,23 @@ class _ScanCoalescer:
         self._lock = threading.Lock()
         self._pending: dict[tuple, list] = {}
         self._busy: set[tuple] = set()
+        # Observability (served via /api/search/metrics): dispatches is
+        # the number of device batches, queries the rows they carried —
+        # queries/dispatches is the live amortization factor.
+        self.dispatches = 0
+        self.queries = 0
+        self.max_batch = 0
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "dispatches": self.dispatches,
+                "queries": self.queries,
+                "max_batch": self.max_batch,
+                "mean_batch": round(
+                    self.queries / self.dispatches, 3
+                ) if self.dispatches else 0.0,
+            }
 
     def run(self, key, payload, runner):
         from concurrent.futures import Future
@@ -87,6 +104,10 @@ class _ScanCoalescer:
                     if not batch:
                         self._busy.discard(key)
                         break
+                    self.dispatches += 1
+                    self.queries += len(batch)
+                    if len(batch) > self.max_batch:
+                        self.max_batch = len(batch)
                 try:
                     results = runner([p for p, _ in batch])
                 except BaseException as exc:  # noqa: BLE001 — waiters must wake
@@ -350,6 +371,13 @@ class SearchMetrics:
     compile_s: float = 0.0
     execute_s: float = 0.0
     cache: str = "miss"
+    # Which engine path served the page: "fused" (device candidates +
+    # page-sized readback), "full" (semantic full-surface readback
+    # fallback), "meta" (no semantic ordering). Serving-path
+    # observability: the round-3 gap was benched kernels the production
+    # path never called — this field makes the dispatch auditable per
+    # query (e2e bench + ops dashboards read it).
+    path: str = "meta"
 
 
 @dataclass
@@ -752,6 +780,7 @@ class Executor:
         extra_cols: dict[str, np.ndarray] = {}
         need_order = bool(query.results)
         fused_rows = None
+        engine_path = "meta"
         if any(e.deferred is not None for e in state.order_list):
             if need_order and not query.partition_by:
                 from panoptikon_tpu.pql import fused as _fused
@@ -759,6 +788,7 @@ class Executor:
                 out = _fused.fused_page(self, query, base, state, ctx, seed)
                 if out is not None:
                     fused_rows, extra_cols = out
+                    engine_path = "fused"
             if fused_rows is None and (
                 need_order
                 or (query.results and any(e.select_as for e in state.order_list))
@@ -766,6 +796,7 @@ class Executor:
                 # Shapes the candidate path can't express fall back to the
                 # full-surface readback — bit-identical to the eager path.
                 self._materialize_deferred(state, base)
+                engine_path = "full"
         if fused_rows is not None:
             # The exact ordered prefix covering the page (same total order
             # as the full sort); `total` keeps the membership count
@@ -847,7 +878,8 @@ class Executor:
                     row["extra"] = extra
                 results.append(row)
         metrics = SearchMetrics(
-            compile_s=compile_s, execute_s=time.perf_counter() - t1
+            compile_s=compile_s, execute_s=time.perf_counter() - t1,
+            path=engine_path,
         )
         return SearchResult(count=count, results=results, seed=seed, metrics=metrics)
 

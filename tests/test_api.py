@@ -89,6 +89,9 @@ class TestLifecycle:
         wait_jobs(state)
         status, stats = call("GET", "/api/search/stats")
         assert stats["files"] == 3
+        assert set(stats["coalescer"]) >= {
+            "dispatches", "queries", "mean_batch"
+        }
 
         # Run CLIP extraction.
         status, body = call(

@@ -463,3 +463,32 @@ class TestFallbacks:
             "page_size": 10,
         }
         run_both(ex, payload, expect_fused=False)
+
+
+class TestMetricsPath:
+    """SearchMetrics.path must report which engine path served the page —
+    the per-query audit that the benched device path is the served path."""
+
+    def test_fused_full_and_meta_reported(self, ex_rng):
+        ex, rng = ex_rng
+        fused_payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "quant"}},
+            "page_size": 10,
+        }
+        r = ex.execute(pql.PqlQuery.from_json(fused_payload))
+        assert r.metrics.path == "fused"
+
+        full_payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "exact"}},
+            "partition_by": ["item_id"],
+            "page_size": 10,
+        }
+        r2 = ex.execute(pql.PqlQuery.from_json(full_payload))
+        assert r2.metrics.path == "full"
+
+        r3 = ex.execute(pql.PqlQuery.from_json({"page_size": 5}))
+        assert r3.metrics.path == "meta"

@@ -141,12 +141,15 @@ async def _measure(session, url, payload, *, warm: int, seq: int,
             one(gen(-100 - r * conc - j)) for j in range(conc)
         ])
     lats, execs, compiles = [], [], []
+    paths: dict[str, int] = {}
     for i in range(seq):
         dt, body = await one(gen(i))
         lats.append(dt)
         m = body.get("metrics") or {}
         execs.append(float(m.get("execute") or 0.0))
         compiles.append(float(m.get("compile") or 0.0))
+        p = m.get("path") or "cache"
+        paths[p] = paths.get(p, 0) + 1
     lats.sort()
     p50 = lats[len(lats) // 2]
     p95 = lats[min(len(lats) - 1, int(len(lats) * 0.95))]
@@ -165,7 +168,11 @@ async def _measure(session, url, payload, *, warm: int, seq: int,
             "qps": round(qps, 1), "concurrency": conc,
             "executor_p50_ms": round(execs[len(execs) // 2] * 1e3, 2),
             "preprocess_p50_ms": round(
-                sorted(compiles)[len(compiles) // 2] * 1e3, 2)}
+                sorted(compiles)[len(compiles) // 2] * 1e3, 2),
+            # Which engine path served the timed queries ("fused" must
+            # dominate semantic shapes — the audit that the benched device
+            # path IS the served path).
+            "paths": paths}
 
 
 def run(n: int = 1_000_000, d: int = 512, n2: int = 1_000_000, d2: int = 768,
