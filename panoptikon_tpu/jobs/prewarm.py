@@ -10,6 +10,11 @@ through the federation pool with ``prewarm=True`` under the ``"search"``
 cache key — ``prepare()`` compiles the batch-bucket ladders at load, and
 each tick renews the TTL so an idle-but-searchable model never falls out
 of cache between queries.
+
+Beyond models, each tick also compiles the SERVING scan programs (solo +
+coalesced batch) for every quant-ready space whose generation has been
+stable for a full tick — the first query per space geometry otherwise
+pays a ~30-60 s jit stall on a tunneled chip (see warm_scan_programs).
 """
 
 from __future__ import annotations
@@ -38,6 +43,11 @@ class EagerPrewarm:
         self.ttl_seconds = ttl_seconds
         self._stop: threading.Event | None = None
         self._thread: threading.Thread | None = None
+        # (db, space, generation) triples whose serving scan programs have
+        # been compiled this process; last generation seen per space for
+        # the stability damping.
+        self._scan_warmed: set[tuple] = set()
+        self._last_gen: dict[tuple, int] = {}
 
     def warm_ids(self) -> list[str]:
         """Search-usable inference ids: embedding spaces present in any
@@ -59,8 +69,78 @@ class EagerPrewarm:
                     ids.append(space)
         return ids
 
+    def warm_scan_programs(self) -> list[str]:
+        """Compile each quant-ready space's SERVING programs before the
+        first real query pays the jit stall (~30-60 s per geometry on a
+        tunneled chip): the solo (1, d) candidate scan and the coalesced
+        (SCAN_COALESCE_MAX, d) batch, via real executor queries (which
+        also warms the base snapshot and the item-slot LUT). One warm per
+        (db, space, generation); index writes re-warm on the next tick."""
+        import base64
+
+        import numpy as np
+
+        from panoptikon_tpu.pql import model as pql
+        from panoptikon_tpu.pql.executor import SCAN_COALESCE_MAX
+        from panoptikon_tpu.utils import npy
+
+        warmed = []
+        for name in self.state.databases.names():
+            try:
+                index = self.state.index(name)
+                ex = self.state.executor(name)
+            except Exception:
+                continue
+            for space, st in index.stats().items():
+                if not st.get("quant_ready") or not st.get("rows"):
+                    continue
+                key = (name, space, st["generation"])
+                if key in self._scan_warmed:
+                    continue
+                # Damping: warm only generations STABLE across a full tick
+                # — during an extraction burst every batch bumps the
+                # generation and each warm would re-upload the codes slab.
+                prev = self._last_gen.get((name, space))
+                self._last_gen[(name, space)] = st["generation"]
+                if prev != st["generation"]:
+                    continue
+                try:
+                    vec = np.zeros(st["dim"], np.float32)
+                    vec[0] = 1.0
+                    q = base64.standard_b64encode(
+                        npy.serialize_npy(vec)
+                    ).decode()
+                    payload = {
+                        "query": {"text_embeddings": {
+                            "query": q, "model": space,
+                            "embed": None, "index": "quant"}},
+                        "page_size": 1, "count": False,
+                    }
+
+                    def one():
+                        ex.execute(pql.PqlQuery.from_json(payload))
+
+                    one()  # solo (1, d) program + base snapshot + LUT
+                    threads = [
+                        threading.Thread(target=one, daemon=True)
+                        for _ in range(SCAN_COALESCE_MAX)
+                    ]
+                    for t in threads:
+                        t.start()
+                    for t in threads:
+                        t.join()  # coalesced (B, d) program
+                    self._scan_warmed.add(key)
+                    warmed.append(f"{name}:{space}")
+                except Exception as exc:  # keep the loop alive
+                    log.warning("scan prewarm of %s failed: %s", space, exc)
+        return warmed
+
     def tick(self) -> list[str]:
         warmed = []
+        try:
+            warmed.extend(self.warm_scan_programs())
+        except Exception:
+            log.exception("scan-program prewarm failed")
         ids = self.warm_ids()
         for inference_id in ids:
             try:

@@ -97,3 +97,53 @@ class TestEagerPrewarm:
             time.sleep(0.02)
         assert LoadCountImpl.loads == 1  # startup warm fired
         loop.stop()
+
+
+class TestScanProgramPrewarm:
+    def test_stable_generation_warms_scan_programs(self, env):
+        """A quant-ready space whose generation is stable across a tick
+        gets its serving scan programs compiled (solo + coalesced batch),
+        once per generation."""
+        index = env.index("default")
+        if "warm/a" not in index.space_names():
+            rng = np.random.default_rng(0)
+            ids = np.arange(1, 33, dtype=np.int64)
+            vecs = rng.standard_normal((32, 8)).astype(np.float32)
+            index.add("warm/a", ids, ids, vecs)
+        index.build_quant("warm/a")
+
+        loop = EagerPrewarm(env)
+        ex = env.executor("default")
+        calls = {"n": 0}
+        orig = ex.execute
+
+        def counting(q):
+            calls["n"] += 1
+            return orig(q)
+
+        ex.execute = counting
+        first = loop.warm_scan_programs()
+        assert first == []  # generation not yet stable (damping)
+        second = loop.warm_scan_programs()
+        assert any(w.endswith(":warm/a") for w in second)
+        # 1 solo + SCAN_COALESCE_MAX concurrent executes.
+        from panoptikon_tpu.pql.executor import SCAN_COALESCE_MAX
+
+        assert calls["n"] == 1 + SCAN_COALESCE_MAX
+        third = loop.warm_scan_programs()
+        assert not any(w.endswith(":warm/a") for w in third)
+        assert calls["n"] == 1 + SCAN_COALESCE_MAX  # warmed once
+
+    def test_tick_includes_scan_warm_and_stays_model_compatible(self, env):
+        index = env.index("default")
+        if "warm/a" not in index.space_names():
+            rng = np.random.default_rng(0)
+            ids = np.arange(1, 33, dtype=np.int64)
+            vecs = rng.standard_normal((32, 8)).astype(np.float32)
+            index.add("warm/a", ids, ids, vecs)
+        index.build_quant("warm/a")
+        loop = EagerPrewarm(env)
+        loop.tick()  # records generations, warms models
+        warmed = loop.tick()  # stable now: scan warm + model renew
+        assert "default:warm/a" in warmed
+        assert "warm/a" in warmed
