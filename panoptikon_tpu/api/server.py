@@ -2114,6 +2114,15 @@ def main(args=None) -> None:
     root = getattr(args, "root", ".") or "."
     if root != ".":
         os.chdir(root)  # --root chdir (main.rs:148-151)
+    # Honor JAX_PLATFORMS even when a PJRT plugin sitecustomize imported
+    # jax at interpreter startup and froze the config: env vars alone do
+    # not stop an eagerly-registered accelerator plugin from initializing
+    # its transport (which blocks forever if the transport is down) — the
+    # live config must be updated too, exactly as tests/conftest.py does.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     settings = Settings.load(args.config, root=root)
     if args.data_root:
         settings.data_root = args.data_root

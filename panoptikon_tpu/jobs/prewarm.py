@@ -48,6 +48,7 @@ class EagerPrewarm:
         # the stability damping.
         self._scan_warmed: set[tuple] = set()
         self._last_gen: dict[tuple, int] = {}
+        self._scan_thread: threading.Thread | None = None
 
     def warm_ids(self) -> list[str]:
         """Search-usable inference ids: embedding spaces present in any
@@ -137,10 +138,39 @@ class EagerPrewarm:
 
     def tick(self) -> list[str]:
         warmed = []
-        try:
-            warmed.extend(self.warm_scan_programs())
-        except Exception:
-            log.exception("scan-program prewarm failed")
+        # The scan warm dispatches device ops, which block FOREVER if the
+        # accelerator transport is down (dead tunnel relay — see
+        # docs/operations.md "hung accelerator runbook"). Run it on a
+        # bounded-join daemon thread so a wedged transport cannot freeze
+        # model warming, and never stack a second warm while one is stuck
+        # (stacking processes/ops against a wedged claim makes it worse).
+        if self._scan_thread is None or not self._scan_thread.is_alive():
+            out: list[str] = []
+
+            def run_warm():
+                try:
+                    out.extend(self.warm_scan_programs())
+                except Exception:
+                    log.exception("scan-program prewarm failed")
+
+            t = threading.Thread(
+                target=run_warm, name="scan-prewarm", daemon=True
+            )
+            self._scan_thread = t
+            t.start()
+            t.join(min(self.interval_s, 60.0))
+            if t.is_alive():
+                log.warning(
+                    "scan prewarm still running after %.0fs — slow compile "
+                    "or wedged device transport; not stacking another warm",
+                    min(self.interval_s, 60.0),
+                )
+            else:
+                warmed.extend(out)
+        else:
+            log.warning(
+                "previous scan prewarm still running; skipping this tick"
+            )
         ids = self.warm_ids()
         for inference_id in ids:
             try:
