@@ -1,0 +1,216 @@
+"""Python client library tests: drive the real aiohttp app over a real
+socket (ephemeral port, background-thread event loop) with the synchronous
+:mod:`panoptikon_tpu.client` — the L8 client surface the reference covers
+with its generated TypeScript bindings (SURVEY §1 L8, openapi.rs)."""
+
+import asyncio
+import threading
+
+import numpy as np
+import pytest
+
+from panoptikon_tpu.api.server import AppState, build_app
+from panoptikon_tpu.client import (
+    PanoptikonClient,
+    PanoptikonError,
+    raw_embedding_query,
+)
+
+REG_TOML = """
+[group.clip]
+config.impl_class = "clip"
+config.model_arch = "test-tiny"
+[group.clip.metadata]
+name = "CLIP"
+output_type = "clip"
+input_mime_types = ["image/"]
+default_batch_size = 4
+[group.clip.inference_ids.tiny]
+metadata.description = "tiny clip"
+
+[group.fixtures]
+config.impl_class = "echo_impl"
+[group.fixtures.inference_ids.echo]
+"""
+
+
+@pytest.fixture(scope="module")
+def live_server(tmp_path_factory):
+    """The real app bound to an ephemeral localhost port, served from a
+    dedicated thread's event loop so the sync client can block freely."""
+    tmp_path = tmp_path_factory.mktemp("client_env")
+    media = tmp_path / "media"
+    media.mkdir()
+    from PIL import Image
+
+    for i, color in enumerate([(255, 0, 0), (0, 255, 0), (0, 0, 255)]):
+        Image.new("RGB", (40, 40), color).save(media / f"img{i}.png")
+    reg = tmp_path / "registry"
+    reg.mkdir()
+    (reg / "00.toml").write_text(REG_TOML)
+    state = AppState.create(tmp_path / "data", reg)
+    app = build_app(state)
+
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    port_holder = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def start():
+            runner = aioweb.AppRunner(app)
+            await runner.setup()
+            site = aioweb.TCPSite(runner, "127.0.0.1", 0)
+            await site.start()
+            port_holder["port"] = runner.addresses[0][1]
+            port_holder["runner"] = runner
+
+        from aiohttp import web as aioweb
+
+        loop.run_until_complete(start())
+        started.set()
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(30)
+    yield {"port": port_holder["port"], "media": media, "state": state}
+    loop.call_soon_threadsafe(loop.stop)
+    t.join(timeout=10)
+
+
+@pytest.fixture(scope="module")
+def client(live_server):
+    with PanoptikonClient(
+        f"http://127.0.0.1:{live_server['port']}", timeout=120
+    ) as c:
+        yield c
+
+
+@pytest.fixture(scope="module")
+def indexed(client, live_server):
+    """Scan the media folder once for the read-path tests."""
+    client.jobs.set_folders(included=[str(live_server["media"])])
+    job = client.jobs.rescan_folders()
+    done = client.jobs.wait(job["job_id"], timeout=120)
+    assert done.get("state") in ("completed", "unknown")
+    return client.search.pql({"page_size": 10})
+
+
+class TestClientCore:
+    def test_health_and_discovery(self, client):
+        assert client.health()["status"] == "ok"
+        assert "/api/search/pql" in str(client.openapi())
+        assert isinstance(client.client_config(), dict)
+
+    def test_error_mapping(self, client):
+        with pytest.raises(PanoptikonError) as err:
+            client.items.metadata("0" * 64)
+        assert err.value.status == 404
+        assert err.value.path.startswith("/api/items/")
+        # Bad request bodies surface the server's message, not raw bytes.
+        with pytest.raises(PanoptikonError) as err:
+            client.request(
+                "POST", "/api/jobs/data/extraction", json_body={}
+            )
+        assert err.value.status == 400
+        assert "inference_id" in err.value.message
+
+    def test_keepalive_survives_many_calls(self, client):
+        for _ in range(25):
+            assert client.health()["status"] == "ok"
+
+
+class TestClientReadPath:
+    def test_scan_search_items(self, client, indexed, live_server):
+        assert indexed["count"] == 3
+        sha = indexed["results"][0]["sha256"]
+        meta = client.items.metadata(sha)
+        assert meta["type"] == "image/png"
+
+        whole = client.items.file(sha)
+        assert whole.status == 200 and len(whole.body) > 0
+        ranged = client.items.file(sha, byte_range=(0, 9))
+        assert ranged.status == 206 and len(ranged.body) == 10
+        assert ranged.content_range.startswith("bytes 0-9/")
+
+        thumb = client.items.thumbnail(sha)
+        assert thumb.status == 200 and thumb.body
+
+    def test_bookmarks_roundtrip(self, client, indexed):
+        sha = indexed["results"][0]["sha256"]
+        client.bookmarks.put("alice", "favs", sha, metadata={"note": "hi"})
+        rows = client.bookmarks.list("alice")
+        assert any(r["sha256"] == sha for r in rows)
+        client.bookmarks.delete("alice", "favs", sha)
+        assert not any(
+            r["sha256"] == sha for r in client.bookmarks.list("alice")
+        )
+
+    def test_pinboards_roundtrip(self, client, indexed):
+        shas = [r["sha256"] for r in indexed["results"][:2]]
+        pb = client.pinboards.create("alice", "board-1")
+        pid = pb["id"]
+        client.pinboards.save_version("alice", pid, layout=shas)
+        got = client.pinboards.get("alice", pid)
+        assert got["name"] == "board-1"
+        assert got["versions"]
+        boards = client.pinboards.list("alice")
+        assert any(b["id"] == pid for b in boards)
+        client.pinboards.delete("alice", pid)
+        assert not any(
+            b["id"] == pid for b in client.pinboards.list("alice")
+        )
+
+    def test_jobs_and_config_surfaces(self, client, indexed):
+        status = client.jobs.queue()
+        assert set(status) == {"running", "pending", "history"}
+        folders = client.jobs.get_folders()
+        assert folders  # scanned folder registered
+        assert isinstance(client.jobs.quants(), list)
+        assert isinstance(client.jobs.history_scans(), list)
+        cfg = client.config.get()
+        assert isinstance(cfg, dict)
+        assert isinstance(client.search.stats(), dict)
+        assert isinstance(client.search.cache_stats(), dict)
+
+
+class TestClientInference:
+    def test_metadata_and_predict_echo(self, client):
+        meta = client.inference.metadata()
+        assert "echo" in meta.get("fixtures", {}).get("inference_ids", {})
+        out = client.inference.predict(
+            "fixtures/echo",
+            [{"x": 1}, {"x": 2}],
+            files={1: b"abc"},
+        )
+        assert len(out) == 2
+        client.inference.unload("fixtures/echo")
+
+    def test_cache_surface(self, client):
+        assert isinstance(client.inference.cache_list(), (list, dict))
+
+
+class TestRawVectorSearch:
+    def test_raw_vector_query_roundtrip(self, client, live_server):
+        """Install a tiny embedding space server-side, quant-build it, then
+        run the FULL client path: raw-vector PQL page + order check."""
+        index = live_server["state"].index("default")
+        rng = np.random.default_rng(3)
+        ids = np.arange(1, 4, dtype=np.int64)
+        vecs = rng.standard_normal((3, 16)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        if "client/space" not in index.space_names():
+            index.add("client/space", ids, ids, vecs)
+        index.build_quant("client/space")
+
+        q = raw_embedding_query(vecs[1])
+        page = client.search.pql({
+            "query": {"text_embeddings": {
+                "query": q, "model": "client/space",
+                "embed": None, "index": "quant"}},
+            "page_size": 3,
+        })
+        assert page["results"], "semantic page should return rows"
+        assert page["results"][0]["item_id"] == 2  # self-match first
