@@ -16,6 +16,21 @@
                                   ``update`` → GitHub releases; the
                                   Python-deploy analog is a pip upgrade
                                   from a configured index/manifest).
+
+Client subcommands (the reference's scripts/ + UI tooling surface, built
+on :mod:`panoptikon_tpu.client`; all take ``--server`` and ``--db``,
+print JSON for scripting):
+
+``panoptikon-tpu search``       — PQL search: ``search "red bicycle"
+                                  --model clip/vit-b-32`` or a full PQL
+                                  body via ``--pql file.json`` (``-`` for
+                                  stdin).
+``panoptikon-tpu scan``         — register folders (``--add PATH``...)
+                                  and run a rescan; ``--wait`` blocks.
+``panoptikon-tpu extract``      — enqueue an extraction job for an
+                                  inference id; ``--wait`` blocks.
+``panoptikon-tpu jobs``         — queue status (running/pending/history).
+``panoptikon-tpu health``       — server health document.
 """
 
 from __future__ import annotations
@@ -187,6 +202,79 @@ def cmd_self_update(args) -> int:
     return 0
 
 
+def _client(args):
+    from panoptikon_tpu.client import PanoptikonClient
+
+    return PanoptikonClient(
+        args.server, index_db=args.db, timeout=args.timeout
+    )
+
+
+def cmd_health(args) -> int:
+    print(json.dumps(_client(args).health()))
+    return 0
+
+
+def cmd_jobs(args) -> int:
+    print(json.dumps(_client(args).jobs.queue()))
+    return 0
+
+
+def cmd_scan(args) -> int:
+    c = _client(args)
+    if args.add:
+        current = c.jobs.get_folders() or []
+        kept = {f["path"] for f in current if f.get("included")}
+        c.jobs.set_folders(included=sorted(kept | set(args.add)))
+    job = c.jobs.rescan_folders()
+    out = {"job_id": job["job_id"]}
+    if args.wait:
+        out["result"] = c.jobs.wait(job["job_id"], timeout=args.timeout)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_extract(args) -> int:
+    c = _client(args)
+    job = c.jobs.enqueue_extraction(args.inference_id)
+    out = {"job_id": job["job_id"]}
+    if args.wait:
+        out["result"] = c.jobs.wait(job["job_id"], timeout=args.timeout)
+        if out["result"].get("state") == "failed":
+            print(json.dumps(out))
+            return 1
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_search(args) -> int:
+    c = _client(args)
+    if args.pql:
+        raw = (
+            sys.stdin.read() if args.pql == "-"
+            else Path(args.pql).read_text()
+        )
+        body = json.loads(raw)
+    else:
+        if not args.query or not args.model:
+            print(json.dumps({
+                "error": "either --pql FILE or QUERY --model ID required"}))
+            return 2
+        filter_name = (
+            "text_embeddings" if args.entity == "text"
+            else "image_embeddings"
+        )
+        body = {
+            "query": {filter_name: {
+                "query": args.query, "model": args.model}},
+            "entity": args.entity if args.entity != "image" else "file",
+            "page_size": args.page_size,
+            "page": args.page,
+        }
+    print(json.dumps(c.search.pql(body)))
+    return 0
+
+
 def cmd_version(args) -> int:
     import panoptikon_tpu
 
@@ -221,6 +309,47 @@ def build_parser() -> argparse.ArgumentParser:
     acc.add_argument("--env", action="store_true",
                      help="print the recommended env matrix for this generation")
     sub.add_parser("version", help="print the version")
+
+    def _client_args(p):
+        p.add_argument("--server", default="http://127.0.0.1:6342",
+                       help="server base URL")
+        p.add_argument("--db", default=None, help="index database name")
+        p.add_argument("--timeout", type=float, default=600.0,
+                       help="request/wait timeout seconds")
+
+    srch = sub.add_parser("search", help="run a PQL search")
+    srch.add_argument("query", nargs="?", default=None,
+                      help="semantic query text")
+    srch.add_argument("--model", default=None,
+                      help="embedding inference id (e.g. clip/vit-b-32)")
+    srch.add_argument("--entity", default="image",
+                      choices=["image", "file", "text"],
+                      help="search entity (image→file via CLIP, text→"
+                           "text_embeddings)")
+    srch.add_argument("--page-size", type=int, default=10)
+    srch.add_argument("--page", type=int, default=1)
+    srch.add_argument("--pql", default=None,
+                      help="full PQL JSON body from FILE ('-' = stdin)")
+    _client_args(srch)
+
+    scan = sub.add_parser("scan", help="register folders + rescan")
+    scan.add_argument("--add", action="append", default=[],
+                      help="folder to include (repeatable)")
+    scan.add_argument("--wait", action="store_true",
+                      help="block until the scan finishes")
+    _client_args(scan)
+
+    ext = sub.add_parser("extract", help="enqueue an extraction job")
+    ext.add_argument("inference_id", help="e.g. clip/vit-b-32")
+    ext.add_argument("--wait", action="store_true",
+                     help="block until the job finishes")
+    _client_args(ext)
+
+    jobs = sub.add_parser("jobs", help="print the job queue status")
+    _client_args(jobs)
+    health = sub.add_parser("health", help="print server health")
+    _client_args(health)
+
     upd = sub.add_parser("self-update", help="check/apply a package update")
     upd.add_argument("--manifest", default=None,
                      help="release manifest URL (json: {version, requirement})")
@@ -241,6 +370,16 @@ def main(argv=None) -> int:
         return cmd_version(args)
     if cmd == "self-update":
         return cmd_self_update(args)
+    if cmd == "search":
+        return cmd_search(args)
+    if cmd == "scan":
+        return cmd_scan(args)
+    if cmd == "extract":
+        return cmd_extract(args)
+    if cmd == "jobs":
+        return cmd_jobs(args)
+    if cmd == "health":
+        return cmd_health(args)
     return cmd_serve(args)
 
 

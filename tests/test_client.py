@@ -214,3 +214,62 @@ class TestRawVectorSearch:
         })
         assert page["results"], "semantic page should return rows"
         assert page["results"][0]["item_id"] == 2  # self-match first
+
+
+class TestCliClientCommands:
+    """The client-powered CLI subcommands (scripts/ tooling surface):
+    each prints one JSON document to stdout for scripting."""
+
+    def _run(self, capsys, argv):
+        from panoptikon_tpu import cli
+
+        rc = cli.main(argv)
+        out = capsys.readouterr().out.strip()
+        import json as _json
+
+        return rc, _json.loads(out)
+
+    def test_health_and_jobs(self, client, live_server, capsys):
+        url = f"http://127.0.0.1:{live_server['port']}"
+        rc, doc = self._run(capsys, ["health", "--server", url])
+        assert rc == 0 and doc["status"] == "ok"
+        rc, doc = self._run(capsys, ["jobs", "--server", url])
+        assert rc == 0 and set(doc) == {"running", "pending", "history"}
+
+    def test_scan_wait_merges_folders(self, client, live_server, capsys, tmp_path):
+        url = f"http://127.0.0.1:{live_server['port']}"
+        extra = tmp_path / "more_media"
+        extra.mkdir()
+        rc, doc = self._run(
+            capsys, ["scan", "--add", str(extra), "--wait", "--server", url]
+        )
+        assert rc == 0 and doc["result"]["state"] in ("completed", "unknown")
+        folders = {f["path"] for f in client.jobs.get_folders()
+                   if f.get("included")}
+        assert str(extra) in folders
+        assert str(live_server["media"]) in folders  # merge kept the old one
+
+    def test_search_pql_body_from_file(self, client, live_server, capsys, tmp_path):
+        url = f"http://127.0.0.1:{live_server['port']}"
+        body = tmp_path / "q.json"
+        body.write_text('{"page_size": 2}')
+        rc, doc = self._run(
+            capsys, ["search", "--pql", str(body), "--server", url]
+        )
+        assert rc == 0 and doc["count"] == 3 and len(doc["results"]) == 2
+
+    def test_search_requires_model_or_pql(self, live_server, capsys):
+        url = f"http://127.0.0.1:{live_server['port']}"
+        rc, doc = self._run(capsys, ["search", "red bike", "--server", url])
+        assert rc == 2 and "error" in doc
+
+    def test_extract_wait(self, client, live_server, capsys):
+        url = f"http://127.0.0.1:{live_server['port']}"
+        rc, doc = self._run(
+            capsys, ["extract", "clip/tiny", "--wait", "--server", url]
+        )
+        assert rc == 0
+        assert doc["result"]["state"] in ("completed", "unknown")
+        # The extraction populated the device index: semantic search works.
+        stats = client.search.stats()
+        assert stats["spaces"].get("clip/tiny", {}).get("rows", 0) >= 3
