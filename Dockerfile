@@ -29,10 +29,14 @@ RUN pip install --no-cache-dir . && \
             -f https://storage.googleapis.com/jax-releases/libtpu_releases.html; \
     fi
 
+# Seed the config BEFORE declaring the volume: the classic (non-BuildKit)
+# builder discards writes made to a path after its VOLUME instruction, and
+# a missing config would silently fall back to a localhost-only default
+# listener.
+COPY deploy/docker-server.toml /config/server.toml
+
 # Data (databases, thumbnails) and config live on volumes.
 VOLUME ["/data", "/config"]
-
-COPY deploy/docker-server.toml /config/server.toml
 
 EXPOSE 6342 6339
 ENV JAX_PLATFORMS=""

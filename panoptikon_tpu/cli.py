@@ -225,7 +225,11 @@ def cmd_scan(args) -> int:
     if args.add:
         current = c.jobs.get_folders() or []
         kept = {f["path"] for f in current if f.get("included")}
-        c.jobs.set_folders(included=sorted(kept | set(args.add)))
+        # rescan=False: we enqueue exactly one rescan below (the server
+        # would otherwise enqueue its own on the folders PUT).
+        c.jobs.set_folders(
+            included=sorted(kept | set(args.add)), rescan=False
+        )
     job = c.jobs.rescan_folders()
     out = {"job_id": job["job_id"]}
     if args.wait:

@@ -178,18 +178,27 @@ class PanoptikonClient:
         if headers:
             hdrs.update(headers)
 
+        # One retry on a dropped keep-alive socket. A failure while SENDING
+        # (stale idle connection the server closed) is safe to retry for
+        # any method — the request never completed. A failure AWAITING the
+        # response is ambiguous: the server may have executed the call, so
+        # only idempotent methods retry (every PUT/DELETE on this API is an
+        # upsert/set; a re-sent POST could enqueue a job twice).
+        idempotent = method in ("GET", "HEAD", "PUT", "DELETE")
         conn = self._conn()
-        for attempt in (0, 1):  # one retry on a dropped keep-alive socket
+        for attempt in (0, 1):
+            sent = False
             try:
                 conn.request(method, url, body=body, headers=hdrs)
+                sent = True
                 resp = conn.getresponse()
                 payload = resp.read()
                 break
             except (ConnectionError, BrokenPipeError, OSError):
                 self.close()
-                conn = self._conn()
-                if attempt:
+                if attempt or (sent and not idempotent):
                     raise
+                conn = self._conn()
 
         ctype = resp.getheader("content-type", "") or ""
         if resp.status >= 400:
@@ -389,8 +398,11 @@ class _Jobs(_Resource):
         *,
         included: Iterable[str] | None = None,
         excluded: Iterable[str] | None = None,
+        rescan: bool = True,
     ) -> dict:
-        body: dict[str, Any] = {}
+        """Register folders; the server enqueues a rescan unless
+        ``rescan=False`` (pass False when you will trigger one yourself)."""
+        body: dict[str, Any] = {"rescan": rescan}
         if included is not None:
             body["included"] = list(included)
         if excluded is not None:

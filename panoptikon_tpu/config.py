@@ -117,7 +117,12 @@ class Settings:
     def load(cls, path: str | Path | None = None, root: str | Path = ".") -> "Settings":
         load_dotenv(Path(root) / ".env")
         raw: dict[str, Any] = {}
-        if path is not None and Path(path).is_file():
+        if path is not None:
+            # An EXPLICIT config path that doesn't exist is an error, not a
+            # silent fall-through to defaults (a localhost-only listener
+            # writing data into the cwd — undebuggable in a container).
+            if not Path(path).is_file():
+                raise FileNotFoundError(f"config file not found: {path}")
             raw = tomllib.loads(Path(path).read_text())
         raw = resolve_tree(raw)
         return cls.from_dict(raw)

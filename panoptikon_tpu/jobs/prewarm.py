@@ -118,10 +118,17 @@ class EagerPrewarm:
                         "page_size": 1, "count": False,
                     }
 
+                    errors: list[BaseException] = []
+
                     def one():
-                        ex.execute(pql.PqlQuery.from_json(payload))
+                        try:
+                            ex.execute(pql.PqlQuery.from_json(payload))
+                        except BaseException as e:  # noqa: BLE001
+                            errors.append(e)
 
                     one()  # solo (1, d) program + base snapshot + LUT
+                    if errors:
+                        raise errors[0]
                     threads = [
                         threading.Thread(target=one, daemon=True)
                         for _ in range(SCAN_COALESCE_MAX)
@@ -130,6 +137,11 @@ class EagerPrewarm:
                         t.start()
                     for t in threads:
                         t.join()  # coalesced (B, d) program
+                    if errors:
+                        # Worker-thread failures must not be swallowed: the
+                        # coalesced program was NOT compiled — leave the key
+                        # unwarmed so the next tick retries, and surface why.
+                        raise errors[0]
                     self._scan_warmed.add(key)
                     warmed.append(f"{name}:{space}")
                 except Exception as exc:  # keep the loop alive

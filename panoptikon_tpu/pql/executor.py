@@ -86,37 +86,61 @@ class _ScanCoalescer:
                 ) if self.dispatches else 0.0,
             }
 
+    # The leading request thread drains at most this many batches (its own
+    # future resolves in the first); under sustained arrivals it hands the
+    # drain to a daemon so one unlucky request is never converted into a
+    # dispatcher with unbounded latency.
+    MAX_LEADER_ROUNDS = 2
+
     def run(self, key, payload, runner):
         from concurrent.futures import Future
 
         fut: Future = Future()
         with self._lock:
-            self._pending.setdefault(key, []).append((payload, fut))
+            self._pending.setdefault(key, []).append((payload, fut, runner))
             leader = key not in self._busy
             if leader:
                 self._busy.add(key)
         if leader:
-            # Drain loop: requests arriving while a batch executes join the
-            # next batch, still led by this thread.
-            while True:
-                with self._lock:
-                    batch = self._pending.pop(key, None)
-                    if not batch:
-                        self._busy.discard(key)
-                        break
-                    self.dispatches += 1
-                    self.queries += len(batch)
-                    if len(batch) > self.max_batch:
-                        self.max_batch = len(batch)
-                try:
-                    results = runner([p for p, _ in batch])
-                except BaseException as exc:  # noqa: BLE001 — waiters must wake
-                    for _, f in batch:
-                        f.set_exception(exc)
-                else:
-                    for (_, f), r in zip(batch, results):
-                        f.set_result(r)
+            self._drain(key, rounds_budget=self.MAX_LEADER_ROUNDS)
         return fut.result()
+
+    def _drain(self, key, rounds_budget: int | None = None) -> None:
+        """Drain loop: requests arriving while a batch executes join the
+        next batch. ``self._busy`` holds the key until a drain round finds
+        nothing pending — either here or in the handoff daemon. Each batch
+        runs its first entry's runner (same key ⇒ same compiled program)."""
+        rounds = 0
+        while True:
+            with self._lock:
+                batch = self._pending.pop(key, None)
+                if not batch:
+                    self._busy.discard(key)
+                    return
+                self.dispatches += 1
+                self.queries += len(batch)
+                if len(batch) > self.max_batch:
+                    self.max_batch = len(batch)
+            runner = batch[0][2]
+            try:
+                results = runner([p for p, _, _ in batch])
+            except BaseException as exc:  # noqa: BLE001 — waiters must wake
+                for _, f, _ in batch:
+                    f.set_exception(exc)
+            else:
+                for (_, f, _), r in zip(batch, results):
+                    f.set_result(r)
+            rounds += 1
+            if rounds_budget is not None and rounds >= rounds_budget:
+                with self._lock:
+                    if not self._pending.get(key):
+                        self._busy.discard(key)
+                        return
+                threading.Thread(
+                    target=self._drain, args=(key,),
+                    name="scan-coalesce-drain", daemon=True,
+                ).start()
+                return
 
 
 # ---------------------------------------------------------------------------
@@ -2028,7 +2052,6 @@ class Executor:
             snap = self.index.snapshot(space)
         except KeyError:
             return None
-        row_valid = snap.row_valid.copy()
         weighted = bool(src_text and src_text.weighted)
         src_filtered = src_text is not None and (
             src_text.setters
@@ -2036,9 +2059,14 @@ class Executor:
             or src_text.min_confidence is not None
             or src_text.min_language_confidence is not None
         )
+        # Only the src-filtered path needs a host-side validity copy; the
+        # common unmasked path reads the device-cached validity, and a
+        # fresh (capacity,) allocation per query per space is real money
+        # on the serving hot path.
+        row_valid = None
         if src_filtered:
             allowed = self._src_text_rows(space, src_text)
-            row_valid &= np.isin(snap.row_ids, allowed)
+            row_valid = snap.row_valid & np.isin(snap.row_ids, allowed)
         query_weights = None
         if weighted:
             # Query-time confidence weighting (item_similarity.rs:18-70):

@@ -346,7 +346,13 @@ def fused_page(ex, query, base, state, ctx, seed):
         )
         if out is not _INSUFFICIENT:
             return out
-        if kk >= min(e.deferred.snap.num_groups for e in group):
+        # Eager (host-evaluated) entries have no deferred scan to escalate
+        # — the slot domain is set by the device-scanned entries only.
+        domains = [
+            e.deferred.snap.num_groups for e in group
+            if e.deferred is not None
+        ]
+        if not domains or kk >= min(domains):
             break  # escalation exhausted the slot domain
     return None
 

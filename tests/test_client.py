@@ -91,7 +91,9 @@ def client(live_server):
 @pytest.fixture(scope="module")
 def indexed(client, live_server):
     """Scan the media folder once for the read-path tests."""
-    client.jobs.set_folders(included=[str(live_server["media"])])
+    client.jobs.set_folders(
+        included=[str(live_server["media"])], rescan=False
+    )
     job = client.jobs.rescan_folders()
     done = client.jobs.wait(job["job_id"], timeout=120)
     assert done.get("state") in ("completed", "unknown")

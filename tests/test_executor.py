@@ -679,3 +679,43 @@ class TestOrComposition:
         # self-matches first.
         top2 = {r["item_id"] for r in res.results}
         assert top2 == {env["info"][2][0], env["info"][9][0]}
+
+
+class TestHybridEscalationFallback:
+    def test_eager_entry_survives_kk_escalation(self, env, monkeypatch):
+        """Regression: a hybrid RRF group (eager FTS rank + deferred
+        semantic scan) whose candidate attempts all report insufficiency
+        must fall back to the full path — the kk-escalation bound is set
+        by the device-scanned entries only (eager entries have no
+        deferred scan to bound by; dereferencing one crashed the query)."""
+        import panoptikon_tpu.pql.fused as fused
+
+        payload = {
+            "query": {"and_": [
+                {"match_text": {"match": "number"}, "order_by": True,
+                 "row_n": True, "priority": 5,
+                 "rrf": {"k": 60, "weight": 1.0}},
+                {"image_embeddings": {
+                    "query": b64_query(env["vecs"][3]), "model": "clip",
+                    "embed": None, "index": "quant"},
+                 "row_n": True, "priority": 5,
+                 "rrf": {"k": 60, "weight": 0.5}},
+            ]},
+            "page_size": 5,
+        }
+        want = run(env["ex"], payload)
+        assert want.results  # the hybrid matches the even (text) items
+
+        calls = {"n": 0}
+
+        def insufficient(*a, **k):
+            calls["n"] += 1
+            return fused._INSUFFICIENT
+
+        monkeypatch.setattr(fused, "_attempt", insufficient)
+        got = run(env["ex"], payload)
+        assert calls["n"] >= 1  # the fused loop actually ran (and gave up)
+        assert [r["file_id"] for r in got.results] == [
+            r["file_id"] for r in want.results
+        ]
+        assert got.count == want.count
