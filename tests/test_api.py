@@ -830,3 +830,51 @@ class TestUiUserFlow:
         text = bytes(page).decode()
         for marker in ("insp-bookmark", "/api/bookmarks/user", "openItem"):
             assert marker in text, marker
+
+    def test_filter_drawer_and_fusion_flow(self, client_env):
+        """The round-4 UI additions, driven as the endpoint payloads the
+        JS builds: metadata filter drawer (type/path/size clauses ANDed
+        onto the mode query, ui.html buildQuery) and multi-model RRF
+        fusion (one semantic entry per selected space)."""
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders",
+             json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+        # Filter drawer: type prefix + min size, exactly as buildQuery
+        # composes them.
+        status, res = call("POST", "/api/search/pql", json={
+            "query": {"and_": [
+                {"match": {"startswith": {"type": "image/"}}},
+                {"match": {"gte": {"size": 1}}},
+            ]},
+            "page_size": 12,
+            "select": ["sha256", "path", "filename", "type"],
+        })
+        assert status == 200 and res["results"]
+        assert all(r["type"].startswith("image/") for r in res["results"])
+        # Fusion mode: two entries over the same space (the UI allows any
+        # multi-select combination) — the RRF body must execute and rank.
+        status, _ = call("POST", "/api/jobs/data/extraction",
+                         json={"inference_id": "clip/tiny"})
+        assert status == 200
+        wait_jobs(state)
+        status, res = call("POST", "/api/search/pql", json={
+            "query": {"and_": [
+                {"image_embeddings": {"query": "a red image",
+                                      "model": "clip/tiny"},
+                 "order_by": True, "row_n": True, "priority": 5,
+                 "rrf": {"k": 60, "weight": 1.0}},
+                {"image_embeddings": {"query": "a colorful photo",
+                                      "model": "clip/tiny"},
+                 "order_by": True, "row_n": True, "priority": 5,
+                 "rrf": {"k": 60, "weight": 1.0}},
+            ]},
+            "page_size": 6,
+        })
+        assert status == 200 and res["results"], res
+        # The UI page carries the new wiring.
+        _, page = call("GET", "/ui")
+        text = bytes(page).decode()
+        for marker in ("fusemodels", "filtbtn", "fusion (multi-model RRF)",
+                       "fapply", "startswith"):
+            assert marker in text, marker
