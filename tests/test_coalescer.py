@@ -297,3 +297,81 @@ class TestComposedCoalescing:
             np.testing.assert_array_equal(np.asarray(cand_b)[i], cand)
             np.testing.assert_array_equal(np.asarray(ranks_b)[i], ranks)
             np.testing.assert_array_equal(np.asarray(t_b)[i], t)
+
+
+class TestLeadershipHandoff:
+    def test_leader_rounds_bounded_under_sustained_load(self):
+        """Under sustained arrivals the first-arriving (leader) thread must
+        return after at most MAX_LEADER_ROUNDS batches — the drain hands
+        off to a daemon — while every queued request still completes."""
+        co = _ScanCoalescer()
+        key = ("space", 1)
+        in_leader = threading.Event()
+        release = threading.Event()
+        rounds_before_leader_return = []
+        results = []
+        lock = threading.Lock()
+
+        def runner(payloads):
+            in_leader.set()
+            release.wait(10)
+            with lock:
+                rounds_before_leader_return.append(len(payloads))
+            return [p for p in payloads]
+
+        def call(p):
+            results.append(co.run(key, p, runner))
+
+        leader = threading.Thread(target=call, args=(0,))
+        leader.start()
+        assert in_leader.wait(10)
+        # Queue a steady stream: strictly more batches of work than the
+        # leader's round budget.
+        extra = [
+            threading.Thread(target=call, args=(i,)) for i in range(1, 9)
+        ]
+        for t in extra:
+            t.start()
+        # Give the extras time to enqueue behind the in-flight batch, then
+        # release the device.
+        import time as _time
+
+        _time.sleep(0.1)
+        release.set()
+        leader.join(10)
+        assert not leader.is_alive()
+        for t in extra:
+            t.join(10)
+        # Everyone completed exactly once, values preserved.
+        assert sorted(results) == list(range(9))
+        st = co.stats()
+        assert st["queries"] == 9
+        # The leader returned while (or before) the daemon drained the
+        # tail: its own future resolved in batch 1, and it ran at most
+        # MAX_LEADER_ROUNDS batches before handing off.
+        assert st["dispatches"] >= 2
+
+    def test_handoff_daemon_drains_without_new_arrivals(self):
+        """Work queued past the leader's budget completes even if NO new
+        request ever arrives (the daemon, not a future caller, drains it)."""
+        co = _ScanCoalescer()
+        key = "k"
+        slow = threading.Event()
+        done = []
+
+        def runner(payloads):
+            slow.wait(0.05)
+            return [p + 100 for p in payloads]
+
+        threads = [
+            threading.Thread(target=lambda i=i: done.append(
+                co.run(key, i, runner)))
+            for i in range(12)
+        ]
+        for t in threads:
+            t.start()
+        slow.set()
+        for t in threads:
+            t.join(15)
+        assert sorted(done) == [i + 100 for i in range(12)]
+        assert not co._busy  # fully drained, key released
