@@ -275,3 +275,106 @@ class TestCliClientCommands:
         # The extraction populated the device index: semantic search works.
         stats = client.search.stats()
         assert stats["spaces"].get("clip/tiny", {}).get("rows", 0) >= 3
+
+
+class TestClientCoversOpenApi:
+    def test_every_route_has_a_client_mapping(self, client):
+        """Rot guard: every (method, path) the server publishes in
+        /openapi.json must be reachable through a named client call. New
+        routes must extend panoptikon_tpu.client (or be consciously listed
+        as spec-only here)."""
+        # path template → {METHOD: "resource.method"} on PanoptikonClient.
+        covered = {
+            "/api/search/pql": {"POST": "search.pql"},
+            "/api/search/pql/build": {"POST": "search.pql_build"},
+            "/api/search/stats": {"GET": "search.stats"},
+            "/api/search/cache": {"GET": "search.cache_stats",
+                                  "PUT": "search.cache_resize",
+                                  "DELETE": "search.cache_clear"},
+            "/api/search/embeddings/cache":
+                {"GET": "search.embedding_cache_stats"},
+            "/api/search/tags/top": {"GET": "search.tags_top"},
+            "/api/search/tags": {"GET": "search.tags_autocomplete"},
+            "/api/accelerator": {"GET": "accelerator"},
+            "/api/items/{sha256}": {"GET": "items.metadata"},
+            "/api/items/{sha256}/file": {"GET": "items.file"},
+            "/api/items/{sha256}/thumbnail": {"GET": "items.thumbnail"},
+            "/api/open/{sha256}": {"POST": "items.open"},
+            "/api/bookmarks/{user}": {"GET": "bookmarks.list"},
+            "/api/bookmarks/{user}/{namespace}/{sha256}":
+                {"PUT": "bookmarks.put", "DELETE": "bookmarks.delete"},
+            "/api/pinboards/{user}": {"GET": "pinboards.list",
+                                      "POST": "pinboards.create"},
+            "/api/pinboards/{user}/{pinboard_id}":
+                {"GET": "pinboards.get", "DELETE": "pinboards.delete"},
+            "/api/pinboards/{user}/{pinboard_id}/versions":
+                {"POST": "pinboards.save_version"},
+            "/api/jobs/queue": {"GET": "jobs.queue"},
+            "/api/jobs/queue/{job_id}": {"DELETE": "jobs.cancel"},
+            "/api/jobs/data/extraction":
+                {"POST": "jobs.enqueue_extraction"},
+            "/api/jobs/data": {"DELETE": "jobs.delete_setter_data"},
+            "/api/jobs/data/deletion": {"POST": "jobs.data_deletion"},
+            "/api/jobs/folders": {"GET": "jobs.get_folders",
+                                  "PUT": "jobs.set_folders"},
+            "/api/jobs/folders/rescan": {"POST": "jobs.rescan_folders"},
+            "/api/jobs/folders/update": {"POST": "jobs.update_folders"},
+            "/api/jobs/continuous": {"GET": "jobs.continuous_status"},
+            "/api/jobs/history/scans": {"GET": "jobs.history_scans"},
+            "/api/jobs/history/data": {"GET": "jobs.history_data"},
+            "/api/jobs/failures/extraction":
+                {"GET": "jobs.failures_extraction",
+                 "DELETE": "jobs.clear_failures_extraction"},
+            "/api/jobs/failures/scan": {"GET": "jobs.failures_scan"},
+            "/api/jobs/quants": {"GET": "jobs.quants"},
+            "/api/jobs/quants/reconcile": {"POST": "jobs.reconcile_quants"},
+            "/api/jobs/cron": {"GET": "jobs.get_cron",
+                               "PUT": "jobs.set_cron"},
+            "/api/inference/pool": {"GET": "inference.pool"},
+            "/api/config/system": {"GET": "config.get",
+                                   "PUT": "config.put"},
+            "/api/db": {"GET": "databases.list", "POST": "databases.create"},
+            "/api/client-config": {"GET": "client_config"},
+            "/api/relay/pairings": {"GET": "relay.pairings",
+                                    "POST": "relay.pair"},
+            "/api/relay/pairings/{pairing_id}":
+                {"GET": "relay.recover", "DELETE": "relay.delete"},
+            "/api/desktop/update-status": {"GET": "desktop.update_status"},
+            "/api/desktop/update-ribbon/snooze":
+                {"POST": "desktop.snooze_ribbon"},
+            "/api/desktop/update-ribbon/dismiss":
+                {"POST": "desktop.dismiss_ribbon"},
+            "/api/desktop/external-inputs":
+                {"GET": "desktop.external_inputs"},
+            "/api/desktop/external-inputs/{variable}":
+                {"PUT": "desktop.set_external_input"},
+            "/predict/{group}/{inference_id}": {"POST": "inference.predict"},
+            "/load/{group}/{inference_id}": {"PUT": "inference.load",
+                                             "DELETE": "inference.unload"},
+            "/metadata": {"GET": "inference.metadata"},
+            "/cache": {"GET": "inference.cache_list"},
+            "/cache/{cache_key}": {"DELETE": "inference.cache_clear"},
+            "/health": {"GET": "health"},
+            "/openapi.json": {"GET": "openapi"},
+        }
+        # Browser-facing pages with no programmatic client mapping.
+        spec_only = {"/docs", "/ui"}
+
+        spec = client.openapi()
+        missing = []
+        for path, ops in spec.get("paths", {}).items():
+            if path in spec_only:
+                continue
+            for method in ops:
+                m = method.upper()
+                if m not in covered.get(path, {}):
+                    missing.append(f"{m} {path}")
+        assert not missing, f"routes without client mapping: {missing}"
+
+        # Every mapping points at a real attribute on the client.
+        for path, ops in covered.items():
+            for dotted in ops.values():
+                obj = client
+                for part in dotted.split("."):
+                    obj = getattr(obj, part)
+                assert callable(obj), dotted
