@@ -149,6 +149,10 @@ class PanoptikonClient:
     def __exit__(self, *exc) -> None:
         self.close()
 
+    # POST routes that are mutation-free by contract (the server's policy
+    # layer exempts them from read_only the same way) — safe to retry.
+    READONLY_POSTS = ("/api/search/pql", "/api/search/pql/build")
+
     def request(
         self,
         method: str,
@@ -158,6 +162,7 @@ class PanoptikonClient:
         json_body: Any = None,
         raw: bool = False,
         headers: Mapping[str, str] | None = None,
+        idempotent: bool | None = None,
     ) -> Any:
         """One API call. Returns parsed JSON, or a :class:`FileResponse`
         when ``raw=True``. Raises :class:`PanoptikonError` on non-2xx."""
@@ -182,9 +187,17 @@ class PanoptikonClient:
         # (stale idle connection the server closed) is safe to retry for
         # any method — the request never completed. A failure AWAITING the
         # response is ambiguous: the server may have executed the call, so
-        # only idempotent methods retry (every PUT/DELETE on this API is an
-        # upsert/set; a re-sent POST could enqueue a job twice).
-        idempotent = method in ("GET", "HEAD", "PUT", "DELETE")
+        # only idempotent calls retry. GET/HEAD/PUT/DELETE default to
+        # idempotent (this API's PUT/DELETEs are upserts/sets), POST to not
+        # (a re-sent POST could enqueue a job twice) — except the
+        # mutation-free search POSTs; callers whose semantics differ
+        # (e.g. a folders PUT that triggers a rescan job) override via
+        # the ``idempotent`` parameter.
+        if idempotent is None:
+            idempotent = (
+                method in ("GET", "HEAD", "PUT", "DELETE")
+                or (method == "POST" and path in self.READONLY_POSTS)
+            )
         conn = self._conn()
         for attempt in (0, 1):
             sent = False
@@ -407,7 +420,12 @@ class _Jobs(_Resource):
             body["included"] = list(included)
         if excluded is not None:
             body["excluded"] = list(excluded)
-        return self._c.request("PUT", "/api/jobs/folders", json_body=body)
+        # With rescan=True this PUT enqueues a job — NOT idempotent; a
+        # response-phase retry could double-enqueue the rescan.
+        return self._c.request(
+            "PUT", "/api/jobs/folders", json_body=body,
+            idempotent=not rescan,
+        )
 
     def rescan_folders(self) -> dict:
         return self._c.request("POST", "/api/jobs/folders/rescan")

@@ -52,6 +52,15 @@ class Filter(dict):
     def __or__(self, other: "Filter") -> "Filter":
         return self._merge("or_", other)
 
+    # plain_dict OP Filter must build an operator node too — without these
+    # reflected forms Python falls back to PEP-584 dict merge, which would
+    # silently fuse two filters into one corrupt node.
+    def __rand__(self, other) -> "Filter":
+        return Filter(other)._merge("and_", self)
+
+    def __ror__(self, other) -> "Filter":
+        return Filter(other)._merge("or_", self)
+
     def __invert__(self) -> "Filter":
         if set(self) == {"not_"}:
             return Filter(self["not_"])  # double negation unwraps
@@ -95,16 +104,17 @@ def _filter(key: str, args: Mapping[str, Any]) -> Filter:
 
 def image(
     query: str, *, model: str, index: Optional[str] = None,
-    embed: Any = "unset", distance: Optional[str] = None,
-    aggregation: Optional[str] = None, src_text: Any = None,
+    embed: Any = "unset", distance_aggregation: Optional[str] = None,
+    clip_xmodal: Optional[bool] = None, src_text: Any = None,
 ) -> Filter:
     """Semantic image search (image_embeddings). ``query`` is natural
     language, or a base64 npy vector with ``embed=None`` (the raw-vector
-    mode — see client.raw_embedding_query)."""
+    mode — see client.raw_embedding_query). ``distance_aggregation`` is
+    MIN/MAX/AVG (the engine's multi-row group fold)."""
     args = {k: v for k, v in {
         "query": query, "model": model, "index": index,
-        "distance": distance, "aggregation": aggregation,
-        "src_text": src_text,
+        "distance_aggregation": distance_aggregation,
+        "clip_xmodal": clip_xmodal, "src_text": src_text,
     }.items() if v is not None}
     if embed != "unset":
         args["embed"] = embed  # None is meaningful: raw-vector mode
@@ -113,13 +123,13 @@ def image(
 
 def text_embed(
     query: str, *, model: str, index: Optional[str] = None,
-    embed: Any = "unset", distance: Optional[str] = None,
-    aggregation: Optional[str] = None, src_text: Any = None,
+    embed: Any = "unset", distance_aggregation: Optional[str] = None,
+    src_text: Any = None,
 ) -> Filter:
     """Semantic text search (text_embeddings) over extracted-text chunks."""
     args = {k: v for k, v in {
         "query": query, "model": model, "index": index,
-        "distance": distance, "aggregation": aggregation,
+        "distance_aggregation": distance_aggregation,
         "src_text": src_text,
     }.items() if v is not None}
     if embed != "unset":
@@ -129,13 +139,17 @@ def text_embed(
 
 def similar(
     target: str, *, model: str, index: Optional[str] = None,
-    distance: Optional[str] = None, aggregation: Optional[str] = None,
+    distance_function: Optional[str] = None,
+    distance_aggregation: Optional[str] = None,
     src_text: Any = None, clip_xmodal: Optional[bool] = None,
 ) -> Filter:
-    """similar_to: rank by similarity to the item with this sha256."""
+    """similar_to: rank by similarity to the item with this sha256.
+    ``distance_function`` is L2/COSINE; ``distance_aggregation``
+    MIN/MAX/AVG over the anchor's rows."""
     return _filter("similar_to", {
         "target": target, "model": model, "index": index,
-        "distance": distance, "aggregation": aggregation,
+        "distance_function": distance_function,
+        "distance_aggregation": distance_aggregation,
         "src_text": src_text, "clip_xmodal": clip_xmodal,
     })
 
@@ -268,10 +282,12 @@ def rrf(*filters: Filter, k: int = 60,
 def order(field: str = "last_modified", *, direction: Optional[str] = None,
           priority: Optional[int] = None) -> dict:
     """A top-level order_by entry (order(\"random\") + seed for the
-    deterministic pageable shuffle)."""
+    deterministic pageable shuffle). The wire key for direction is
+    ``order`` (asc/desc) — distinct from the filter-level ``direction``
+    sortable option."""
     out: dict[str, Any] = {"order_by": field}
     if direction is not None:
-        out["direction"] = direction
+        out["order"] = direction
     if priority is not None:
         out["priority"] = priority
     return out

@@ -136,10 +136,17 @@ class _ScanCoalescer:
                     if not self._pending.get(key):
                         self._busy.discard(key)
                         return
-                threading.Thread(
-                    target=self._drain, args=(key,),
-                    name="scan-coalesce-drain", daemon=True,
-                ).start()
+                try:
+                    threading.Thread(
+                        target=self._drain, args=(key,),
+                        name="scan-coalesce-drain", daemon=True,
+                    ).start()
+                except RuntimeError:
+                    # Can't spawn (thread exhaustion): keep draining inline
+                    # — worse latency for this request beats deadlocking
+                    # every waiter behind a _busy key nobody owns.
+                    rounds_budget = None
+                    continue
                 return
 
 

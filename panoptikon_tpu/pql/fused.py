@@ -339,6 +339,11 @@ def fused_page(ex, query, base, state, ctx, seed):
                 if kk >= n_items:
                     break
             return None
+    # Eager (host-evaluated) entries have no deferred scan to escalate —
+    # the slot domain is set by the device-scanned entries only.
+    domains = [
+        e.deferred.snap.num_groups for e in group if e.deferred is not None
+    ]
     for kk in KK_BUCKETS:
         out = _attempt(
             ex, query, base, state, ctx, group, specs, gtype, desc_key,
@@ -346,12 +351,6 @@ def fused_page(ex, query, base, state, ctx, seed):
         )
         if out is not _INSUFFICIENT:
             return out
-        # Eager (host-evaluated) entries have no deferred scan to escalate
-        # — the slot domain is set by the device-scanned entries only.
-        domains = [
-            e.deferred.snap.num_groups for e in group
-            if e.deferred is not None
-        ]
         if not domains or kk >= min(domains):
             break  # escalation exhausted the slot domain
     return None

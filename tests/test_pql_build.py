@@ -153,3 +153,31 @@ class TestExecutionEquivalence:
         assert a.count == b.count and a.count > 0
         assert [r["file_id"] for r in a.results] == [
             r["file_id"] for r in b.results]
+
+
+class TestWireFieldRegressions:
+    def test_distance_aggregation_reaches_parser(self):
+        q = parses({"query": Q.image(
+            "x", model="m", distance_aggregation="MAX")})
+        assert q.query.image_embeddings.distance_aggregation == "MAX"
+        q = parses({"query": Q.text_embed(
+            "x", model="m", distance_aggregation="AVG")})
+        assert q.query.text_embeddings.distance_aggregation == "AVG"
+        q = parses({"query": Q.similar(
+            "0" * 64, model="m", distance_function="COSINE",
+            distance_aggregation="MIN")})
+        assert q.query.similar_to.distance_function == "COSINE"
+        assert q.query.similar_to.distance_aggregation == "MIN"
+
+    def test_order_direction_reaches_parser(self):
+        q = parses(Q.body(order_by=[Q.order("size", direction="desc")]))
+        assert q.order_by[0].order_by == "size"
+        assert q.order_by[0].order == "desc"
+
+    def test_reflected_combinators_on_plain_dicts(self):
+        plain = {"processed_by": "clip"}
+        f = Q.match(size__gte=1)
+        assert (plain | f) == {"or_": [plain, dict(f)]}
+        assert (plain & f) == {"and_": [plain, dict(f)]}
+        # PEP-584 dict merge must NOT silently fuse two filters.
+        assert "match" not in (plain | f)
