@@ -95,6 +95,28 @@ def quantize_int8(data: np.ndarray, scale: float) -> np.ndarray:
     return out
 
 
+def quantize_int8_into(
+    src: np.ndarray, out: np.ndarray, scale: float
+) -> bool:
+    """Quantize ``src`` (f32, C-contiguous) into ``out`` (int8, same shape,
+    C-contiguous) in one native pass — zero temporaries, which is the whole
+    point on a VMM-backed host where every fresh page costs a fault.
+    Returns False (caller falls back) when the library or layout
+    preconditions aren't met."""
+    lib = _load()
+    if (
+        lib is None
+        or src.dtype != np.float32 or not src.flags["C_CONTIGUOUS"]
+        or out.dtype != np.int8 or not out.flags["C_CONTIGUOUS"]
+        or src.shape != out.shape
+    ):
+        return False
+    lib.pk_quantize_int8(
+        src.ctypes.data, out.ctypes.data, src.size, float(scale)
+    )
+    return True
+
+
 def dequantize_int8(codes: np.ndarray, scale: float) -> np.ndarray:
     lib = _load()
     src = np.ascontiguousarray(codes, dtype=np.int8)

@@ -37,9 +37,11 @@ float pk_scale_from_absmax(float absmax) {
 // nearbyintf under FE_TONEAREST (the C default), matching np.rint and the
 // Rust codec's round_ties_even. NaN maps to 0 (Rust's saturating cast).
 void pk_quantize_int8(const float* in, int8_t* out, int64_t n, float scale) {
-    const float inv = 1.0f / scale;
+    // TRUE f32 division, not multiply-by-reciprocal: x * (1/s) differs
+    // from x / s by 1 ulp at exactly the .5 rounding boundaries this
+    // codec's bit-identity contract cares about.
     for (int64_t i = 0; i < n; ++i) {
-        float v = in[i] * inv;
+        float v = in[i] / scale;
         if (std::isnan(v)) {
             out[i] = 0;
             continue;

@@ -33,6 +33,27 @@ INT8_MAX_CODE = 127.0
 # `ARTIFACT_MIN_VECTORS`).
 ARTIFACT_MIN_VECTORS = 1024
 
+_native_mod = None
+_native_checked = False
+
+
+def _native():
+    """The C++ host codec (panoptikon_tpu.native), built lazily once per
+    process; None without a toolchain/library — every caller keeps its
+    NumPy path as the fallback AND the semantic reference (test_native
+    cross-checks bit-identity element for element)."""
+    global _native_mod, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from panoptikon_tpu import native as n
+
+            if n.ensure_built():
+                _native_mod = n
+        except Exception:
+            _native_mod = None
+    return _native_mod
+
 
 def scale_from_absmax(absmax: float) -> float:
     """Scale for a corpus whose largest component magnitude is ``absmax``.
@@ -81,6 +102,14 @@ def corpus_absmax(vectors: np.ndarray, valid: np.ndarray | None = None) -> float
     x = np.asarray(vectors)
     if x.size == 0:
         return 0.0
+    n = _native()
+    if (
+        n is not None and valid is None
+        and x.dtype == np.float32 and x.flags["C_CONTIGUOUS"]
+    ):
+        # Single streaming native pass — no |x| temporary at all (the
+        # chunked NumPy path below still allocates one chunk per step).
+        return float(n.absmax(x))
     # NaN must not poison the absmax (max would propagate it); the reference
     # streams with `value > absmax` comparisons, which NaN never wins.
     if x.ndim < 2 or x.nbytes <= (32 << 20):
@@ -113,6 +142,11 @@ def quantize_int8(
     faults at 1M×512 on this host).
     """
     x = np.asarray(vectors, dtype=np.float32)
+    n = _native()
+    if n is not None and x.flags["C_CONTIGUOUS"]:
+        dst = out if out is not None else np.empty(x.shape, dtype=np.int8)
+        if n.quantize_int8_into(x, dst, scale):
+            return dst
     if x.ndim >= 2 and x.shape[0] and (
         x.nbytes > (256 << 20) or out is not None
     ):
