@@ -21,3 +21,18 @@ Layer map (mirrors SURVEY.md §1 of the reference analysis):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy convenience exports: `from panoptikon_tpu import
+    # PanoptikonClient` must not drag the JAX engine into an ingest
+    # script (client and builder are stdlib-only).
+    if name in ("PanoptikonClient", "PanoptikonError"):
+        from panoptikon_tpu import client
+
+        return getattr(client, name)
+    if name == "Q":
+        from panoptikon_tpu.pql import build
+
+        return build
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

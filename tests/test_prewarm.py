@@ -147,3 +147,31 @@ class TestScanProgramPrewarm:
         warmed = loop.tick()  # stable now: scan warm + model renew
         assert "default:warm/a" in warmed
         assert "warm/a" in warmed
+
+
+class TestScanWarmWatchdog:
+    def test_hung_scan_warm_does_not_block_model_warm(self, env, monkeypatch):
+        """A wedged device transport hangs warm_scan_programs forever; the
+        tick must still warm models (bounded join) and must NOT stack a
+        second scan-warm thread on the next tick."""
+        import threading
+        import time
+
+        loop = EagerPrewarm(env, interval_s=0.05)
+        hang = threading.Event()
+
+        def hung_warm():
+            hang.wait(30)  # simulates a device op blocked on a dead relay
+            return []
+
+        monkeypatch.setattr(loop, "warm_scan_programs", hung_warm)
+        t0 = time.monotonic()
+        loop.tick()  # join bounded by min(interval_s, 60) = 0.05
+        assert time.monotonic() - t0 < 5
+        first_thread = loop._scan_thread
+        assert first_thread is not None and first_thread.is_alive()
+        loop.tick()  # previous warm still stuck: do NOT stack another
+        assert loop._scan_thread is first_thread
+        hang.set()
+        first_thread.join(5)
+        assert not first_thread.is_alive()
