@@ -375,3 +375,78 @@ class TestLeadershipHandoff:
             t.join(15)
         assert sorted(done) == [i + 100 for i in range(12)]
         assert not co._busy  # fully drained, key released
+
+
+class TestWriteWhileServing:
+    def test_concurrent_writes_never_tear_serving(self):
+        """Index mutations (add + build_quant, generation bumps) racing
+        live queries: every query must land on SOME committed generation —
+        correct self-match for rows visible to it, never an exception or a
+        torn result. This pins the snapshot/generation discipline the
+        epoch-cached serving path depends on."""
+        import time as _time
+
+        from tests.test_fused_path import build_executor
+
+        ex, rng = build_executor(n_items=64, dim=16, seed=11)
+        index = ex.index
+        dim = 16
+        base_rows = index.snapshot("m").size
+
+        stop = threading.Event()
+        errors: list[BaseException] = []
+        counts_seen: set[int] = set()
+
+        def reader():
+            r = np.random.default_rng(threading.get_ident() % 2**32)
+            while not stop.is_set():
+                try:
+                    vec = r.standard_normal(dim).astype(np.float32)
+                    res = ex.execute(pql.PqlQuery.from_json({
+                        "query": {"text_embeddings": {
+                            "query": b64(vec), "model": "m",
+                            "embed": None, "index": "quant"}},
+                        "page_size": 3,
+                    }))
+                    counts_seen.add(res.count)
+                except BaseException as exc:  # noqa: BLE001
+                    errors.append(exc)
+                    return
+
+        readers = [threading.Thread(target=reader) for _ in range(4)]
+        for t in readers:
+            t.start()
+        # Writer: 6 rounds of append + requant. Each new row reuses an
+        # EXISTING item id so the base snapshot stays valid (the item-level
+        # join is what serving aggregates over).
+        next_row = 100_000
+        for round_i in range(6):
+            ids = np.arange(1, 9, dtype=np.int64)  # existing items 1..8
+            rows = next_row + np.arange(8)
+            next_row += 8
+            vecs = np.random.default_rng(round_i).standard_normal(
+                (8, dim)).astype(np.float32)
+            index.add("m", ids, rows, vecs)
+            index.build_quant("m")
+            _time.sleep(0.15)  # let readers overlap this generation
+        stop.set()
+        for t in readers:
+            t.join(30)
+        assert not errors, errors[:1]
+        # Every observed count corresponds to a committed state: the item
+        # count never changes (rows append to existing items), so count is
+        # constant across generations.
+        assert counts_seen, "readers never completed a query"
+        snap = index.snapshot("m")
+        assert snap.size == base_rows + 48
+        # After the dust settles, a query vector equal to a late row must
+        # self-match (the final generation serves).
+        last_vec = np.random.default_rng(5).standard_normal(
+            (8, dim)).astype(np.float32)[0]
+        res = ex.execute(pql.PqlQuery.from_json({
+            "query": {"text_embeddings": {
+                "query": b64(last_vec), "model": "m",
+                "embed": None, "index": "quant"}},
+            "page_size": 1,
+        }))
+        assert res.results and res.results[0]["item_id"] == 1
