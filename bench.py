@@ -291,40 +291,55 @@ def _bench_composed(jax, jnp, codec, scoring, n1=500_000, n2=250_000,
     return q_batch * R / min(times)
 
 
-def _preflight_backend(timeout_s: int = 300) -> None:
-    """Fail FAST if the accelerator backend cannot initialize.
+def _preflight_backend(timeout_s: int = 150, attempts: int = 3,
+                       retry_wait_s: int = 120) -> None:
+    """Fail FAST (but not too fast) if the backend cannot initialize.
 
     A killed-mid-compile TPU process can wedge the tunnel relay; when that
     happens ``jax.devices()`` blocks forever inside ``make_c_api_client``
     (observed: the relay process gone, every init hanging — even under
     ``JAX_PLATFORMS=cpu``, because the axon plugin's get_backend hook
     initializes its platform regardless). Probing in a subprocess with a
-    hard timeout turns an indefinite driver stall into an immediate,
-    diagnosable failure. Explicit-CPU runs skip the probe: no tunnel."""
+    hard timeout turns an indefinite driver stall into a diagnosable
+    failure; a wedged relay is sometimes restarted by its supervisor, so
+    the probe retries over a ~7-minute window before giving up. Each probe
+    is a fresh process holding no device claim — killing it is safe.
+    Explicit-CPU runs skip the probe: no tunnel."""
     import os
     import subprocess
+    import time as _t
 
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.devices())"],
-            timeout=timeout_s, capture_output=True, text=True, check=True,
-        )
-    except subprocess.TimeoutExpired:
-        print(
-            f"[bench] FATAL: backend init did not complete in {timeout_s}s "
-            "— the TPU tunnel relay is likely wedged (stale claim). "
-            "Restart the relay and re-run.",
-            file=sys.stderr,
-        )
-        raise SystemExit(3)
-    except subprocess.CalledProcessError as exc:
-        print(
-            f"[bench] FATAL: backend init failed: {exc.stderr[-500:]}",
-            file=sys.stderr,
-        )
-        raise SystemExit(3)
+    for attempt in range(attempts):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                timeout=timeout_s, capture_output=True, text=True,
+                check=True,
+            )
+            return
+        except subprocess.TimeoutExpired:
+            print(
+                f"[bench] backend init probe {attempt + 1}/{attempts} hung "
+                f"{timeout_s}s — tunnel relay likely down; "
+                + ("retrying" if attempt + 1 < attempts else "giving up"),
+                file=sys.stderr,
+            )
+            if attempt + 1 < attempts:
+                _t.sleep(retry_wait_s)
+        except subprocess.CalledProcessError as exc:
+            print(
+                f"[bench] FATAL: backend init failed: {exc.stderr[-500:]}",
+                file=sys.stderr,
+            )
+            raise SystemExit(3)
+    print(
+        "[bench] FATAL: backend init never completed — the TPU tunnel "
+        "relay is wedged (stale claim). Restart the relay and re-run.",
+        file=sys.stderr,
+    )
+    raise SystemExit(3)
 
 
 def main() -> None:
