@@ -378,3 +378,35 @@ class TestClientCoversOpenApi:
                 for part in dotted.split("."):
                     obj = getattr(obj, part)
                 assert callable(obj), dotted
+
+
+class TestExamples:
+    def test_build_and_search_example_runs(self, live_server, tmp_path,
+                                           capsys, monkeypatch):
+        """examples/build_and_search.py must execute end-to-end against a
+        live server (scan → extract → typed-builder search)."""
+        import runpy
+        import sys as _sys
+
+        url = f"http://127.0.0.1:{live_server['port']}"
+        monkeypatch.setattr(_sys, "argv", [
+            "build_and_search.py", str(live_server["media"]),
+            "--server", url, "--model", "clip/tiny",
+            "--query", "a red image",
+        ])
+        runpy.run_path("examples/build_and_search.py", run_name="__main__")
+        out = capsys.readouterr().out
+        assert "scan: completed" in out or "scan: unknown" in out
+        assert "extract:" in out and "results" in out
+
+    def test_fusion_example_runs(self, live_server, monkeypatch, capsys):
+        import runpy
+        import sys as _sys
+
+        url = f"http://127.0.0.1:{live_server['port']}"
+        monkeypatch.setattr(_sys, "argv", [
+            "fusion_search.py", "--server", url, "--clip", "clip/tiny",
+            "--query", "a colorful photo",
+        ])
+        runpy.run_path("examples/fusion_search.py", run_name="__main__")
+        assert "fusion:" in capsys.readouterr().out
