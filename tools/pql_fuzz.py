@@ -38,6 +38,11 @@ weights/ks, semantic × meta) run under real thread concurrency through
 the serving coalescer (batched scans + batched device rank join) and
 must return exactly their solo (coalescing-off) results.
 
+A sixth phase fuzzes the TYPED BUILDER (pql/build.py): random operator
+trees are rebuilt through the Filter combinators (& | ~, which flatten
+adjacent same-operator nodes) and must reach the same membership as the
+plain-dict tree — pinning that flattening preserves semantics.
+
 Usage: python tools/pql_fuzz.py [--trees 200] [--order-trees 60]
                                 [--items 300] [--seed 0]
 Exit nonzero on any divergence. Reference anchor: the reference's
@@ -187,6 +192,7 @@ def main() -> int:
     parser.add_argument("--sem-trees", type=int, default=40)
     parser.add_argument("--rrf-trees", type=int, default=24)
     parser.add_argument("--conc-rounds", type=int, default=12)
+    parser.add_argument("--builder-trees", type=int, default=80)
     parser.add_argument("--items", type=int, default=300)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -484,8 +490,51 @@ def main() -> int:
                 if len(failures) >= 5:
                     break
 
+        # ---- phase 6: typed-builder equivalence -------------------------
+        # Rebuild random operator trees through pql.build's combinators
+        # (& | ~ flatten adjacent same-operator nodes) and assert the
+        # rebuilt query reaches the SAME result set as the plain dict —
+        # pins the builder's claim that flattening preserves semantics.
+        from panoptikon_tpu.pql import build as Qb
+
+        def q_rebuild(tree):
+            if "and_" in tree:
+                subs = [q_rebuild(t) for t in tree["and_"]]
+                out = subs[0]
+                for s in subs[1:]:
+                    out = out & s
+                return out
+            if "or_" in tree:
+                subs = [q_rebuild(t) for t in tree["or_"]]
+                out = subs[0]
+                for s in subs[1:]:
+                    out = out | s
+                return out
+            if "not_" in tree:
+                return ~q_rebuild(tree["not_"])
+            return Qb.Filter(tree)
+
+        builder_checked = 0
+        for i in range(args.builder_trees):
+            tree, want = gen_tree(prims, all_fids, rng, depth=3)
+            built = q_rebuild(tree)
+            res = ex.execute(pql.PqlQuery.from_json(json.loads(json.dumps(
+                {"query": built, "page_size": 10_000,
+                 "check_path": False}))))
+            got = {r["file_id"] for r in res.results}
+            builder_checked += 1
+            if got != want or res.count != len(want):
+                failures.append({
+                    "phase": "builder", "tree_index": i, "tree": tree,
+                    "built": built, "got_n": len(got),
+                    "want_n": len(want),
+                })
+                if len(failures) >= 5:
+                    break
+
         print(json.dumps({
             "trees_checked": checked,
+            "builder_trees_checked": builder_checked,
             "conc_rounds_checked": conc_checked,
             "rrf_trees_checked": rrf_checked,
             "sem_trees_checked": sem_checked,
