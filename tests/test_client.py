@@ -410,3 +410,60 @@ class TestExamples:
         ])
         runpy.run_path("examples/fusion_search.py", run_name="__main__")
         assert "fusion:" in capsys.readouterr().out
+
+
+class TestAsyncClient:
+    def test_async_surface_matches_sync(self, client, live_server, indexed):
+        """The async twin drives the same live server: core reads, raw
+        file/range, mutations, inference predict, error mapping."""
+        import asyncio
+
+        from panoptikon_tpu.aclient import AsyncPanoptikonClient
+
+        url = f"http://127.0.0.1:{live_server['port']}"
+
+        async def run():
+            async with AsyncPanoptikonClient(url, timeout=120) as c:
+                assert (await c.health())["status"] == "ok"
+                page = await c.search.pql({"page_size": 5})
+                assert page["count"] == 3
+                sha = page["results"][0]["sha256"]
+                meta = await c.items.metadata(sha)
+                assert meta["type"] == "image/png"
+                ranged = await c.items.file(sha, byte_range=(0, 9))
+                assert ranged.status == 206 and len(ranged.body) == 10
+                await c.bookmarks.put("bob", "favs", sha)
+                rows = await c.bookmarks.list("bob")
+                assert any(r["sha256"] == sha for r in rows)
+                await c.bookmarks.delete("bob", "favs", sha)
+                out = await c.inference.predict(
+                    "fixtures/echo", [{"x": 1}], files={0: b"zz"})
+                assert len(out) == 1
+                try:
+                    await c.items.metadata("0" * 64)
+                    raise AssertionError("expected 404")
+                except PanoptikonError as err:
+                    assert err.status == 404
+                status = await c.jobs.queue()
+                assert set(status) == {"running", "pending", "history"}
+
+        asyncio.run(run())
+
+    def test_async_wait_and_folders(self, client, live_server, tmp_path):
+        import asyncio
+
+        from panoptikon_tpu.aclient import AsyncPanoptikonClient
+
+        url = f"http://127.0.0.1:{live_server['port']}"
+        extra = tmp_path / "async_media"
+        extra.mkdir()
+
+        async def run():
+            async with AsyncPanoptikonClient(url, timeout=120) as c:
+                await c.jobs.set_folders(
+                    included=[str(extra)], rescan=False)
+                job = await c.jobs.rescan_folders()
+                done = await c.jobs.wait(job["job_id"], timeout=120)
+                assert done.get("state") in ("completed", "unknown")
+
+        asyncio.run(run())
