@@ -31,6 +31,10 @@ def __getattr__(name):
         from panoptikon_tpu import client
 
         return getattr(client, name)
+    if name == "AsyncPanoptikonClient":
+        from panoptikon_tpu.aclient import AsyncPanoptikonClient
+
+        return AsyncPanoptikonClient
     if name == "Q":
         from panoptikon_tpu.pql import build
 
