@@ -24,6 +24,17 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# Honor an explicit JAX_PLATFORMS via the live config: a PJRT plugin
+# sitecustomize freezes the platform choice before this script runs, and
+# with a dead accelerator transport the backend init then hangs forever
+# (see docs/operations.md "hung accelerator runbook").
+import os
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 
