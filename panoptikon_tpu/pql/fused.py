@@ -195,6 +195,11 @@ def _attempt_rrf_device(
         cand_items, cand_ranks, t32 = ex._rrf_join_candidates(
             group, kk, n_items
         )
+    # Candidate items → base rows. Eligibility guarantees one base row per
+    # item in ascending order, so a binary search over the sorted base ids
+    # is exact — and O(kk log n), unlike executor._join_pos whose dense-LUT
+    # fast path would rebuild an O(n) table per query on the 1M-row side
+    # (measured +3 ms on the 15 ms host-time bar).
     base_items = base.col("item_id")
     pos = np.searchsorted(base_items, cand_items)
     pos_c = np.minimum(pos, max(base.n - 1, 0))
@@ -231,7 +236,12 @@ def _attempt_rrf_device(
         # totals ≤ the kk-th; certify the page strictly above that bound
         # inflated by the f32 rounding envelope.
         tail = float(t32[-1]) if len(t32) else 0.0
-        bound_excl = tail * (1.0 + 4e-7) if tail > 0 else 0.0
+        # Rounding envelope between the host totals (f32-rounded terms,
+        # f64 accumulation) and the device's all-f32 t32: ~1.8e-7 relative
+        # per term plus ~6e-8 per f32 accumulation step — scale it with
+        # the group size so the proof stays sound for wide RRF groups.
+        eps = 4e-7 * max(1, len(group))
+        bound_excl = tail * (1.0 + eps) if tail > 0 else 0.0
         threshold = float(totals[prefix[-1]])
         if not (threshold > bound_excl):
             return _INSUFFICIENT
@@ -243,7 +253,11 @@ def _attempt_rrf_device(
         if not e.select_as:
             continue
         col = np.full(base.n, np.nan, dtype=F32)
-        col[rows_sel] = ranks_sel[:, si].astype(F32)
+        # Items absent from this space carry RANK_MISSING (inf) in the
+        # join output; the full path leaves NaN there so the API omits
+        # the field — keep that contract.
+        r32 = ranks_sel[:, si].astype(F32)
+        col[rows_sel] = np.where(np.isfinite(r32), r32, np.nan)
         extra[e.select_as] = col
     return rows_sel[prefix], extra
 
@@ -344,24 +358,34 @@ def fused_page(ex, query, base, state, ctx, seed):
     domains = [
         e.deferred.snap.num_groups for e in group if e.deferred is not None
     ]
+    entry_cache: dict = {}
     for kk in KK_BUCKETS:
         out = _attempt(
             ex, query, base, state, ctx, group, specs, gtype, desc_key,
-            need, total, kk, rest_keys,
+            need, total, kk, rest_keys, entry_cache=entry_cache,
         )
         if out is not _INSUFFICIENT:
             return out
-        if not domains or kk >= min(domains):
-            break  # escalation exhausted the slot domain
+        if not domains or kk >= max(domains):
+            # No space has more slots to fetch: escalating can't help.
+            # (max, not min — a small space being exhausted says nothing
+            # about the big space whose boundary failed the proof.)
+            break
     return None
 
 
 def _attempt(
     ex, query, base, state, ctx, group, specs, gtype, desc_key,
-    need, total, kk, rest_keys,
+    need, total, kk, rest_keys, entry_cache=None,
 ):
     per: list[_PerEntry] = []
-    for e, (mode, largest, scoped) in zip(group, specs):
+    for ei, (e, (mode, largest, scoped)) in enumerate(zip(group, specs)):
+        # kk-independent results (eager, gather, already-complete
+        # candidate fetches) are byte-identical across escalation attempts
+        # — reuse them instead of repeating device scans/readbacks.
+        if entry_cache is not None and ei in entry_cache:
+            per.append(entry_cache[ei])
+            continue
         if mode == "eager":
             # Host-evaluated filter (FTS rank, tag confidence…): its values
             # array is already final and total — a complete entry.
@@ -373,6 +397,8 @@ def _attempt(
                 exact=np.ones(len(rows), dtype=bool), boundary=None,
                 complete=True, bound_v=np.inf, present_mask=present,
             ))
+            if entry_cache is not None:
+                entry_cache[ei] = per[-1]
             continue
         d = e.deferred
         if mode == "gather":
@@ -399,6 +425,8 @@ def _attempt(
                 boundary=None, complete=True, bound_v=np.inf,
                 present_mask=d.scope_mask,
             ))
+            if entry_cache is not None:
+                entry_cache[ei] = per[-1]
             continue
         vals, slots, complete = ex._deferred_candidates(
             d, kk=kk, largest=largest,
@@ -443,6 +471,8 @@ def _attempt(
             boundary=boundary, complete=complete, bound_v=float(bound_v),
             present_mask=d.scope_mask,
         ))
+        if entry_cache is not None and complete:
+            entry_cache[ei] = per[-1]
 
     # Candidate row universe, restricted to the final context; ascending row
     # order makes np.lexsort's stability reproduce the full path's final
@@ -509,7 +539,14 @@ def _attempt(
             )
             opt = opt + rrf.weight * (1.0 / (rrf.k + opt_rank))
             if not p.complete:
-                glob += rrf.weight * (1.0 / (rrf.k + p.bound_v))
+                # np division: k + bound can be exactly 0.0 (k=0 with a
+                # zero boundary) — the bound is then inf, which can never
+                # certify; Python float division would raise instead.
+                with np.errstate(divide="ignore"):
+                    glob += float(
+                        rrf.weight
+                        * (np.float64(1.0) / np.float64(rrf.k + p.bound_v))
+                    )
         desc = True
     elif gtype == "coalesce":
         fallback = F32(-np.inf) if desc_key else F32(np.inf)
@@ -607,8 +644,23 @@ def _attempt(
         # (Σ of zero contributions) on the full path; they are absent from
         # U, so the page must sit strictly above them.
         if gtype == "rrf" and total > nu:
-            zero_t = -0.0
-            if not (threshold < zero_t or threshold < 0.0):
+            if not (threshold < 0.0):
+                # With every entry complete the totals are final — a wider
+                # kk can't change them, so skip the futile retry.
+                if all(p.complete for p in per):
+                    return None
+                return _INSUFFICIENT
+
+    # select_as parity: the full path returns the REAL value for every page
+    # row present in an aliased space, even when the page's ORDER was
+    # decided without it (coalesce beats-every-bound certification). An
+    # unknown/inexact aliased value on a page row must escalate/fall back.
+    for p, pu, ku, xu in zip(per, presentU, knownU, exactU):
+        if p.e.select_as and p.e.deferred is not None and len(prefix):
+            bad = pu[prefix] & ~(ku[prefix] & xu[prefix])
+            if bool(bad.any()):
+                if p.complete:
+                    return None
                 return _INSUFFICIENT
 
     return U[prefix], _extra_cols(ex, base, state, per, vU, knownU, exactU, U)
