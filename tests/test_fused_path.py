@@ -492,3 +492,50 @@ class TestMetricsPath:
 
         r3 = ex.execute(pql.PqlQuery.from_json({"page_size": 5}))
         assert r3.metrics.path == "meta"
+
+
+class TestSelectAsParity:
+    def test_alias_omitted_for_items_absent_from_space(self, ex_mono,
+                                                       small_kk):
+        """A page row absent from an aliased space must OMIT the alias
+        exactly like the full path (the device join marks absent items
+        with RANK_MISSING=inf — that must never leak into extras)."""
+        ex, rng = ex_mono
+        # Query = an m-only item's own vector (m covers all items, m2 only
+        # the even ones) so the top of the fused page is absent from m2.
+        snap = ex.index.snapshot("m")
+        snap2 = ex.index.snapshot("m2")
+        slot_items = ex._slot_item_ids("m", snap)
+        m2_items = set(ex._slot_item_ids("m2", snap2).tolist())
+        rows = np.flatnonzero(snap.row_valid)
+        only_m = [
+            r for r in rows
+            if int(slot_items[snap.group_ids[r]]) not in m2_items
+        ]
+        assert only_m, "fixture should have m-only items"
+        qvec = np.ascontiguousarray(snap.vectors[only_m[0]])
+        # OR membership: rows in EITHER space page together, so the
+        # m-only self-match can reach the page with no m2 rank at all.
+        payload = {
+            "query": {"or_": [
+                {"text_embeddings": {"query": b64(qvec), "model": "m",
+                                     "embed": None, "index": "exact"},
+                 "row_n": True, "priority": 5,
+                 "rrf": {"k": 60, "weight": 1.0}},
+                {"text_embeddings": {"query": b64(qvec), "model": "m2",
+                                     "embed": None, "index": "exact"},
+                 "row_n": True, "priority": 5, "select_as": "r2",
+                 # tiny weight: the m self-match (rank 1) must stay on top
+                 # of every both-spaces item despite its missing m2 rank
+                 "rrf": {"k": 60, "weight": 0.001}},
+            ]},
+            "page_size": 10,
+        }
+        r_fused, r_full = run_both(ex, payload)
+        fused_aliases = [r.get("extra", {}).get("r2") for r in r_fused.results]
+        full_aliases = [r.get("extra", {}).get("r2") for r in r_full.results]
+        assert fused_aliases == full_aliases
+        # The self-match (absent from m2) must carry NO r2 value, and no
+        # alias anywhere may be non-finite.
+        assert fused_aliases[0] is None
+        assert all(v is None or np.isfinite(v) for v in fused_aliases)
