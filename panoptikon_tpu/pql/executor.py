@@ -230,23 +230,30 @@ class _BaseState:
     # index into; appended values get exact or fractional (order-correct)
     # codes via searchsorted.
     _uniques: dict = field(default_factory=dict)
+    _ucodes: dict = field(default_factory=dict)
     _codes: dict = field(default_factory=dict)
     _codes_n: dict = field(default_factory=dict)
     _bytes: dict = field(default_factory=dict)
     _bytes_n: dict = field(default_factory=dict)
+
+    def _refactorize_codes(self, name: str, col, n: int) -> np.ndarray:
+        """Fresh factorization into NEW arrays (old snapshot views stay
+        internally consistent; callers get the swapped-in arrays)."""
+        uniq, inv = np.unique(col[:n].astype(str), return_inverse=True)
+        codes = np.empty(self.capacity, dtype=np.float64)
+        codes[:n] = inv
+        self._uniques[name] = uniq
+        self._ucodes[name] = np.arange(len(uniq), dtype=np.float64)
+        self._codes[name] = codes
+        self._codes_n[name] = n
+        return codes
 
     def sort_codes(self, name: str, n: int) -> np.ndarray:
         col = self.columns[name]
         with self.lock:
             codes = self._codes.get(name)
             if codes is None:
-                uniq, inv = np.unique(col[:n].astype(str), return_inverse=True)
-                codes = np.empty(self.capacity, dtype=np.float64)
-                codes[:n] = inv
-                self._uniques[name] = uniq
-                self._codes[name] = codes
-                self._codes_n[name] = n
-                return codes[:n]
+                return self._refactorize_codes(name, col, n)[:n]
             filled = self._codes_n[name]
             if n > filled:
                 if codes.shape[0] < self.capacity:
@@ -255,13 +262,52 @@ class _BaseState:
                     codes = grown
                     self._codes[name] = codes
                 uniq = self._uniques[name]
+                ucodes = self._ucodes[name]
                 vals = col[filled:n].astype(str)
-                pos = np.searchsorted(uniq, vals)
-                cpos = np.minimum(pos, len(uniq) - 1)
-                exact = uniq[cpos] == vals
-                # Fractional codes keep new strings order-correct relative
-                # to every existing code without refactorizing the column.
-                codes[filled:n] = np.where(exact, cpos, pos - 0.5)
+                new_vals = np.setdiff1d(vals, uniq)  # sorted, unique
+                if len(new_vals):
+                    if not len(uniq):
+                        uniq = new_vals
+                        ucodes = np.arange(len(new_vals), dtype=np.float64)
+                    else:
+                        # Order-correct fractional codes for every NEW
+                        # unique: values falling in one gap between
+                        # existing uniques subdivide that gap evenly (the
+                        # old pos-0.5 scheme gave all of them the SAME
+                        # code, so ordering among appended strings fell to
+                        # the file_id tiebreak).
+                        gap = np.searchsorted(uniq, new_vals)
+                        left = np.where(
+                            gap > 0, ucodes[np.maximum(gap - 1, 0)],
+                            ucodes[0] - 1.0,
+                        )
+                        right = np.where(
+                            gap < len(ucodes),
+                            ucodes[np.minimum(gap, len(ucodes) - 1)],
+                            ucodes[-1] + 1.0,
+                        )
+                        _, gstart = np.unique(gap, return_index=True)
+                        gcount = np.diff(np.append(gstart, len(gap)))
+                        j = np.arange(len(gap)) - np.repeat(gstart, gcount)
+                        m = np.repeat(gcount, gcount)
+                        newc = left + (j + 1) * (right - left) / (m + 1)
+                        ok = bool(np.all(newc > left) and np.all(newc < right))
+                        if ok and len(newc) > 1:
+                            same = gap[1:] == gap[:-1]
+                            ok = bool(np.all(newc[1:][same] > newc[:-1][same]))
+                        if not ok:
+                            # f64 precision exhausted in some gap after
+                            # repeated deltas — refactorize from scratch.
+                            return self._refactorize_codes(name, col, n)[:n]
+                        # np.insert assigns into the TARGET dtype — widen
+                        # first or longer new strings silently truncate.
+                        if new_vals.dtype.itemsize > uniq.dtype.itemsize:
+                            uniq = uniq.astype(new_vals.dtype)
+                        uniq = np.insert(uniq, gap, new_vals)
+                        ucodes = np.insert(ucodes, gap, newc)
+                    self._uniques[name] = uniq
+                    self._ucodes[name] = ucodes
+                codes[filled:n] = ucodes[np.searchsorted(uniq, vals)]
                 self._codes_n[name] = n
             return codes[:n]
 
@@ -880,7 +926,14 @@ class Executor:
             for c in query.partition_by:
                 col = base.col(c)[rows]
                 _, inv = np.unique(col, return_inverse=True)
-                codes = inv if codes is None else codes * (int(inv.max()) + 1) + inv
+                if codes is None:
+                    codes = inv
+                else:
+                    codes = codes * (int(inv.max()) + 1) + inv
+                    # Re-densify after every combine: pair codes stay
+                    # < len(rows)², so the mixed-radix product can never
+                    # overflow int64 no matter how many columns combine.
+                    _, codes = np.unique(codes, return_inverse=True)
             _, first_idx = np.unique(codes, return_index=True)
             rows = rows[np.sort(first_idx)]
             total = len(rows)
@@ -1556,16 +1609,21 @@ class Executor:
             d = e.deferred
             if d is None:
                 continue
+            # Score the PINNED snapshot (d.snap): the scope mask was built
+            # from its generation, and a concurrent index refresh must not
+            # mix generations between membership and order values (it
+            # would also break fused/full bit-parity).
             out = self._space_scores(
                 d.space, d.queries, distance=d.distance,
                 aggregation=d.aggregation, quant=d.quant, src_text=None,
+                snap=d.snap,
             )
             if out is None:
                 values = np.full(base.n, np.nan, dtype=np.float32)
             else:
                 dist, valid, _counts = out
                 slots = np.flatnonzero(valid)
-                items = self.index.item_id_of_groups(d.space, slots)
+                items = self._slot_item_ids(d.space, d.snap)[slots]
                 values, _hit = _join_i64(base.col("item_id"), items, dist[slots])
             _mask, values = self._sortable_values(d.sort, d.scope_mask.copy(), values)
             e.values = values
@@ -2045,9 +2103,15 @@ class Executor:
         aggregation: str,
         quant,
         src_text: Optional[pql.SourceArgs],
+        snap=None,
     ) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Score one embedding space → (distance, validity, row count) per
         snapshot group slot; None when the space doesn't exist.
+
+        ``snap`` pins an already-taken index snapshot so a caller whose
+        scope masks were built from it scores the SAME generation even if
+        a concurrent index refresh commits mid-query (the deferred
+        full-readback path); by default the current snapshot is taken.
 
         On a >1-device mesh this routes through the sharded index
         (``index/sharded.py``) — the sharded GEMM + collective gather IS the
@@ -2055,10 +2119,11 @@ class Executor:
         """
         import jax
 
-        try:
-            snap = self.index.snapshot(space)
-        except KeyError:
-            return None
+        if snap is None:
+            try:
+                snap = self.index.snapshot(space)
+            except KeyError:
+                return None
         weighted = bool(src_text and src_text.weighted)
         src_filtered = src_text is not None and (
             src_text.setters
@@ -2207,33 +2272,51 @@ class Executor:
     ) -> np.ndarray:
         """Per-snapshot-row query-time weights: confidence^cw ·
         language_confidence^lcw of each row's SOURCE text
-        (item_similarity.rs:18-70); rows without source text weigh 1."""
-        conn = self.db.reader()
-        rows = conn.execute(
-            """SELECT d.id, t.confidence, t.language_confidence
-               FROM item_data d
-               JOIN extracted_text t ON t.id = d.source_id""",
-        ).fetchall()
-        n_hits = len(rows)
-        keys = np.fromiter((r[0] for r in rows), dtype=np.int64, count=n_hits)
+        (item_similarity.rs:18-70); rows without source text weigh 1.
+
+        Cached per (space, generation, cw, lcw): the source-confidence
+        table read + weight computation is corpus-sized, and running it
+        per weighted query was the exact O(all-rows) host pathology this
+        executor exists to avoid."""
         cw = float(src.confidence_weight or 0.0)
         lcw = float(src.language_confidence_weight or 0.0)
 
-        def weight(conf, lconf):
-            w = 1.0
-            if cw and conf is not None:
-                w *= max(float(conf), 1e-6) ** cw
-            if lcw and lconf is not None:
-                w *= max(float(lconf), 1e-6) ** lcw
-            return w
+        def build():
+            conn = self.db.reader()
+            rows = conn.execute(
+                """SELECT d.id, t.confidence, t.language_confidence
+                   FROM item_data d
+                   JOIN extracted_text t ON t.id = d.source_id""",
+            ).fetchall()
+            n_hits = len(rows)
+            keys = np.fromiter(
+                (r[0] for r in rows), dtype=np.int64, count=n_hits
+            )
+            conf = np.array(
+                [np.nan if r[1] is None else float(r[1]) for r in rows],
+                dtype=np.float64,
+            )
+            lconf = np.array(
+                [np.nan if r[2] is None else float(r[2]) for r in rows],
+                dtype=np.float64,
+            )
+            vals = np.ones(n_hits, dtype=np.float64)
+            if cw:
+                vals *= np.where(
+                    np.isnan(conf), 1.0, np.maximum(conf, 1e-6) ** cw
+                )
+            if lcw:
+                vals *= np.where(
+                    np.isnan(lconf), 1.0, np.maximum(lconf, 1e-6) ** lcw
+                )
+            joined, hit = _join_i64(snap.row_ids, keys, vals)
+            out = np.ones(snap.row_ids.shape, dtype=np.float32)
+            out[hit] = joined[hit]
+            return out
 
-        vals = np.fromiter(
-            (weight(r[1], r[2]) for r in rows), dtype=np.float64, count=n_hits
+        return self._static_get(
+            ("srcweights", space, snap.generation, cw, lcw), build
         )
-        joined, hit = _join_i64(snap.row_ids, keys, vals)
-        out = np.ones(snap.row_ids.shape, dtype=np.float32)
-        out[hit] = joined[hit]
-        return out
 
     def _apply_item_scores(
         self, el, spaces_scores: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]],
@@ -2440,19 +2523,31 @@ def _eval_matches(m, base: BaseSnapshot) -> np.ndarray:
 
 
 def _eval_op(op: str, col: np.ndarray, value) -> np.ndarray:
+    """One typed column op → row mask, with SQL NULL semantics: the
+    reference compiles these to SQLite predicates where NULL compared to
+    anything is NULL and the row is EXCLUDED — including from the negated
+    ops (NULL != x is NULL, not true). NULLs are coded NaN (numeric) / ""
+    (string) by _convert_base_columns; a genuinely-empty string is
+    indistinguishable from string-NULL here (none of the modeled columns
+    store empty strings as data)."""
     is_str = col.dtype == object
 
     def coerce(v):
         return str(v) if is_str else float(v)
 
+    def not_null():
+        if is_str:
+            return col != ""
+        return ~np.isnan(col.astype(np.float64, copy=False))
+
     if op == "eq":
         return col == coerce(value)
     if op == "neq":
-        return col != coerce(value)
+        return (col != coerce(value)) & not_null()
     if op == "in_":
         return np.isin(col, [coerce(v) for v in value])
     if op == "nin":
-        return ~np.isin(col, [coerce(v) for v in value])
+        return ~np.isin(col, [coerce(v) for v in value]) & not_null()
     if op in ("gt", "gte", "lt", "lte"):
         if is_str:
             c = col.astype(str)
@@ -2461,25 +2556,29 @@ def _eval_op(op: str, col: np.ndarray, value) -> np.ndarray:
             c = col.astype(np.float64)
             v = float(value)
         if op == "gt":
-            return c > v
-        if op == "gte":
-            return c >= v
-        if op == "lt":
-            return c < v
-        return c <= v
-    strs = col.astype(str)
+            out = c > v
+        elif op == "gte":
+            out = c >= v
+        elif op == "lt":
+            out = c < v
+        else:
+            out = c <= v
+        # Numeric NaN already fails every comparison; string-NULL ("")
+        # would sort before everything and wrongly match lt/lte.
+        return out & not_null() if is_str else out
+    u = col.astype(str).astype(np.str_)  # one cast, reused per pattern
     if op == "startswith":
-        return np.logical_or.reduce([np.char.startswith(strs.astype(np.str_), str(v)) for v in value])
+        return np.logical_or.reduce([np.char.startswith(u, str(v)) for v in value])
     if op == "not_startswith":
-        return ~np.logical_or.reduce([np.char.startswith(strs.astype(np.str_), str(v)) for v in value])
+        return ~np.logical_or.reduce([np.char.startswith(u, str(v)) for v in value]) & not_null()
     if op == "endswith":
-        return np.logical_or.reduce([np.char.endswith(strs.astype(np.str_), str(v)) for v in value])
+        return np.logical_or.reduce([np.char.endswith(u, str(v)) for v in value])
     if op == "not_endswith":
-        return ~np.logical_or.reduce([np.char.endswith(strs.astype(np.str_), str(v)) for v in value])
+        return ~np.logical_or.reduce([np.char.endswith(u, str(v)) for v in value]) & not_null()
     if op == "contains":
-        return np.logical_or.reduce([np.char.find(strs.astype(np.str_), str(v)) >= 0 for v in value])
+        return np.logical_or.reduce([np.char.find(u, str(v)) >= 0 for v in value])
     if op == "not_contains":
-        return ~np.logical_or.reduce([np.char.find(strs.astype(np.str_), str(v)) >= 0 for v in value])
+        return ~np.logical_or.reduce([np.char.find(u, str(v)) >= 0 for v in value]) & not_null()
     raise pql.PqlError(f"unknown match op {op}")
 
 

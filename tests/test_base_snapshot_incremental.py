@@ -253,3 +253,72 @@ class TestRefreshPerf:
         assert snap1.state is snap0.state
         assert snap1.n == n + 1
         assert dt < 0.050, f"refresh took {dt * 1e3:.1f} ms"
+
+
+class TestDeltaSortCodesSameGap:
+    def test_multiple_new_strings_in_one_gap_order_correctly(self, env):
+        """Regression: appended strings falling in the SAME gap between
+        existing uniques must order among THEMSELVES by value (the old
+        pos-0.5 scheme coded them identically, so order fell to the
+        file_id tiebreak — inserting 'f50x' before 'f50m' came back in
+        insertion order, not lexicographic)."""
+        db, writer, ex, ids = env
+        snap0 = ex.base_snapshot("file")
+        snap0.sort_col("path")  # materialize codes before the delta
+        # Both paths land between /media/f5.png and /media/f6.png, and are
+        # deliberately inserted in REVERSE lexicographic order.
+        def unit(conn):
+            sid = store.upsert_setter(conn, "ocr")
+            for tag in ("5x", "5m"):  # f5m < f5x, inserted x first
+                sha = f"{tag}".ljust(4, "0") * 16
+                item_id = store.upsert_item(
+                    conn, sha, f"md5{tag}".ljust(32, "0"), "image/png",
+                    size=1,
+                )
+                store.upsert_file(
+                    conn, item_id, sha, f"/media/f{tag}.png",
+                    "2026-01-01T00:00:00",
+                )
+
+        writer.call(unit)
+        res = ex.execute(pql.PqlQuery.from_json({
+            "order_by": [{"order_by": "path", "order": "asc"}],
+            "select": ["path"],
+            "page_size": 20,
+        }))
+        paths = [r["path"] for r in res.results]
+        assert paths == sorted(paths)
+        assert "/media/f5m.png" in paths and "/media/f5x.png" in paths
+        assert paths.index("/media/f5m.png") < paths.index("/media/f5x.png")
+
+    def test_repeated_same_gap_deltas_survive_precision_rebuild(self, env):
+        """Dozens of deltas bisecting the same gap force the f64 precision
+        guard to refactorize — ordering must stay exact throughout."""
+        db, writer, ex, ids = env
+        ex.base_snapshot("file").sort_col("path")
+        # 80 successive single-row deltas, each a new path inside the same
+        # gap, inserted in an order that always bisects the left edge.
+        for k in range(80):
+            suffix = f"5a{'a' * (80 - k)}"  # strictly DECREASING lexic.
+
+            def unit(conn, suffix=suffix):
+                sha = f"{k:02d}{suffix[:2]}".ljust(4, "y") * 16
+                item_id = store.upsert_item(
+                    conn, sha + "", f"md5{suffix}".ljust(32, "z")[:32],
+                    "image/png", size=1,
+                )
+                store.upsert_file(
+                    conn, item_id, sha, f"/media/f{suffix}.png",
+                    "2026-01-01T00:00:00",
+                )
+
+            writer.call(unit)
+            ex.base_snapshot("file").sort_col("path")  # code each delta
+        res = ex.execute(pql.PqlQuery.from_json({
+            "order_by": [{"order_by": "path", "order": "asc"}],
+            "select": ["path"],
+            "page_size": 200,
+        }))
+        paths = [r["path"] for r in res.results]
+        assert paths == sorted(paths)
+        assert len(paths) == 88

@@ -719,3 +719,32 @@ class TestHybridEscalationFallback:
             r["file_id"] for r in want.results
         ]
         assert got.count == want.count
+
+
+class TestNullMatchSemantics:
+    def test_negated_ops_exclude_null_cells(self, env):
+        """SQL NULL semantics (the reference compiles match ops to SQLite
+        predicates): NULL != x is NULL → row EXCLUDED, also from nin and
+        the negated string ops. NULLs code as NaN (numeric) / "" (string)
+        in the base snapshot."""
+        from panoptikon_tpu.pql.executor import _eval_op
+
+        num = np.array([1.0, 5.0, np.nan, 2.0])
+        assert _eval_op("neq", num, 5).tolist() == [True, False, False, True]
+        assert _eval_op("nin", num, [1, 2]).tolist() == [
+            False, True, False, False]
+        assert _eval_op("eq", num, 5).tolist() == [False, True, False, False]
+
+        s = np.array(["a/x", "", "b/y"], dtype=object)
+        assert _eval_op("neq", s, "a/x").tolist() == [False, False, True]
+        assert _eval_op("not_startswith", s, ["a/"]).tolist() == [
+            False, False, True]
+        assert _eval_op("lt", s, "zzz").tolist() == [True, False, True]
+
+    def test_neq_on_nullable_column_end_to_end(self, env):
+        # Every fixture file has NULL duration → neq must match NOTHING.
+        res = run(env["ex"], {
+            "query": {"match": {"neq": {"duration": 5}}},
+            "page_size": 100,
+        })
+        assert res.count == 0
