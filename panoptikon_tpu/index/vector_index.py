@@ -138,8 +138,10 @@ class VectorIndex:
                 raise ValueError(
                     f"space {space!r} holds {st.dim}-d vectors, got {dim}-d"
                 )
-            if st.capacity < n:
-                self._grow(st, n)
+            if st.capacity < max(n, 1):
+                # Materialize the arrays even for n == 0: an empty reserved
+                # space must still snapshot/build_quant without crashing.
+                self._grow(st, max(n, 1))
 
     def add(
         self,
@@ -323,9 +325,16 @@ class VectorIndex:
                 dtype=np.int64,
             )
             frozen_scale = st.scale
+            dim = st.dim
             self._spaces.pop(space)
             self._snapshots.pop(space, None)
-        self.add(space, items, row_ids, vectors, weights)
+        if len(row_ids):
+            self.add(space, items, row_ids, vectors, weights)
+        else:
+            # Every row tombstoned: leave an initialized EMPTY space (the
+            # frozen scale survives for future appends) instead of crashing
+            # half-popped and losing the space.
+            self.reserve(space, 0, dim)
         if frozen_scale is not None:
             # Re-quantize under the PRESERVED scale: surviving rows' codes
             # stay byte-identical and the artifact revision is untouched.
@@ -348,8 +357,14 @@ class VectorIndex:
                 row_ids=st.row_ids,
                 weights=st.weights,
                 num_groups=max(len(st.item_of_group), 1),
-                scale=st.scale,
-                codes=st.codes,
+                # The quant arm is exposed only at FULL coverage: rows
+                # appended after the last build/backfill hold zero codes,
+                # and serving them through the int8 path would rank
+                # garbage. Uncovered snapshots serve the exact arm until
+                # the reconcile backfill restores coverage (the reference's
+                # coverage-row discipline, vector_quants.rs:585).
+                scale=st.scale if st.codes_covered >= st.size else None,
+                codes=st.codes if st.codes_covered >= st.size else None,
             )
             self._snapshots[space] = snap
             return snap
@@ -388,7 +403,8 @@ class VectorIndex:
                     "capacity": st.capacity,
                     "items": len(st.item_of_group),
                     "generation": st.generation,
-                    "quant_ready": st.scale is not None,
+                    "quant_ready": (st.scale is not None
+                                    and st.codes_covered >= st.size),
                     "scale": st.scale,
                     "quant_revision": st.quant_revision,
                 }

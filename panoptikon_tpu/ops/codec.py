@@ -142,6 +142,14 @@ def quantize_int8(
     faults at 1M×512 on this host).
     """
     x = np.asarray(vectors, dtype=np.float32)
+    if out is not None and (out.dtype != np.int8 or out.shape != x.shape):
+        # Fail fast: the NumPy fallback's in-place assignment would
+        # silently CAST into a wrong-dtype destination (and the native
+        # path would silently decline), making behavior path-dependent.
+        raise ValueError(
+            f"out must be int8 with shape {x.shape}, got "
+            f"{out.dtype}/{out.shape}"
+        )
     n = _native()
     if n is not None and x.flags["C_CONTIGUOUS"]:
         dst = out if out is not None else np.empty(x.shape, dtype=np.int8)

@@ -297,3 +297,44 @@ class TestBulkAppendFastPath:
         st = idx._spaces["s"]
         assert st.item_of_group == [5, 7, 9, 12]
         np.testing.assert_array_equal(st.group_ids[: st.size], [0, 1, 2, 1, 3])
+
+
+class TestQuantCoverageGate:
+    def test_appended_rows_demote_quant_until_backfill(self):
+        """Rows added after build_quant hold no codes — the snapshot must
+        serve the EXACT arm (quant_ready False) until the backfill
+        restores coverage, not rank zero-vectors."""
+        idx = VectorIndex(chunk_rows=16)
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal((8, 4)).astype(np.float32)
+        idx.add("s", np.arange(1, 9), np.arange(1, 9), v)
+        scale = idx.build_quant("s")
+        assert idx.snapshot("s").quant_ready
+        idx.add("s", np.array([9]), np.array([9]),
+                rng.standard_normal((1, 4)).astype(np.float32))
+        snap = idx.snapshot("s")
+        assert not snap.quant_ready  # uncovered suffix
+        assert not idx.stats()["s"]["quant_ready"]
+        idx.backfill_quant("s", scale)
+        snap2 = idx.snapshot("s")
+        assert snap2.quant_ready and snap2.size == 9
+
+    def test_empty_reserve_is_usable(self):
+        idx = VectorIndex(chunk_rows=16)
+        idx.reserve("s", 0, 4)
+        snap = idx.snapshot("s")  # must not crash
+        assert snap.size == 0
+        idx.build_quant("s")  # must not crash (scale 1.0, empty)
+
+    def test_compact_fully_tombstoned_space_survives(self):
+        idx = VectorIndex(chunk_rows=16)
+        rng = np.random.default_rng(1)
+        idx.add("s", np.arange(1, 5), np.arange(1, 5),
+                rng.standard_normal((4, 4)).astype(np.float32))
+        scale = idx.build_quant("s")
+        idx.remove_items("s", np.arange(1, 5))
+        idx.compact("s")  # must not crash or lose the space
+        assert "s" in idx.space_names()
+        snap = idx.snapshot("s")
+        assert snap.size == 0
+        assert idx.stats()["s"]["scale"] == scale  # frozen scale survives
