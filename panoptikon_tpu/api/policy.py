@@ -20,7 +20,7 @@ from panoptikon_tpu.config import PolicyConfig
 
 MUTATING = {"POST", "PUT", "DELETE", "PATCH"}
 # Mutation-free POST routes (search is a POST for body ergonomics).
-READONLY_POSTS = {"/api/search/pql"}
+READONLY_POSTS = {"/api/search/pql", "/api/search/pql/build"}
 
 
 def _rule_matches(rule: str, method: str, path: str) -> bool:

@@ -22,6 +22,15 @@ LOOP_GUARD_HEADER = "X-Panoptikon-Proxy-Hop"
 MAX_HOPS = 3
 
 
+def _hops(request) -> int:
+    """Loop-guard hop count; a malformed (client-supplied) header counts
+    as 0 rather than 500ing the request."""
+    try:
+        return int(request.headers.get(LOOP_GUARD_HEADER, "0"))
+    except ValueError:
+        return 0
+
+
 def make_upstream_handler(upstream: str, token_key=None):
     """A catch-all handler forwarding to ``upstream`` (e.g. the UI server).
 
@@ -38,7 +47,7 @@ def make_upstream_handler(upstream: str, token_key=None):
     upstream = upstream.rstrip("/")
 
     async def handler(request: web.Request) -> web.StreamResponse:
-        hops = int(request.headers.get(LOOP_GUARD_HEADER, "0"))
+        hops = _hops(request)
         if hops >= MAX_HOPS:
             return web.json_response({"error": "proxy loop detected"}, status=508)
         if (
@@ -47,11 +56,15 @@ def make_upstream_handler(upstream: str, token_key=None):
         ):
             return await _bridge_websocket(request, upstream)
         target = f"{upstream}{request.rel_url}"
-        headers = {
-            k: v for k, v in request.headers.items()
+        # CIMultiDict, not a plain dict: duplicate headers (Cookie,
+        # Accept-*) must all forward, not collapse to the last one.
+        from multidict import CIMultiDict
+
+        headers = CIMultiDict(
+            (k, v) for k, v in request.headers.items()
             if k.lower() not in HOP_HEADERS
             and k.lower() != POLICY_TOKEN_HEADER
-        }
+        )
         headers[LOOP_GUARD_HEADER] = str(hops + 1)
         if token_key is not None and request.get("policy_name"):
             headers[POLICY_TOKEN_HEADER] = token_key.mint(
@@ -75,12 +88,16 @@ def make_upstream_handler(upstream: str, token_key=None):
                 {"error": f"upstream unavailable: {exc}"}, status=502
             )
         try:
+            from multidict import CIMultiDict
+
             out = web.StreamResponse(
                 status=resp.status,
-                headers={
-                    k: v for k, v in resp.headers.items()
+                # Preserve duplicates: collapsing would drop all but the
+                # last Set-Cookie and break upstream sessions.
+                headers=CIMultiDict(
+                    (k, v) for k, v in resp.headers.items()
                     if k.lower() not in HOP_HEADERS
-                },
+                ),
             )
             await out.prepare(request)
             async for chunk in resp.content.iter_chunked(1 << 16):
@@ -99,7 +116,7 @@ async def _bridge_websocket(request: web.Request, upstream: str) -> web.StreamRe
     until either side closes (proxy.rs Upgrade bridging). The hop counter
     rides the dial so WS loops 508 like HTTP ones; the client's requested
     subprotocols forward."""
-    hops = int(request.headers.get(LOOP_GUARD_HEADER, "0"))
+    hops = _hops(request)
     if hops >= MAX_HOPS:
         return web.json_response({"error": "proxy loop detected"}, status=508)
     ws_url = upstream.replace("http://", "ws://").replace("https://", "wss://")

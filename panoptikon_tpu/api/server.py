@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import asyncio
 import base64
+import threading
 import json
 import time
 from dataclasses import dataclass, field
@@ -66,6 +67,9 @@ class AppState:
     update_manifest: Optional[str] = None
     update_ribbon: dict = field(default_factory=dict)
     prewarm: "EagerPrewarm" = None
+    # Guards first-touch index/executor construction (RLock: executor()
+    # builds its index under the same lock).
+    _init_lock: threading.RLock = field(default_factory=threading.RLock)
 
     @classmethod
     def create(
@@ -180,19 +184,30 @@ class AppState:
         return db
 
     def index(self, name: str) -> VectorIndex:
+        # Publish-after-build under a lock: handlers run on a wide thread
+        # pool, and an unsynchronized check-then-set would let a second
+        # first-query see (and serve) the index while sync_all is still
+        # loading embeddings into it.
         idx = self.indexes.get(name)
         if idx is None:
-            idx = VectorIndex()
-            self.indexes[name] = idx
-            index_sync.sync_all(self.db(name), idx)
+            with self._init_lock:
+                idx = self.indexes.get(name)
+                if idx is None:
+                    idx = VectorIndex()
+                    index_sync.sync_all(self.db(name), idx)
+                    self.indexes[name] = idx
         return idx
 
     def executor(self, name: str) -> Executor:
         ex = self.executors.get(name)
         if ex is None:
-            # Query embeds ride the federation pool (local-first WRR).
-            ex = Executor(self.db(name), self.index(name), self.pool)
-            self.executors[name] = ex
+            with self._init_lock:
+                ex = self.executors.get(name)
+                if ex is None:
+                    # Query embeds ride the federation pool (local-first
+                    # WRR). index() re-enters the same RLock.
+                    ex = Executor(self.db(name), self.index(name), self.pool)
+                    self.executors[name] = ex
         return ex
 
     def epochs(self, name: str) -> EpochSnapshot:
@@ -442,13 +457,40 @@ class AppState:
         rootlock.release(self.data_root)
 
 
+def _valid_db_name(name: str) -> bool:
+    return bool(name) and name.replace("-", "").replace("_", "").isalnum()
+
+
 def _db_name(request) -> str:
     # A policy's DB pin overrides the caller's selection (policy.rs DB
     # pinning — the test-listener isolation pattern).
     pinned = request.get("pinned_index_db")
     if pinned:
         return pinned
-    return request.query.get("index_db", "default")
+    name = request.query.get("index_db", "default")
+    if not _valid_db_name(name):
+        # The registry derives an on-disk path from the name and mkdirs it
+        # — an unvalidated '../..' or absolute name is a filesystem write
+        # anywhere the process can reach.
+        raise web.HTTPBadRequest(
+            reason="database name must be alphanumeric/-/_"
+        )
+    return name
+
+
+def _int_arg(value, name: str) -> int:
+    """Client-supplied integer → 400 (not a 500 traceback) when malformed."""
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        raise web.HTTPBadRequest(reason=f"{name} must be an integer")
+
+
+def _float_arg(value, name: str) -> float:
+    try:
+        return float(value)
+    except (TypeError, ValueError):
+        raise web.HTTPBadRequest(reason=f"{name} must be a number")
 
 
 def _json_error(status: int, message: str):
@@ -540,16 +582,19 @@ async def search_pql(request: web.Request) -> web.Response:
             conn = state.db(name).reader()
             shas = [r.get("sha256") for r in out_rows if r.get("sha256")]
             marked = set()
-            if shas:
-                qmarks = ",".join("?" * len(shas))
-                marked = {
+            # Chunked IN lists: SQLite's bound-variable limit (999 on
+            # older builds) would 500 a large-page_size export.
+            for lo in range(0, len(shas), 500):
+                chunk = shas[lo : lo + 500]
+                qmarks = ",".join("?" * len(chunk))
+                marked.update(
                     row[0]
                     for row in conn.execute(
                         f"""SELECT DISTINCT sha256 FROM user_data.bookmarks
                             WHERE user IN (?, '*') AND sha256 IN ({qmarks})""",
-                        [user, *shas],
+                        [user, *chunk],
                     ).fetchall()
-                }
+                )
             out_rows = [
                 {**r, "bookmarked": r.get("sha256") in marked}
                 for r in out_rows
@@ -621,20 +666,27 @@ async def search_pql_build(request: web.Request) -> web.Response:
 
 
 async def accelerator_report(request: web.Request) -> web.Response:
-    """Device inventory (the reference's accelerator report, TPU-shaped)."""
+    """Device inventory (the reference's accelerator report, TPU-shaped).
+
+    Backend init runs OFF the event loop: the first jax.devices() can take
+    seconds (and blocks forever on a dead accelerator transport) — on the
+    loop it would freeze every request including /health."""
     import jax
 
-    devices = [
-        {
-            "id": d.id,
-            "kind": d.device_kind,
-            "platform": d.platform,
-            "process": d.process_index,
-        }
-        for d in jax.devices()
-    ]
+    def probe():
+        return [
+            {
+                "id": d.id,
+                "kind": d.device_kind,
+                "platform": d.platform,
+                "process": d.process_index,
+            }
+            for d in jax.devices()
+        ], jax.default_backend()
+
+    devices, backend = await asyncio.to_thread(probe)
     return web.json_response(
-        {"backend": jax.default_backend(), "device_count": len(devices),
+        {"backend": backend, "device_count": len(devices),
          "devices": devices}
     )
 
@@ -681,7 +733,7 @@ async def cache_clear(request: web.Request) -> web.Response:
 async def cache_resize(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     body = await request.json()
-    state.cache.resize(int(body["byte_budget"]))
+    state.cache.resize(_int_arg(body.get("byte_budget"), "byte_budget"))
     return web.json_response(state.cache.stats())
 
 
@@ -780,7 +832,7 @@ async def item_metadata(request: web.Request) -> web.Response:
 async def tags_top(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     name = _db_name(request)
-    limit = int(request.query.get("limit", 100))
+    limit = _int_arg(request.query.get("limit", 100), "limit")
 
     def run():
         conn = state.db(name).reader()
@@ -799,7 +851,7 @@ async def tags_autocomplete(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     name = _db_name(request)
     prefix = request.query.get("q", "")
-    limit = int(request.query.get("limit", 25))
+    limit = _int_arg(request.query.get("limit", 25), "limit")
 
     def run():
         conn = state.db(name).reader()
@@ -949,7 +1001,7 @@ async def pinboards_save_version(request: web.Request) -> web.Response:
     migration)."""
     state: AppState = request.app["state"]
     name = _db_name(request)
-    pid = int(request.match_info["pinboard_id"])
+    pid = _int_arg(request.match_info["pinboard_id"], "pinboard_id")
     body = await request.json()
     layout = body.get("layout")
     if not isinstance(layout, (list, dict)):
@@ -1012,7 +1064,7 @@ async def pinboards_save_version(request: web.Request) -> web.Response:
 async def pinboards_get(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     name = _db_name(request)
-    pid = int(request.match_info["pinboard_id"])
+    pid = _int_arg(request.match_info["pinboard_id"], "pinboard_id")
 
     def run():
         conn = state.db(name).reader()
@@ -1058,7 +1110,7 @@ async def pinboards_get(request: web.Request) -> web.Response:
 async def pinboards_delete(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     name = _db_name(request)
-    pid = int(request.match_info["pinboard_id"])
+    pid = _int_arg(request.match_info["pinboard_id"], "pinboard_id")
 
     def run():
         conn = state.db(name).user_data_write_connection()
@@ -1210,7 +1262,7 @@ async def jobs_status(request: web.Request) -> web.Response:
 
 async def jobs_cancel(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
-    job_id = int(request.match_info["job_id"])
+    job_id = _int_arg(request.match_info["job_id"], "job_id")
     ok = state.queue.cancel(_db_name(request), job_id)
     return web.json_response({"cancelled": ok})
 
@@ -1427,6 +1479,10 @@ async def desktop_external_input_put(request: web.Request) -> web.Response:
         )
     body = await request.json()
     value = str(body.get("value", ""))
+    if "\n" in value or "\r" in value:
+        # A newline in the VALUE would smuggle a second KEY=VALUE line
+        # into the .env (LD_PRELOAD etc.) past the declared-name check.
+        return _json_error(400, "value must not contain newlines")
 
     def run():
         _os.environ[var] = value
@@ -1587,10 +1643,10 @@ async def inferio_predict(request: web.Request) -> web.Response:
     group = request.match_info["group"]
     inference_id = request.match_info["inference_id"]
     cache_key = request.query.get("cache_key", "default")
-    lru_size = int(request.query.get("lru_size", 1))
-    ttl = float(request.query.get("ttl_seconds", 3600))
+    lru_size = _int_arg(request.query.get("lru_size", 1), "lru_size")
+    ttl = _float_arg(request.query.get("ttl_seconds", 3600), "ttl_seconds")
     max_batch = request.query.get("max_batch")
-    max_batch = int(max_batch) if max_batch else None
+    max_batch = _int_arg(max_batch, "max_batch") if max_batch else None
 
     inputs: list[PredictionInput] = []
     if request.content_type.startswith("multipart/"):
@@ -1640,8 +1696,8 @@ async def inferio_load(request: web.Request) -> web.Response:
     group = request.match_info["group"]
     inference_id = request.match_info["inference_id"]
     cache_key = request.query.get("cache_key", "default")
-    lru_size = int(request.query.get("lru_size", 1))
-    ttl = float(request.query.get("ttl_seconds", 3600))
+    lru_size = _int_arg(request.query.get("lru_size", 1), "lru_size")
+    ttl = _float_arg(request.query.get("ttl_seconds", 3600), "ttl_seconds")
     prewarm = request.query.get("prewarm", "").lower() in ("1", "true", "yes")
 
     def run():
@@ -1731,10 +1787,22 @@ async def relay_pairings(request: web.Request) -> web.Response:
     )
 
 
+def _prune_relay(store, now: float) -> None:
+    expired = [
+        k for k, v in store.items()
+        if not v.get("durable") and v.get("expires_at", 0) <= now
+    ]
+    for k in expired:
+        store.pop(k, None)
+
+
 async def relay_pair(request: web.Request) -> web.Response:
     import uuid
 
     store = request.app.setdefault("relay_store", {})
+    # Prune HERE too: otherwise expired entries permanently 429 new
+    # pairings until someone happens to GET the list endpoint.
+    _prune_relay(store, asyncio.get_event_loop().time())
     if len(store) >= _RELAY_MAX:
         return _json_error(429, "pairing registry full")
     body = await request.json() if request.can_read_body else {}
@@ -1751,6 +1819,12 @@ async def relay_pair(request: web.Request) -> web.Response:
 async def relay_recover(request: web.Request) -> web.Response:
     store = request.app.setdefault("relay_store", {})
     entry = store.get(request.match_info["pairing_id"])
+    now = asyncio.get_event_loop().time()
+    if entry is not None and not entry.get("durable") and entry.get(
+        "expires_at", 0
+    ) <= now:
+        store.pop(request.match_info["pairing_id"], None)
+        entry = None  # expired credentials must not be recoverable
     if entry is None:
         return _json_error(404, "unknown pairing")
     return web.json_response(
@@ -1864,6 +1938,10 @@ async def client_config(request: web.Request) -> web.Response:
     from panoptikon_tpu.jobs import media
 
     state: AppState = request.app["state"]
+    # Off-loop: first backend init can block (dead transport ⇒ forever).
+    multi_chip = await asyncio.to_thread(
+        lambda: len(__import__("jax").devices()) > 1
+    )
     return web.json_response(
         {
             "server": "panoptikon_tpu",
@@ -1879,7 +1957,7 @@ async def client_config(request: web.Request) -> web.Response:
                 "continuous_scan": state.continuous is not None,
                 "inference": True,
                 "inference_federation": len(state.pool.stats()) > 1,
-                "multi_chip": len(__import__("jax").devices()) > 1,
+                "multi_chip": multi_chip,
                 "media": media.capabilities(),
             },
             "continuous_active": sorted(state.continuous.status().keys())

@@ -878,3 +878,44 @@ class TestUiUserFlow:
         for marker in ("fusemodels", "filtbtn", "fusion (multi-model RRF)",
                        "fapply", "startswith"):
             assert marker in text, marker
+
+
+class TestInputHardening:
+    def test_index_db_path_traversal_rejected(self, client_env, tmp_path):
+        call = client_env["call"]
+        for evil in ("../outside", "/tmp/abs", "a/b", "..", "x%2F"):
+            status, body = call(
+                "GET", "/api/search/stats",
+                params={"index_db": evil},
+            )
+            assert status == 400, (evil, body)
+        # And nothing was created outside the data root.
+        import os
+
+        assert not os.path.exists("/tmp/abs")
+
+    def test_external_input_newline_value_rejected(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        # Use a registry-declared variable if any exist; otherwise the
+        # declared-name check already 400s and the newline check is moot.
+        status, declared = call("GET", "/api/desktop/external-inputs")
+        names = [d["name"] for d in declared] if isinstance(declared, list) else []
+        if not names:
+            return
+        status, body = call(
+            "PUT", f"/api/desktop/external-inputs/{names[0]}",
+            json={"value": "x\nLD_PRELOAD=/tmp/evil.so"},
+        )
+        assert status == 400 and "newline" in str(body)
+
+    def test_malformed_numeric_params_get_400(self, client_env):
+        call = client_env["call"]
+        status, _ = call("DELETE", "/api/jobs/queue/abc")
+        assert status == 400
+        status, _ = call("GET", "/api/pinboards/u/abc")
+        assert status == 400
+        status, _ = call("GET", "/api/search/tags/top",
+                         params={"limit": "x"})
+        assert status == 400
+        status, _ = call("PUT", "/api/search/cache", json={})
+        assert status == 400
