@@ -35,6 +35,9 @@ MIN_POLL_S = 2.0
 MAX_POLL_S = 60.0
 SETTLE_S = 2.0
 DELETION_THRESHOLD = 0.5
+# Guard-tripping snapshots identical across this many consecutive polls
+# are accepted as a real deletion (vs a transient unmount).
+GUARD_ACCEPT_POLLS = 5
 
 
 def take_snapshot(roots: list[str]) -> dict[str, tuple[float, int]]:
@@ -59,7 +62,10 @@ def take_snapshot(roots: list[str]) -> dict[str, tuple[float, int]]:
 
 
 def seed_snapshot(db: Database) -> dict[str, tuple[float, int]]:
-    """Seed from the DB so a restart sees no phantom changes."""
+    """Seed from the DB so a restart sees no phantom changes. A DB-known
+    file that fails os.stat (deleted while the process was down) seeds a
+    sentinel entry so the FIRST poll sees it as vanished — silently
+    dropping it would hide the deletion forever."""
     snap = {}
     conn = db.reader()
     for path, in conn.execute(
@@ -69,7 +75,7 @@ def seed_snapshot(db: Database) -> dict[str, tuple[float, int]]:
             st = os.stat(path)
             snap[path] = (st.st_mtime, st.st_size)
         except OSError:
-            continue
+            snap[path] = (-1.0, -1)
     return snap
 
 
@@ -114,13 +120,30 @@ class FolderSupervisor:
         prev = seed_snapshot(self.db)
         interval = MIN_POLL_S
         pending_since: Optional[float] = None
+        guard_snap: Optional[dict] = None
+        guard_stable = 0
         while not self._stop.wait(interval):
             snap, changed, guard = self.check_once(prev)
             if guard:
                 # Mass-vanish: do not auto-mark; likely an unmounted share.
+                # But a GENUINE bulk deletion must not wedge the poller
+                # forever: accept the smaller tree once it stays identical
+                # across several backoff polls, then rescan normally.
                 self.deletion_guard_trips += 1
+                if guard_snap is not None and snap == guard_snap:
+                    guard_stable += 1
+                else:
+                    guard_snap, guard_stable = snap, 1
+                if guard_stable >= GUARD_ACCEPT_POLLS:
+                    prev = snap
+                    guard_snap, guard_stable = None, 0
+                    self.last_change_at = time.time()
+                    pending_since = time.time()
+                    interval = MIN_POLL_S
+                    continue
                 interval = min(interval * 2, MAX_POLL_S)
                 continue
+            guard_snap, guard_stable = None, 0
             if changed:
                 self.last_change_at = time.time()
                 pending_since = time.time()

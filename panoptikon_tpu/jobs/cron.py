@@ -12,6 +12,7 @@ usage exercises.
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 from dataclasses import dataclass
@@ -54,12 +55,17 @@ def cron_matches(schedule: str, when: time.struct_time) -> bool:
     if len(fields) != 5:
         return False
     minute, hour, dom, month, dow = fields
+    # Standard cron day-of-week: Sunday = 0 (and 7); struct_time's
+    # tm_wday is Monday = 0 — translate, or every weekly schedule fires
+    # one day late and '* * * * 7' never matches.
+    cron_dow = (when.tm_wday + 1) % 7
     return (
         _field_matches(minute, when.tm_min)
         and _field_matches(hour, when.tm_hour)
         and _field_matches(dom, when.tm_mday)
         and _field_matches(month, when.tm_mon)
-        and _field_matches(dow, when.tm_wday)
+        and (_field_matches(dow, cron_dow)
+             or (cron_dow == 0 and _field_matches(dow, 7)))
     )
 
 
@@ -130,8 +136,18 @@ class CronScheduler:
         return out
 
     def _loop(self) -> None:
-        while not self._stop.wait(self.tick_seconds):
+        # Align each wait to the NEXT minute boundary: a fixed 60 s wait
+        # plus tick work drifts past boundaries and silently skips the
+        # minute in between (its jobs then never fire — the no-catch-up
+        # contract covers downtime, not a running scheduler).
+        while True:
+            now = time.time()
+            delay = self.tick_seconds - (now % self.tick_seconds) + 0.05
+            if self._stop.wait(delay):
+                return
             try:
                 self.tick()
             except Exception:
-                pass
+                logging.getLogger("panoptikon_tpu.cron").exception(
+                    "cron tick failed"
+                )

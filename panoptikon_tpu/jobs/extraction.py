@@ -290,7 +290,11 @@ def run_extraction_job(
             report.inference_time += time.perf_counter() - t0
 
             for row, (start, count) in zip(loadable, spans):
-                item_id = row[0]
+                # text-entity rows lead with the DATA-id cursor key
+                # (_unprocessed_text: cursor, item_id, src, ...); using it
+                # as the item would attribute embeddings and ledger rows
+                # to whatever item happens to share that number.
+                item_id = row[1] if target_entity == "text" else row[0]
                 item_outputs = outputs[start : start + count]
                 # Per-unit error slots: one `transient` fails the whole item
                 # softly; `input` slots among survivors are settled verdicts

@@ -346,15 +346,17 @@ def render_pdf_pages(
         pdfium = None
     if pdfium is not None:
         doc = pdfium.PdfDocument(path)
-        out = []
-        for i in range(min(len(doc), max_pages)):
-            bitmap = doc[i].render(scale=scale)
-            pil = bitmap.to_pil().convert("RGB")
-            buf = io.BytesIO()
-            pil.save(buf, format="PNG")
-            out.append((buf.getvalue(), pil.width, pil.height))
-        doc.close()
-        return out
+        try:
+            out = []
+            for i in range(min(len(doc), max_pages)):
+                bitmap = doc[i].render(scale=scale)
+                pil = bitmap.to_pil().convert("RGB")
+                buf = io.BytesIO()
+                pil.save(buf, format="PNG")
+                out.append((buf.getvalue(), pil.width, pil.height))
+            return out
+        finally:
+            doc.close()  # a render exception must not leak the FFI handle
     try:
         import fitz
     except Exception:

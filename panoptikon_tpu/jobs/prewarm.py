@@ -207,14 +207,19 @@ class EagerPrewarm:
             return
         self._stop = threading.Event()
 
+        stop = self._stop
+
         def run():
-            # Warm immediately at startup, then on the tick.
+            # Warm immediately at startup, then on the tick. The loop
+            # holds its OWN reference to the stop event: stop() may null
+            # the attribute while a slow tick (bounded scan-warm join) is
+            # still in flight.
             while True:
                 try:
                     self.tick()
                 except Exception:
                     log.exception("prewarm tick failed")
-                if self._stop.wait(self.interval_s):
+                if stop.wait(self.interval_s):
                     return
 
         self._thread = threading.Thread(
@@ -226,6 +231,12 @@ class EagerPrewarm:
         if self._stop is not None:
             self._stop.set()
         if self._thread is not None:
+            # tick() can legitimately block up to min(interval, 60)s in
+            # the scan-warm join — don't stall shutdown for it (the loop
+            # holds its own stop-event reference and exits after the
+            # in-flight tick). Forget the thread only once it really died,
+            # so a quick stop()/start() can't stack a second loop.
             self._thread.join(timeout=2)
-            self._thread = None
-            self._stop = None
+            if not self._thread.is_alive():
+                self._thread = None
+                self._stop = None

@@ -105,6 +105,8 @@ class JobQueue:
         self._threads: dict[str, threading.Thread] = {}
         self._wake: dict[str, threading.Event] = {}
         self._owed: dict[str, ChangeSummary] = {}
+        # Earliest time a FAILED maintenance job may resynthesize per DB.
+        self._maint_retry_at: dict[str, float] = {}
         self._next_id = 1
         self._shutdown = False
 
@@ -212,7 +214,11 @@ class JobQueue:
                 queue = self._queues.setdefault(db_name, [])
                 if not queue:
                     # Owed maintenance at the back of an emptied queue.
-                    owed = self._owed.pop(db_name, None)
+                    retry_at = self._maint_retry_at.get(db_name, 0.0)
+                    owed = (
+                        self._owed.pop(db_name, None)
+                        if time.time() >= retry_at else None
+                    )
                     if owed is not None and owed.any and JobType.DB_MAINTENANCE in self.runners:
                         queue.append(
                             JobHandle(
@@ -257,6 +263,21 @@ class JobQueue:
             except Exception as exc:
                 handle.state = "failed"
                 handle.error = f"{exc}\n{traceback.format_exc(limit=5)}"
+                if handle.job_type is JobType.DB_MAINTENANCE:
+                    # The owed summary was popped to synthesize this job —
+                    # a failure (transient SQLITE_BUSY, disk full) must
+                    # re-merge it so the debt retries in-process, matching
+                    # the durable marker that still records it on disk.
+                    owed = handle.params.get("summary")
+                    if owed is not None and owed.any:
+                        with self._lock:
+                            merged = self._owed.setdefault(
+                                db_name, ChangeSummary()
+                            )
+                            merged.merge(owed)
+                            # Back off before resynthesizing, or a
+                            # persistent failure (disk full) spins.
+                            self._maint_retry_at[db_name] = time.time() + 60.0
             finally:
                 handle.finished_at = time.time()
                 with self._lock:

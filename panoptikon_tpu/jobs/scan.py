@@ -184,12 +184,22 @@ def iter_files(
                 for d in dirnames
                 if d not in JUNK_DIRS
                 and not d.startswith(".")
-                and not any(str(Path(dirpath) / d).startswith(e) for e in excluded)
+                and not any(_under(str(Path(dirpath) / d), e) for e in excluded)
             ]
             for name in filenames:
                 if name.startswith("."):
                     continue
                 yield str(Path(dirpath) / name)
+
+
+def _under(path: str, root: str) -> bool:
+    """True when ``path`` is ``root`` or inside it — with a separator
+    boundary, so '/data/x' never claims '/data/x2' (the bug class
+    _run_folder_update fixes for deletes also applies to scans: a bare
+    prefix match pruned sibling folders from the walk while keeping their
+    files in `known`, mass-marking them unavailable)."""
+    root = str(Path(root))
+    return path == root or path.startswith(root + os.sep)
 
 
 def _video_thumb(frame: tuple[bytes, int, int]) -> Optional[tuple[bytes, int, int]]:
@@ -227,7 +237,12 @@ def process_path(
         return row
     row.mtime = time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(stat.st_mtime))
     row.size = stat.st_size
-    if prev is not None and prev[0] == row.mtime:
+    if (
+        prev is not None and prev[0] == row.mtime
+        and (len(prev) < 3 or prev[2] is None or int(prev[2]) == row.size)
+    ):
+        # mtime AND size must both match (module contract, files.rs): a
+        # content rewrite with a preserved timestamp still re-hashes.
         row.status = "unchanged"
         return row
     try:
@@ -283,7 +298,7 @@ def process_path(
                 if tail is not None:
                     verdict = outro_mod.detect_outro_from_frames(tail)
                     if verdict.kind != outro_mod.KIND_NONE:
-                        skip_tail = verdict.length_s
+                        skip_tail = verdict.outro_seconds
             row.frames = media.sample_video_frames(
                 path, max_frames=max_frames, skip_tail_s=skip_tail
             )
@@ -441,14 +456,16 @@ def rescan_folders(
     # Known files under the scanned roots → unchanged-skip + vanish marking.
     # Items whose blocked intake just healed are dropped from `known` so
     # the unchanged-mtime skip cannot mask the re-attempt.
-    known: dict[str, tuple[str, str]] = {}
-    for path, mtime, sha in conn.execute(
-        "SELECT path, last_modified, sha256 FROM files WHERE available = 1"
+    known: dict[str, tuple[str, str, object]] = {}
+    for path, mtime, sha, size in conn.execute(
+        """SELECT f.path, f.last_modified, f.sha256, i.size
+           FROM files f JOIN items i ON i.id = f.item_id
+           WHERE f.available = 1"""
     ).fetchall():
         if sha in heal_shas:
             continue
-        if any(path.startswith(str(Path(r))) for r in included):
-            known[path] = (mtime, sha)
+        if any(_under(path, r) for r in included):
+            known[path] = (mtime, sha, size)
 
     seen: set[str] = set()
 

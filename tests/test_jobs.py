@@ -199,14 +199,22 @@ class TestExtraction:
 
         def add_text(conn):
             sid = store.upsert_setter(conn, "ocr")
+            pad = store.upsert_setter(conn, "pad")
             rows = conn.execute("SELECT id FROM items WHERE type='image/png'").fetchall()
+            # Force item_data ids to DIVERGE from item ids (regression:
+            # the text-entity output loop once used the data-id cursor as
+            # the item id, which only fresh fixtures where the two
+            # coincide would miss).
+            for k in range(7):
+                store.insert_item_data(conn, rows[0][0], pad, "clip", idx=k)
             for item_id, in rows:
                 did = store.insert_item_data(conn, item_id, sid, "text")
                 store.insert_extracted_text(
                     conn, did, "words " * 30, confidence=0.8, language_confidence=0.9
                 )
+            return [r[0] for r in rows]
 
-        env["writer"].call(add_text)
+        item_ids = env["writer"].call(add_text)
         report = extraction.run_extraction_job(
             db=env["db"], writer=env["writer"], index=env["index"],
             manager=env["manager"], inference_id="textembed/tiny-te",
@@ -216,6 +224,16 @@ class TestExtraction:
         assert report.processed == 3
         snap = env["index"].snapshot("tiny-te")
         assert snap.size >= 3
+        # Embeddings are attributed to the OWNING ITEMS, not data ids.
+        conn = env["db"].reader()
+        owners = {
+            r[0] for r in conn.execute(
+                """SELECT DISTINCT d.item_id FROM item_data d
+                   JOIN setters s ON s.id=d.setter_id
+                   WHERE s.name='tiny-te'"""
+            ).fetchall()
+        }
+        assert owners == set(item_ids)
         # Weights carry source-text confidence product.
         assert np.allclose(
             snap.weights[: snap.size], 0.8 * 0.9, atol=1e-6
@@ -742,3 +760,86 @@ class TestDurableOwedMaintenance:
             time.sleep(0.02)
         q.shutdown()
         assert done["n"] == 1
+
+
+class TestCronSemantics:
+    def test_day_of_week_is_cron_sunday_zero(self):
+        import time as _t
+
+        from panoptikon_tpu.jobs.cron import cron_matches
+
+        # 2026-08-16 is a Sunday, 2026-08-21 a Friday.
+        sunday = _t.strptime("2026-08-16 03:00", "%Y-%m-%d %H:%M")
+        friday = _t.strptime("2026-08-21 03:00", "%Y-%m-%d %H:%M")
+        assert cron_matches("0 3 * * 0", sunday)
+        assert cron_matches("0 3 * * 7", sunday)  # both Sunday spellings
+        assert not cron_matches("0 3 * * 0", friday)
+        assert cron_matches("0 3 * * 5", friday)
+        assert not cron_matches("0 3 * * 6", friday)
+
+
+class TestScanBoundaries:
+    def test_sibling_folder_not_claimed_by_prefix(self, tmp_path):
+        from panoptikon_tpu.jobs.scan import _under, iter_files
+
+        assert _under("/data/x/a.png", "/data/x")
+        assert not _under("/data/x2/a.png", "/data/x")
+        inc = tmp_path / "pics2"
+        exc = tmp_path / "pics"
+        inc.mkdir(); exc.mkdir()
+        (inc / "keep.png").write_bytes(b"x")
+        (exc / "drop.png").write_bytes(b"x")
+        got = sorted(iter_files([str(tmp_path)], [str(exc)]))
+        assert str(inc / "keep.png") in got
+        assert str(exc / "drop.png") not in got
+
+    def test_size_change_with_same_mtime_rehashes(self, tmp_path):
+        from panoptikon_tpu.jobs.scan import process_path
+
+        p = tmp_path / "a.bin"
+        p.write_bytes(b"abc")
+        import os as _os
+
+        st = _os.stat(p)
+        import time as _t
+
+        mtime = _t.strftime("%Y-%m-%dT%H:%M:%S", _t.gmtime(st.st_mtime))
+        unchanged = process_path(
+            str(p), (mtime, "sha", st.st_size), make_thumbnails=False
+        )
+        assert unchanged.status == "unchanged"
+        rehashed = process_path(
+            str(p), (mtime, "sha", st.st_size + 10), make_thumbnails=False
+        )
+        assert rehashed.status != "unchanged"
+
+
+class TestOwedMaintenanceRetry:
+    def test_failed_maintenance_re_merges_owed(self):
+        import time as _t
+
+        from panoptikon_tpu.jobs.queue import (
+            ChangeSummary, JobQueue, JobType,
+        )
+
+        calls = {"n": 0}
+
+        def maint(handle):
+            calls["n"] += 1
+            raise RuntimeError("disk full")
+
+        def writer(handle):
+            return ChangeSummary(needs_analyze=True)
+
+        q = JobQueue({JobType.DB_MAINTENANCE: maint,
+                      JobType.FOLDER_RESCAN: writer})
+        q.enqueue("d", JobType.FOLDER_RESCAN)
+        deadline = _t.time() + 20
+        while _t.time() < deadline and calls["n"] == 0:
+            _t.sleep(0.05)
+        assert calls["n"] == 1  # maintenance synthesized and failed
+        # The owed debt survived the failure (retry is backed off).
+        with q._lock:
+            assert q._owed.get("d") is not None and q._owed["d"].any
+            assert q._maint_retry_at.get("d", 0) > _t.time()
+        q.shutdown()
