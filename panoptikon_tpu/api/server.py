@@ -1667,6 +1667,11 @@ async def inferio_predict(request: web.Request) -> web.Response:
             file_bytes = None
             if isinstance(entry, dict) and "file_b64" in entry:
                 file_bytes = base64.b64decode(entry.pop("file_b64"))
+            if isinstance(entry, dict) and "__data__" in entry:
+                # Sentinel wrap for non-dict payloads riding with a file
+                # (http_backend): unwrap so the impl sees the raw value,
+                # exactly as a local backend would deliver it.
+                entry = entry["__data__"]
             inputs.append(PredictionInput(data=entry, file=file_bytes))
 
     def run():

@@ -25,6 +25,15 @@ class HttpBackendError(RuntimeError):
     pass
 
 
+def _path_id(inference_id: str) -> str:
+    """group/name → URL path segments, percent-encoded: a name with a
+    space/'#'/'?' must not mangle the request line or truncate the path."""
+    from urllib.parse import quote
+
+    group, _, name = inference_id.partition("/")
+    return f"{quote(group, safe='')}/{quote(name, safe='')}"
+
+
 class HttpInferenceBackend:
     """InferenceBackend over a remote panoptikon_tpu (or wire-compatible
     reference) server."""
@@ -66,18 +75,20 @@ class HttpInferenceBackend:
     def predict(
         self, inference_id: str, inputs: Sequence[PredictionInput], **kw
     ) -> list[Any]:
-        group, _, name = inference_id.partition("/")
         body_inputs = []
         for inp in inputs:
             entry: Any = inp.data if inp.data is not None else {}
             if inp.file is not None:
                 if not isinstance(entry, dict):
-                    entry = {"data": entry}
+                    # __data__ sentinel (unwrapped server-side): wrapping
+                    # as {"data": ...} would change the payload shape vs a
+                    # local backend for impls that read raw values.
+                    entry = {"__data__": entry}
                 entry = dict(entry)
                 entry["file_b64"] = base64.b64encode(inp.file).decode()
             body_inputs.append(entry)
         out = self._request(
-            "POST", f"/predict/{group}/{name}",
+            "POST", f"/predict/{_path_id(inference_id)}",
             params={
                 "cache_key": kw.get("cache_key"),
                 "lru_size": kw.get("lru_size"),
@@ -95,9 +106,8 @@ class HttpInferenceBackend:
         return outputs
 
     def load_model(self, inference_id: str, **kw) -> None:
-        group, _, name = inference_id.partition("/")
         self._request(
-            "PUT", f"/load/{group}/{name}",
+            "PUT", f"/load/{_path_id(inference_id)}",
             params={
                 "cache_key": kw.get("cache_key"),
                 "lru_size": kw.get("lru_size"),
@@ -107,9 +117,8 @@ class HttpInferenceBackend:
         )
 
     def unload_model(self, inference_id: str, cache_key: Optional[str] = None) -> bool:
-        group, _, name = inference_id.partition("/")
         out = self._request(
-            "DELETE", f"/load/{group}/{name}",
+            "DELETE", f"/load/{_path_id(inference_id)}",
             params={"cache_key": cache_key},
         )
         return bool(out.get("unloaded", True))

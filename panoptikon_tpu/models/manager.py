@@ -72,6 +72,9 @@ class _LoadedModel:
     impl_class: str
     default_batch: int = DEFAULT_BATCH
     predict_pins: int = 0
+    # Eviction arrived while pinned: the LAST unpinner performs the unload
+    # (an unload mid-predict would null the weights under the caller).
+    evict_when_unpinned: bool = False
     lock: threading.Lock = field(default_factory=threading.Lock)
     queue: list = field(default_factory=list)
     qlock: threading.Lock = field(default_factory=threading.Lock)
@@ -102,9 +105,14 @@ class ModelManager:
             raise ModelLoadError("lru_size must be positive")
         group, _, name = inference_id.partition("/")
         resolved = self.registry.resolve(group, name)
+        # Fast path — already loaded: renew under _state only. Holding
+        # _load_lock here would stall TTL renewals (the cron preload
+        # contract) behind any concurrent slow cold load, letting a hot
+        # model expire mid-use.
+        if self._renew(inference_id, cache_key, lru_size, ttl_seconds):
+            return
         with self._load_lock:
             with self._state:
-                cache = self._lru.setdefault(cache_key, OrderedDict())
                 already = inference_id in self._models
             if not already:
                 impl_cls = self.impl_index.get(resolved.impl_class)
@@ -145,40 +153,68 @@ class ModelManager:
                         impl_class=resolved.impl_class,
                         default_batch=default_batch,
                     )
-            with self._state:
-                expiry = (
-                    time.monotonic() + ttl_seconds if ttl_seconds >= 0 else float("inf")
-                )
-                # Renewal moves to MRU before reassigning (manager.rs:18-20).
-                if inference_id in cache:
-                    cache.move_to_end(inference_id)
-                cache[inference_id] = expiry
-                self._refs.setdefault(inference_id, set()).add(cache_key)
-                evicted = []
-                while len(cache) > lru_size:
-                    old_id, _ = cache.popitem(last=False)
-                    self._refs.get(old_id, set()).discard(cache_key)
-                    if not self._refs.get(old_id):
-                        evicted.append(old_id)
-            for old_id in evicted:
-                self._unload(old_id)
+            self._renew(inference_id, cache_key, lru_size, ttl_seconds)
+
+    def _renew(
+        self, inference_id: str, cache_key: str, lru_size: int,
+        ttl_seconds: float,
+    ) -> bool:
+        """Reference/renew an already-loaded model in one atomic _state
+        pass (TTL + MRU + refs + LRU eviction). The cache dict is
+        RE-FETCHED here, never captured across a slow load — a concurrent
+        clear_cache would orphan a captured dict and leak the model with
+        phantom refs. Returns False when the model isn't loaded."""
+        with self._state:
+            entry = self._models.get(inference_id)
+            if entry is None:
+                return False
+            entry.evict_when_unpinned = False  # re-referenced: resurrect
+            cache = self._lru.setdefault(cache_key, OrderedDict())
+            expiry = (
+                time.monotonic() + ttl_seconds if ttl_seconds >= 0
+                else float("inf")
+            )
+            # Renewal moves to MRU before reassigning (manager.rs:18-20).
+            if inference_id in cache:
+                cache.move_to_end(inference_id)
+            cache[inference_id] = expiry
+            self._refs.setdefault(inference_id, set()).add(cache_key)
+            evicted = []
+            while len(cache) > lru_size:
+                old_id, _ = cache.popitem(last=False)
+                self._refs.get(old_id, set()).discard(cache_key)
+                if not self._refs.get(old_id):
+                    evicted.append(old_id)
+        for old_id in evicted:
+            self._unload(old_id)
+        return True
 
     def predict(
         self, inference_id: str, inputs: Sequence[PredictionInput],
         *, cache_key: str = "default", lru_size: int = 1, ttl_seconds: float = 3600.0,
         max_batch: Optional[int] = None,
     ) -> list[Any]:
-        with self._state:
-            entry = self._models.get(inference_id)
-        if entry is None:
+        # Pin acquisition is ATOMIC with the liveness check (and declines
+        # dying entries): a sweep/evict between "get" and "pin" would
+        # otherwise unload the model under this predict. A load that gets
+        # evicted before we can pin (adversarial lru_size=1 churn) retries.
+        entry = None
+        for _ in range(3):
+            with self._state:
+                candidate = self._models.get(inference_id)
+                if candidate is not None and not candidate.evict_when_unpinned:
+                    candidate.predict_pins += 1
+                    entry = candidate
+                    break
             self.load_model(
                 inference_id, cache_key=cache_key, lru_size=lru_size,
                 ttl_seconds=ttl_seconds,
             )
-            with self._state:
-                entry = self._models[inference_id]
-        with self._state:
-            entry.predict_pins += 1
+        if entry is None:
+            raise ModelLoadError(
+                f"{inference_id}: loaded but evicted before it could be "
+                "pinned (cache churn — raise lru_size)"
+            )
         req = _Request(inputs=inputs, max_batch=max_batch)
         with entry.qlock:
             entry.queue.append(req)
@@ -198,14 +234,26 @@ class ModelManager:
         finally:
             with self._state:
                 entry.predict_pins -= 1
+                deferred = (
+                    entry.predict_pins == 0
+                    and entry.evict_when_unpinned
+                    and not self._refs.get(inference_id)
+                )
                 cache = self._lru.get(cache_key)
-                if cache is not None and inference_id in cache:
+                if (
+                    not deferred and cache is not None
+                    and inference_id in cache
+                ):
                     # Restore this key's TTL only (manager.rs:51-55).
                     cache[inference_id] = (
                         time.monotonic() + ttl_seconds
                         if ttl_seconds >= 0
                         else float("inf")
                     )
+            if deferred:
+                # The eviction that arrived mid-predict runs now, on the
+                # last unpinner.
+                self._unload(inference_id)
 
     @staticmethod
     def _predict_split(entry: _LoadedModel, inputs: list, cap: int) -> list:
@@ -285,8 +333,11 @@ class ModelManager:
                 if fatal:
                     raise
                 return
-            # Merged failure → per-request fallback.
-            for req in window:
+            # Merged failure → per-request fallback. A FATAL signal here
+            # must still release every remaining window-mate (they were
+            # already popped from the queue; an unset done event leaves
+            # their caller threads spinning forever) before re-raising.
+            for wi, req in enumerate(window):
                 try:
                     outputs = self._predict_split(
                         entry, list(req.inputs),
@@ -300,6 +351,11 @@ class ModelManager:
                     req.outputs = outputs
                 except Exception as exc2:
                     req.error = exc2
+                except BaseException as exc2:  # noqa: BLE001
+                    for rest in window[wi:]:
+                        rest.error = exc2
+                        rest.done.set()
+                    raise
                 req.done.set()
 
     def unload_model(self, inference_id: str, cache_key: str | None = None) -> bool:
@@ -383,10 +439,17 @@ class ModelManager:
 
     def _unload(self, inference_id: str) -> None:
         with self._state:
-            entry = self._models.pop(inference_id, None)
+            entry = self._models.get(inference_id)
+            if entry is None:
+                return
+            if entry.predict_pins > 0:
+                # In-flight predicts read the model's weights: defer to
+                # the last unpinner instead of nulling params under them.
+                entry.evict_when_unpinned = True
+                return
+            self._models.pop(inference_id, None)
             self._refs.pop(inference_id, None)
-        if entry is not None:
-            try:
-                entry.model.unload()
-            except Exception:
-                pass
+        try:
+            entry.model.unload()
+        except Exception:
+            pass

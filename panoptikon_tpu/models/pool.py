@@ -17,6 +17,17 @@ from typing import Any, Optional, Protocol, Sequence
 from panoptikon_tpu.models.base import PredictionInput
 
 
+def _is_client_error(exc: BaseException) -> bool:
+    """Errors caused by the REQUEST, not the upstream: registry misses
+    (unknown inference id) and HTTP 4xx from a remote backend."""
+    from panoptikon_tpu.models.registry import RegistryError
+
+    if isinstance(exc, RegistryError):
+        return True
+    code = getattr(exc, "code", None)  # urllib.error.HTTPError
+    return isinstance(code, int) and 400 <= code < 500
+
+
 class InferenceBackend(Protocol):
     def predict(self, inference_id: str, inputs: Sequence[PredictionInput], **kw) -> list[Any]: ...
 
@@ -50,9 +61,10 @@ class InferencePool:
         if self._probe_thread is not None:
             return
         self._probe_stop = threading.Event()
+        stop = self._probe_stop  # own reference: stop_probe may null the attr
 
         def run():
-            while not self._probe_stop.wait(interval_s):
+            while not stop.wait(interval_s):
                 self.probe_once()
 
         self._probe_thread = threading.Thread(
@@ -78,9 +90,13 @@ class InferencePool:
         if self._probe_stop is not None:
             self._probe_stop.set()
         if self._probe_thread is not None:
+            # A probe blocked in a slow remote health() outlives the join;
+            # only forget a thread that really exited, so a quick restart
+            # can't stack a second probe loop.
             self._probe_thread.join(timeout=2)
-            self._probe_thread = None
-            self._probe_stop = None
+            if not self._probe_thread.is_alive():
+                self._probe_thread = None
+                self._probe_stop = None
 
     def add(self, backend: InferenceBackend, weight: int = 1, name: str = "local") -> None:
         with self._lock:
@@ -114,6 +130,12 @@ class InferencePool:
                 upstream.healthy = True
                 return out
             except Exception as exc:
+                if _is_client_error(exc):
+                    # The REQUEST is bad (unknown id, malformed input) —
+                    # the upstream is fine. Demoting it and replaying the
+                    # doomed payload on every other upstream would poison
+                    # the whole pool from one caller mistake.
+                    raise
                 upstream.healthy = False
                 errors.append(f"{upstream.name}: {exc}")
         raise RuntimeError("all inference upstreams failed: " + "; ".join(errors))

@@ -99,7 +99,7 @@ class Registry:
         self.builtin_dir = Path(builtin_dir) if builtin_dir else None
         self.user_dir = Path(user_dir) if user_dir else None
         self._groups: dict[str, GroupEntry] = {}
-        self._mtime: float = 0.0
+        self._signature: tuple = ()
         self._loaded = False
 
     # -- loading ------------------------------------------------------------
@@ -114,8 +114,13 @@ class Registry:
 
     def load(self, force: bool = False) -> None:
         files = self._files()
-        latest = max((f.stat().st_mtime for f in files), default=0.0)
-        if self._loaded and not force and self._groups and self._mtime and latest <= self._mtime:
+        # Reload on ANY change signature delta — a strictly-increasing
+        # max(mtime) misses deletions and backup-restored files whose
+        # preserved mtimes are older than the high-water mark.
+        signature = tuple(
+            (str(f), f.stat().st_mtime, f.stat().st_size) for f in files
+        )
+        if self._loaded and not force and self._groups and signature == self._signature:
             return
         groups: dict[str, GroupEntry] = {}
         defined_ids: set[str] = set()
@@ -161,7 +166,7 @@ class Registry:
                     )
         self._groups = groups
         self._impl_dirs = impl_dirs
-        self._mtime = latest
+        self._signature = signature
         self._loaded = True
 
     def impl_dirs(self) -> list[Path]:

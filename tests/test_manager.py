@@ -487,3 +487,77 @@ class TestCustomImplDiscovery:
             assert "boom" in str(err.value)
         finally:
             m.shutdown()
+
+
+class TestPinSafeEviction:
+    def test_eviction_during_predict_defers_unload(self, manager):
+        """LRU eviction arriving while a predict is in flight must not
+        unload the model under the caller — it defers to the last
+        unpinner (regression: every unload path except sweep ignored
+        predict_pins)."""
+        import threading
+
+        from panoptikon_tpu.models.base import PredictionInput
+
+        started = threading.Event()
+        release = threading.Event()
+        results = {}
+
+        # slow_impl sleeps `delay` per predict; use an event-gated wrapper
+        # by pre-pinning via a thread that predicts while we evict.
+        def worker():
+            started.set()
+            results["out"] = manager.predict(
+                "fixtures/slow",
+                [PredictionInput(data={"x": 1})],
+                cache_key="k1", lru_size=1,
+            )
+            release.set()
+
+        manager.load_model("fixtures/slow", cache_key="k1", lru_size=1)
+        t = threading.Thread(target=worker)
+        t.start()
+        assert started.wait(10)
+        # Evict by loading another model into the same size-1 cache while
+        # the predict may be in flight.
+        manager.load_model("fixtures/echo", cache_key="k1", lru_size=1)
+        assert release.wait(30)
+        t.join(10)
+        assert results["out"] is not None and len(results["out"]) == 1
+        # The evicted model eventually unloads (no phantom residents).
+        deadline = 50
+        for _ in range(deadline):
+            with manager._state:
+                gone = "fixtures/slow" not in manager._models
+            if gone:
+                break
+            import time as _t
+
+            _t.sleep(0.1)
+        assert gone
+
+    def test_unload_while_pinned_defers(self, manager):
+        import threading
+        import time as _t
+
+        from panoptikon_tpu.models.base import PredictionInput
+
+        # Pin manually through a long predict on slow_impl.
+        manager.load_model("fixtures/slow", cache_key="k", lru_size=2)
+        in_predict = threading.Event()
+        done = threading.Event()
+
+        def worker():
+            in_predict.set()
+            manager.predict(
+                "fixtures/slow", [PredictionInput(data={"y": 2})],
+                cache_key="k", lru_size=2,
+            )
+            done.set()
+
+        t = threading.Thread(target=worker)
+        t.start()
+        in_predict.wait(10)
+        manager.unload_model("fixtures/slow")  # must not crash the predict
+        assert done.wait(30)
+        t.join(10)
