@@ -203,138 +203,143 @@ def run_extraction_job(
             return chunk, None
         return chunk, [pool.submit(load_one, row) for row in chunk]
 
-    while not cancelled():
-        if target_entity == "items":
-            work = store.unprocessed_items(
-                conn, setter, mime_prefixes=mime_prefixes,
-                after_item_id=after, limit=WORK_CHUNK_ROWS,
-            )
-        else:
-            work = _unprocessed_text(conn, setter, source_setters, after)
-        if not work:
-            break
-        after = work[-1][0]
-        chunks = [
-            work[s : s + batch_size] for s in range(0, len(work), batch_size)
-        ]
-        pending = submit_chunk(chunks[0])
-        for ci in range(len(chunks)):
-            if cancelled():
-                break
-            chunk, futures = pending
-            pending = (
-                submit_chunk(chunks[ci + 1]) if ci + 1 < len(chunks)
-                else (None, None)
-            )
-            t0 = time.perf_counter()
-            inputs, loadable, spans = [], [], []
-            batch_writes: list[tuple[int, tuple, Any]] = []
-            if futures is not None:
-                loaded = [f.result() for f in futures]
+    try:
+        while not cancelled():
+            if target_entity == "items":
+                work = store.unprocessed_items(
+                    conn, setter, mime_prefixes=mime_prefixes,
+                    after_item_id=after, limit=WORK_CHUNK_ROWS,
+                )
             else:
-                loaded = [
-                    _load_payloads(
-                        conn, db, row, target_entity, threshold,
-                        input_handler, input_handler_opts,
-                    )
-                    for row in chunk
-                ]
-            for row, payloads in zip(chunk, loaded):
-                if isinstance(payloads, LoadError):
-                    err = payloads
-                    if err.error_class == "input":
+                work = _unprocessed_text(conn, setter, source_setters, after)
+            if not work:
+                break
+            after = work[-1][0]
+            chunks = [
+                work[s : s + batch_size] for s in range(0, len(work), batch_size)
+            ]
+            pending = submit_chunk(chunks[0])
+            for ci in range(len(chunks)):
+                if cancelled():
+                    break
+                chunk, futures = pending
+                pending = (
+                    submit_chunk(chunks[ci + 1]) if ci + 1 < len(chunks)
+                    else (None, None)
+                )
+                t0 = time.perf_counter()
+                inputs, loadable, spans = [], [], []
+                batch_writes: list[tuple[int, tuple, Any]] = []
+                if futures is not None:
+                    loaded = [f.result() for f in futures]
+                else:
+                    loaded = [
+                        _load_payloads(
+                            conn, db, row, target_entity, threshold,
+                            input_handler, input_handler_opts,
+                        )
+                        for row in chunk
+                    ]
+                for row, payloads in zip(chunk, loaded):
+                    if isinstance(payloads, LoadError):
+                        err = payloads
+                        if err.error_class == "input":
+                            writer.call(
+                                lambda c, r=row, e=err: store.record_extraction_error(
+                                    c, r[0], setter, stage=e.stage,
+                                    error_class="input", message=e.message,
+                                    blocker=e.blocker,
+                                )
+                            )
+                            report.input_errors += 1
+                        else:
+                            report.transient_errors += 1
+                        continue
+                    if not payloads:
                         writer.call(
-                            lambda c, r=row, e=err: store.record_extraction_error(
-                                c, r[0], setter, stage=e.stage,
-                                error_class="input", message=e.message,
-                                blocker=e.blocker,
+                            lambda c, r=row: store.record_extraction_error(
+                                c, r[0], setter, stage="load",
+                                error_class="input", message="no loadable payload",
                             )
                         )
                         report.input_errors += 1
-                    else:
-                        report.transient_errors += 1
+                        continue
+                    spans.append((len(inputs), len(payloads)))
+                    inputs.extend(payloads)
+                    loadable.append(row)
+                report.data_load_time += time.perf_counter() - t0
+                if not inputs:
                     continue
-                if not payloads:
-                    writer.call(
-                        lambda c, r=row: store.record_extraction_error(
-                            c, r[0], setter, stage="load",
-                            error_class="input", message="no loadable payload",
-                        )
+                t0 = time.perf_counter()
+                try:
+                    # The job's batch_size rides the request as the dispatch
+                    # window cap (reference design §6: max_batch on the wire).
+                    outputs = manager.predict(
+                        inference_id, inputs, max_batch=max(batch_size, len(inputs))
                     )
-                    report.input_errors += 1
-                    continue
-                spans.append((len(inputs), len(payloads)))
-                inputs.extend(payloads)
-                loadable.append(row)
-            report.data_load_time += time.perf_counter() - t0
-            if not inputs:
-                continue
-            t0 = time.perf_counter()
-            try:
-                # The job's batch_size rides the request as the dispatch
-                # window cap (reference design §6: max_batch on the wire).
-                outputs = manager.predict(
-                    inference_id, inputs, max_batch=max(batch_size, len(inputs))
-                )
-            except Exception as exc:
-                # Merged-batch failure → per-request fallback
-                # (dispatch.rs:28-35).
-                outputs = []
-                for single in inputs:
-                    try:
-                        outputs.extend(manager.predict(inference_id, [single]))
-                    except Exception:
-                        outputs.append(
-                            {"__error__": {"class": "transient", "message": str(exc)}}
-                        )
-            report.inference_time += time.perf_counter() - t0
+                except Exception as exc:
+                    # Merged-batch failure → per-request fallback
+                    # (dispatch.rs:28-35).
+                    outputs = []
+                    for single in inputs:
+                        try:
+                            outputs.extend(manager.predict(inference_id, [single]))
+                        except Exception:
+                            outputs.append(
+                                {"__error__": {"class": "transient", "message": str(exc)}}
+                            )
+                report.inference_time += time.perf_counter() - t0
 
-            for row, (start, count) in zip(loadable, spans):
-                # text-entity rows lead with the DATA-id cursor key
-                # (_unprocessed_text: cursor, item_id, src, ...); using it
-                # as the item would attribute embeddings and ledger rows
-                # to whatever item happens to share that number.
-                item_id = row[1] if target_entity == "text" else row[0]
-                item_outputs = outputs[start : start + count]
-                # Per-unit error slots: one `transient` fails the whole item
-                # softly; `input` slots among survivors are settled verdicts
-                # on those units only (protocol doc:99-126).
-                kept = []
-                input_fail_msg = None
-                transient = False
-                for out in item_outputs:
-                    if is_error_slot(out):
-                        cls, msg = parse_error_slot(out)
-                        if cls == "transient":
-                            transient = True
+                for row, (start, count) in zip(loadable, spans):
+                    # text-entity rows lead with the DATA-id cursor key
+                    # (_unprocessed_text: cursor, item_id, src, ...); using it
+                    # as the item would attribute embeddings and ledger rows
+                    # to whatever item happens to share that number.
+                    item_id = row[1] if target_entity == "text" else row[0]
+                    item_outputs = outputs[start : start + count]
+                    # Per-unit error slots: one `transient` fails the whole item
+                    # softly; `input` slots among survivors are settled verdicts
+                    # on those units only (protocol doc:99-126).
+                    kept = []
+                    input_fail_msg = None
+                    transient = False
+                    for out in item_outputs:
+                        if is_error_slot(out):
+                            cls, msg = parse_error_slot(out)
+                            if cls == "transient":
+                                transient = True
+                            else:
+                                input_fail_msg = msg
                         else:
-                            input_fail_msg = msg
-                    else:
-                        kept.append(out)
-                if transient:
-                    report.transient_errors += 1
-                    continue
-                if not kept:
-                    writer.call(
-                        lambda c, i=item_id, m=input_fail_msg or "all units failed":
-                        store.record_extraction_error(
-                            c, i, setter, stage="inference",
-                            error_class="input", message=m,
+                            kept.append(out)
+                    if transient:
+                        report.transient_errors += 1
+                        continue
+                    if not kept:
+                        writer.call(
+                            lambda c, i=item_id, m=input_fail_msg or "all units failed":
+                            store.record_extraction_error(
+                                c, i, setter, stage="inference",
+                                error_class="input", message=m,
+                            )
                         )
+                        report.input_errors += 1
+                        continue
+                    merged = _merge_outputs(output_type, kept)
+                    batch_writes.append((item_id, row, merged))
+                if batch_writes:
+                    _flush_writes(
+                        writer, output_type, setter_id, job_id, batch_writes,
+                        report, pending_vectors,
                     )
-                    report.input_errors += 1
-                    continue
-                merged = _merge_outputs(output_type, kept)
-                batch_writes.append((item_id, row, merged))
-            if batch_writes:
-                _flush_writes(
-                    writer, output_type, setter_id, job_id, batch_writes,
-                    report, pending_vectors,
-                )
-        report.summary.wrote_data = True
+            report.summary.wrote_data = True
 
-    if pool is not None:
-        pool.shutdown(wait=True)
+    finally:
+        if pool is not None:
+            # Always reap loader threads — an exception escaping the
+            # chunk loop (writer failure, systemic error) must not leak
+            # workers or keep decoding into a dead job.
+            pool.shutdown(wait=True, cancel_futures=True)
 
     # Flush device-index appends in row-id order.
     if pending_vectors:

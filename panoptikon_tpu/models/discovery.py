@@ -29,9 +29,15 @@ _CACHE: dict[str, tuple[tuple, dict]] = {}
 
 
 def _signature(folder: Path) -> tuple:
+    # (name, mtime, size) — mtime alone misses backup-restored files whose
+    # preserved mtimes are older, and sub-granularity rewrites (the same
+    # reload discipline as Registry.load's change signature).
     try:
         return tuple(
-            sorted((p.name, p.stat().st_mtime) for p in folder.glob("*.py"))
+            sorted(
+                (p.name, p.stat().st_mtime, p.stat().st_size)
+                for p in folder.glob("*.py")
+            )
         )
     except OSError:
         return ()

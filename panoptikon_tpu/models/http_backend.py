@@ -22,7 +22,13 @@ from panoptikon_tpu.models.base import PredictionInput
 
 
 class HttpBackendError(RuntimeError):
-    pass
+    """Transport/protocol failure against a remote backend. ``code`` carries
+    the HTTP status when one was received (pool failover classifies 4xx as
+    caller mistakes that must NOT demote the upstream)."""
+
+    def __init__(self, message: str, *, code: Optional[int] = None):
+        super().__init__(message)
+        self.code = code
 
 
 def _path_id(inference_id: str) -> str:
@@ -64,7 +70,7 @@ class HttpInferenceBackend:
         except urllib.error.HTTPError as exc:
             detail = exc.read().decode(errors="replace")[:300]
             raise HttpBackendError(
-                f"{method} {path} -> {exc.code}: {detail}"
+                f"{method} {path} -> {exc.code}: {detail}", code=exc.code
             ) from exc
         except Exception as exc:
             raise HttpBackendError(f"{method} {path} failed: {exc}") from exc

@@ -150,26 +150,34 @@ class ClipImpl(InferenceModel):
                 dtype=np.float32,
             )
             if self.cfg.matmul_precision == "int8":
-                if self._act_scales is None:
-                    self._act_scales = clip.calibrate_image_scales(
+                # Warm with THROWAWAY scales: act_scales is a traced
+                # operand, so the compile is shared with any real scales.
+                # Persisting a calibration from this all-zeros batch would
+                # understate real activation ranges and freeze saturating
+                # scales (predict only calibrates while unset) — the first
+                # genuine batch must calibrate.
+                warm = self._act_scales
+                if warm is None:
+                    warm = clip.calibrate_image_scales(
                         self.params, self.cfg, images
                     )
                 clip.embed_images_scaled_jit(
-                    self.params, self.cfg, images, self._act_scales
+                    self.params, self.cfg, images, warm
                 )
             else:
                 clip.embed_images_jit(self.params, self.cfg, images)
             ids = np.zeros((bucket, self.cfg.text_ctx), dtype=np.int32)
             if self.cfg.matmul_precision == "int8":
                 # predict() routes int8 text through the static-scaled
-                # program — warm THAT one, or the first real text batch
-                # pays the compile prepare() exists to avoid.
-                if self._text_scales is None:
-                    self._text_scales = clip.calibrate_text_scales(
+                # program — warm THAT one (with throwaway scales, same
+                # reasoning as the image tower above).
+                warm_t = self._text_scales
+                if warm_t is None:
+                    warm_t = clip.calibrate_text_scales(
                         self.params, self.cfg, ids
                     )
                 clip.embed_texts_scaled_jit(
-                    self.params, self.cfg, ids, self._text_scales
+                    self.params, self.cfg, ids, warm_t
                 )
             else:
                 clip.embed_texts_jit(self.params, self.cfg, ids)

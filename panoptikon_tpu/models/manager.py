@@ -442,6 +442,13 @@ class ModelManager:
             entry = self._models.get(inference_id)
             if entry is None:
                 return
+            if self._refs.get(inference_id):
+                # Resurrected between the caller's decision (made under
+                # _state) and this re-acquire: a concurrent load_model
+                # re-referenced the entry — unloading now would null the
+                # weights of a model just promised loaded. Every unload
+                # path drops its refs first, so live refs == live model.
+                return
             if entry.predict_pins > 0:
                 # In-flight predicts read the model's weights: defer to
                 # the last unpinner instead of nulling params under them.

@@ -436,6 +436,11 @@ class EvalState:
     # defer (their order entries key on EXCLUDED rows — a shape the fused
     # page builder can't express; the full path handles it).
     not_depth: int = 0
+    # True once any semantic leaf scored EAGERLY (full per-item device
+    # readback during tree eval — src_text-weighted, cursor-bounded,
+    # similar_to, …). Keeps SearchMetrics.path honest: such a query is a
+    # "full" readback even when order_list carries no deferred entry.
+    eager_scored: bool = False
 
     def push(self, entry: OrderEntry) -> None:
         entry.seq = self.seq
@@ -874,6 +879,11 @@ class Executor:
                 # full-surface readback — bit-identical to the eager path.
                 self._materialize_deferred(state, base)
                 engine_path = "full"
+        if state.eager_scored:
+            # Any eagerly scored semantic leaf already paid a full
+            # per-item device readback — the query is "full" traffic even
+            # if another leaf rode the fused candidates path.
+            engine_path = "full"
         if fused_rows is not None:
             # The exact ordered prefix covering the page (same total order
             # as the full sort); `total` keeps the membership count
@@ -1475,10 +1485,21 @@ class Executor:
             return hit
         value = builder()
         with self._cache_lock:
-            # Drop stale generations of the same (kind, space).
+            # Supersession, not sibling-wipe: an entry is stale only when
+            # it is an OLDER VERSION of this key — same (kind, space) with
+            # a different snapshot generation, or (for the epoch-carrying
+            # 'hitrows' kind) same (kind, space, generation, entity) with
+            # a different (epoch, n). Same-generation siblings keyed by
+            # other parameters (srcweights' (cw, lcw) arms, hitrows across
+            # entities) legitimately coexist — wiping them re-ran a
+            # corpus-sized build on every alternating query.
             stale = [
                 k for k in self._static_cache
                 if k[:2] == key[:2] and k != key
+                and (
+                    k[2] != key[2]
+                    or (key[0] == "hitrows" and k[:4] == key[:4])
+                )
             ]
             for k in stale:
                 self._static_cache.pop(k, None)
@@ -2396,6 +2417,7 @@ class Executor:
                 quant=args._quant, src_text=src,
             )
             if out is not None:
+                state.eager_scored = True
                 scored.append((space, *out))
         if not scored:
             raise pql.PqlError(f"no embedding space for model {args.model!r}")
@@ -2416,6 +2438,7 @@ class Executor:
         )
         if out is None:
             raise pql.PqlError(f"no embedding space for model {args.model!r}")
+        state.eager_scored = True
         return self._apply_item_scores(el, [(args.model, *out)], agg, ctx, base, state)
 
     def _leaf_similar_to(self, el: pql.SimilarTo, ctx, base, state):
@@ -2464,6 +2487,7 @@ class Executor:
                     if target_space.startswith(XMODAL_PREFIX) else None,
                 )
                 if out is not None:
+                    state.eager_scored = True
                     scored.append((target_space, *out))
         if not scored:
             raise pql.PqlError(

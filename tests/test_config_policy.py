@@ -156,3 +156,44 @@ class TestPool:
         pool.add(_FakeBackend("a", fail=True), name="a")
         with pytest.raises(RuntimeError, match="all inference upstreams"):
             pool.predict("m", [PredictionInput()])
+
+    def test_http_4xx_passes_through_without_demotion(self):
+        """A remote 400 means the REQUEST is bad: it must propagate (no
+        replay on other upstreams) and must NOT mark the upstream
+        unhealthy — regression: HttpBackendError carried the status only
+        in its message, so the 4xx classification never fired."""
+        from panoptikon_tpu.models.http_backend import HttpBackendError
+
+        class _Http400(_FakeBackend):
+            def predict(self, inference_id, inputs, **kw):
+                self.calls += 1
+                raise HttpBackendError(
+                    "POST /predict/g/n -> 400: unknown id", code=400
+                )
+
+        bad = _Http400("a")
+        fallback = _FakeBackend("b")
+        pool = InferencePool()
+        pool.add(bad, weight=10, name="a")
+        pool.add(fallback, weight=1, name="b")
+        with pytest.raises(HttpBackendError):
+            pool.predict("m", [PredictionInput()])
+        assert fallback.calls == 0  # doomed payload not replayed
+        assert all(s["healthy"] for s in pool.stats())
+
+    def test_http_5xx_still_fails_over(self):
+        from panoptikon_tpu.models.http_backend import HttpBackendError
+
+        class _Http500(_FakeBackend):
+            def predict(self, inference_id, inputs, **kw):
+                self.calls += 1
+                raise HttpBackendError(
+                    "POST /predict/g/n -> 500: boom", code=500
+                )
+
+        pool = InferencePool()
+        pool.add(_Http500("a"), weight=10, name="a")
+        pool.add(_FakeBackend("b"), weight=1, name="b")
+        out = pool.predict("m", [PredictionInput()])
+        assert out[0]["served_by"] == "b"
+        assert pool.stats()[0]["healthy"] is False

@@ -493,6 +493,25 @@ class TestMetricsPath:
         r3 = ex.execute(pql.PqlQuery.from_json({"page_size": 5}))
         assert r3.metrics.path == "meta"
 
+    def test_eager_semantic_reports_full(self, ex_rng):
+        """A leaf that fails fused eligibility at eval time (gt cursor
+        bound) scores EAGERLY — a full per-item device readback with no
+        deferred entry. It must report "full", not "meta" (regression:
+        the observability field undercounted full-readback traffic)."""
+        ex, rng = ex_rng
+        payload = {
+            "query": {
+                "text_embeddings": {
+                    "query": b64(q_of(rng)), "model": "m", "embed": None,
+                    "index": "exact"},
+                "gt": -100.0,  # sortable cursor bound — outer element field
+            },
+            "page_size": 10,
+        }
+        r = ex.execute(pql.PqlQuery.from_json(payload))
+        assert r.metrics.path == "full"
+        assert len(r.results)  # gt=-100 excludes nothing
+
 
 class TestSelectAsParity:
     def test_alias_omitted_for_items_absent_from_space(self, ex_mono,
@@ -539,3 +558,43 @@ class TestSelectAsParity:
         # alias anywhere may be non-finite.
         assert fused_aliases[0] is None
         assert all(v is None or np.isfinite(v) for v in fused_aliases)
+
+
+class TestStaticCacheSupersession:
+    """_static_get eviction is versioning, not sibling-wipe: parameterized
+    keys of the SAME generation coexist (regression: alternating queries
+    with different srcweights (cw, lcw) arms re-ran corpus-sized builds
+    on every query)."""
+
+    def test_same_generation_siblings_coexist(self, ex_rng):
+        ex, _ = ex_rng
+        built = []
+        k1 = ("srcweights", "spX", 1, 0.5, 0.0)
+        k2 = ("srcweights", "spX", 1, 1.0, 0.0)
+        assert ex._static_get(k1, lambda: built.append(1) or "a") == "a"
+        assert ex._static_get(k2, lambda: built.append(2) or "b") == "b"
+        # k1 must still be cached — its builder must NOT re-run.
+        assert ex._static_get(k1, lambda: built.append(3) or "a2") == "a"
+        assert built == [1, 2]
+
+    def test_generation_bump_evicts_all_siblings(self, ex_rng):
+        ex, _ = ex_rng
+        ex._static_get(("srcweights", "spY", 1, 0.5, 0.0), lambda: "a")
+        ex._static_get(("srcweights", "spY", 1, 1.0, 0.0), lambda: "b")
+        ex._static_get(("srcweights", "spY", 2, 0.5, 0.0), lambda: "c")
+        with ex._cache_lock:
+            gens = {k[2] for k in ex._static_cache if k[:2] == ("srcweights", "spY")}
+        assert gens == {2}
+
+    def test_hitrows_epoch_supersedes_within_generation(self, ex_rng):
+        ex, _ = ex_rng
+        h_old = ("hitrows", "spZ", 1, "file", 10, 100)
+        h_new = ("hitrows", "spZ", 1, "file", 11, 101)
+        h_text = ("hitrows", "spZ", 1, "text", 11, 50)
+        ex._static_get(h_old, lambda: "old")
+        ex._static_get(h_new, lambda: "new")
+        ex._static_get(h_text, lambda: "text")
+        with ex._cache_lock:
+            keys = {k for k in ex._static_cache if k[0] == "hitrows" and k[1] == "spZ"}
+        # The stale epoch of the SAME entity is gone; the other entity stays.
+        assert h_old not in keys and h_new in keys and h_text in keys

@@ -561,3 +561,50 @@ class TestPinSafeEviction:
         manager.unload_model("fixtures/slow")  # must not crash the predict
         assert done.wait(30)
         t.join(10)
+
+
+class TestUnloadResurrectRace:
+    def test_unload_skips_entry_with_live_refs(self, manager):
+        """_unload decisions are made under _state but executed after
+        releasing it; a load_model that re-references the entry in that
+        window must win (regression: _unload nulled the weights of a
+        model a concurrent caller was just promised is loaded)."""
+        from panoptikon_tpu.models.base import PredictionInput
+
+        manager.load_model("fixtures/echo", cache_key="k", lru_size=2)
+        # Simulate the stale deferred decision arriving after the renew.
+        manager._unload("fixtures/echo")
+        with manager._state:
+            assert "fixtures/echo" in manager._models
+        out = manager.predict(
+            "fixtures/echo", [PredictionInput(data={"x": 1})],
+            cache_key="k", lru_size=2,
+        )
+        assert len(out) == 1
+
+
+class TestDiscoverySignature:
+    def test_rescan_when_mtime_preserved_but_size_changes(self, tmp_path):
+        """Backup-restore / same-mtime rewrites must invalidate the module
+        cache (same signature discipline as Registry.load)."""
+        import os
+
+        from panoptikon_tpu.models import discovery
+
+        f = tmp_path / "userimpl.py"
+        f.write_text(
+            "IMPL_CLASS = 'UserA'\n"
+            "class UserA:\n"
+            "    MARK = 1\n"
+        )
+        st = f.stat()
+        scan1 = discovery.discover([tmp_path])
+        assert scan1["UserA"].MARK == 1
+        f.write_text(
+            "IMPL_CLASS = 'UserA'\n"
+            "class UserA:\n"
+            "    MARK = 2  # longer file, same mtime\n"
+        )
+        os.utime(f, (st.st_atime, st.st_mtime))
+        scan2 = discovery.discover([tmp_path])
+        assert scan2["UserA"].MARK == 2
