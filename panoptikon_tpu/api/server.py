@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Optional
 
+import numpy as np
 from aiohttp import web
 
 from panoptikon_tpu.api.search_cache import (
@@ -66,6 +67,9 @@ class AppState:
     # configured release-manifest URL plus ribbon state (snooze/dismiss).
     update_manifest: Optional[str] = None
     update_ribbon: dict = field(default_factory=dict)
+    # Desktop-managed mode unlocks the /api/desktop/setup-* wizard
+    # (reference desktop.rs is_managed; [desktop].managed in config).
+    desktop_managed: bool = False
     prewarm: "EagerPrewarm" = None
     # Guards first-touch index/executor construction (RLock: executor()
     # builds its index under the same lock).
@@ -945,6 +949,78 @@ async def bookmarks_delete(request: web.Request) -> web.Response:
     return web.json_response({"deleted": bool(deleted)})
 
 
+async def bookmarks_users(request: web.Request) -> web.Response:
+    """Distinct bookmark owners (reference api/bookmarks.rs bookmark_users,
+    route /api/bookmarks/users)."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+
+    def run():
+        conn = state.db(name).reader()
+        return [
+            u for (u,) in conn.execute(
+                "SELECT DISTINCT user FROM user_data.bookmarks ORDER BY user"
+            ).fetchall()
+        ]
+
+    return web.json_response({"users": await asyncio.to_thread(run)})
+
+
+async def bookmarks_namespaces(request: web.Request) -> web.Response:
+    """Distinct namespaces visible to a user — the user's own plus the
+    ``*`` wildcard user's (reference api/bookmarks.rs bookmark_namespaces)."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    user = request.match_info["user"]
+
+    def run():
+        conn = state.db(name).reader()
+        return [
+            ns for (ns,) in conn.execute(
+                """SELECT DISTINCT namespace FROM user_data.bookmarks
+                   WHERE user IN (?, '*') ORDER BY namespace""",
+                (user,),
+            ).fetchall()
+        ]
+
+    return web.json_response({"namespaces": await asyncio.to_thread(run)})
+
+
+async def texts_any(request: web.Request) -> web.Response:
+    """Texts by extracted-text ids (reference api/items.rs texts_any,
+    route /api/items/text/any?text_ids=1,2,3)."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    raw = request.query.get("text_ids", "")
+    try:
+        ids = [int(x) for x in raw.split(",") if x.strip()]
+    except ValueError:
+        return _json_error(400, "text_ids must be a comma-separated id list")
+
+    def run():
+        conn = state.db(name).reader()
+        out = []
+        for chunk in range(0, len(ids), 500):
+            part = ids[chunk : chunk + 500]
+            marks = ",".join("?" * len(part))
+            out.extend(
+                {"id": tid, "item_id": iid, "setter": setter, "text": text,
+                 "language": lang, "confidence": conf}
+                for tid, iid, setter, text, lang, conf in conn.execute(
+                    f"""SELECT t.id, d.item_id, st.name, t.text, t.language,
+                               t.confidence
+                        FROM extracted_text t
+                        JOIN item_data d ON d.id = t.id
+                        JOIN setters st ON st.id = d.setter_id
+                        WHERE t.id IN ({marks})""",
+                    part,
+                ).fetchall()
+            )
+        return out
+
+    return web.json_response({"text": await asyncio.to_thread(run)})
+
+
 # -- pinboards ---------------------------------------------------------------
 
 
@@ -1134,6 +1210,217 @@ async def pinboards_delete(request: web.Request) -> web.Response:
     if deleted:
         EPOCHS.bump_user_data(name)
     return web.json_response({"deleted": bool(deleted)})
+
+
+async def pinboards_get_version(request: web.Request) -> web.Response:
+    """One saved version's snapshot (reference api/pinboards.rs
+    list_pinboard_versions/…): layout + metadata, preview served by the
+    sibling /preview route."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    pid = _int_arg(request.match_info["pinboard_id"], "pinboard_id")
+    vid = _int_arg(request.match_info["version_id"], "version_id")
+
+    def run():
+        conn = state.db(name).reader()
+        row = conn.execute(
+            """SELECT id, layout, name_at_save, preview_w, preview_h,
+                      screenful_h, time_added,
+                      preview IS NOT NULL
+               FROM user_data.pinboard_versions
+               WHERE id=? AND pinboard_id=?""",
+            (vid, pid),
+        ).fetchone()
+        if row is None:
+            return None
+        items = [
+            r[0] for r in conn.execute(
+                "SELECT sha256 FROM user_data.pinboard_version_items "
+                "WHERE version_id=?",
+                (vid,),
+            ).fetchall()
+        ]
+        return {
+            "version_id": row[0], "layout": json.loads(row[1]),
+            "name_at_save": row[2], "preview_w": row[3],
+            "preview_h": row[4], "screenful_h": row[5],
+            "time_added": row[6], "has_preview": bool(row[7]),
+            "items": items,
+        }
+
+    version = await asyncio.to_thread(run)
+    if version is None:
+        return _json_error(404, "pinboard version not found")
+    return web.json_response(version)
+
+
+async def pinboards_version_preview(request: web.Request) -> web.Response:
+    """The stored preview blob (reference pinboard_version_preview): bytes
+    as saved by the client, private-cacheable by version id (immutable)."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    pid = _int_arg(request.match_info["pinboard_id"], "pinboard_id")
+    vid = _int_arg(request.match_info["version_id"], "version_id")
+
+    def run():
+        conn = state.db(name).reader()
+        row = conn.execute(
+            "SELECT preview FROM user_data.pinboard_versions "
+            "WHERE id=? AND pinboard_id=?",
+            (vid, pid),
+        ).fetchone()
+        return row
+
+    row = await asyncio.to_thread(run)
+    if row is None or row[0] is None:
+        return _json_error(404, "no preview for this version")
+    blob = bytes(row[0])
+    ctype = "image/png" if blob[:8] == b"\x89PNG\r\n\x1a\n" else (
+        "image/jpeg" if blob[:3] == b"\xff\xd8\xff" else
+        "application/octet-stream"
+    )
+    return web.Response(
+        body=blob, content_type=ctype,
+        headers={"Cache-Control": "private, max-age=31536000, immutable"},
+    )
+
+
+async def pinboards_put_version_preview(request: web.Request) -> web.Response:
+    """Late preview upload (reference update_pinboard_version_preview):
+    the UI renders the board after save and PUTs the screenshot."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    pid = _int_arg(request.match_info["pinboard_id"], "pinboard_id")
+    vid = _int_arg(request.match_info["version_id"], "version_id")
+    body = await request.json()
+    if not body.get("preview_b64"):
+        return _json_error(400, "preview_b64 required")
+    try:
+        blob = base64.b64decode(body["preview_b64"])
+    except Exception:
+        return _json_error(400, "preview_b64 is not valid base64")
+
+    def run():
+        conn = state.db(name).user_data_write_connection()
+        try:
+            with conn:
+                return conn.execute(
+                    """UPDATE pinboard_versions
+                       SET preview=?, preview_w=?, preview_h=?,
+                           screenful_h=COALESCE(?, screenful_h)
+                       WHERE id=? AND pinboard_id=?""",
+                    (blob, body.get("preview_w"), body.get("preview_h"),
+                     body.get("screenful_h"), vid, pid),
+                ).rowcount
+        finally:
+            conn.close()
+
+    updated = await asyncio.to_thread(run)
+    if not updated:
+        return _json_error(404, "pinboard version not found")
+    return web.json_response({"ok": True})
+
+
+async def pinboards_search(request: web.Request) -> web.Response:
+    """Find the pinboards whose images match a PQL search (reference
+    api/search.rs search_pql_pinboards:860-960, routed under the pinboard
+    authz domain — main.rs:490-499 — so search-only policy grants don't
+    leak board names).
+
+    Runs the query the executor way (full ordered row set, no per-row
+    dicts), intersects with every board's HEAD-version pins by sha256,
+    and returns the matching boards unpaginated — ordered by the position
+    of each board's best-ranked matching image, then match fraction, then
+    match count, then recency. ``page``/``page_size``/``partition_by``/
+    ``count``/``results`` in the body are ignored: one result shape."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    user = request.query.get("user", "user")
+    try:
+        payload = await request.json() if request.can_read_body else {}
+    except Exception:
+        return _json_error(400, "invalid JSON body")
+
+    def run():
+        query = pql.PqlQuery.from_json(payload or {})
+        query.count = True
+        query.results = True
+        query.partition_by = []
+        query.page = 1
+        ex = state.executor(name)
+        # Cover the full corpus in one "page": the intersection needs every
+        # matched row's order position, not a window.
+        query.page_size = max(int(ex.base_snapshot(query.entity).n), 1)
+        r = ex.execute(query, rows_only=True)
+        shas = r.base.col("sha256")[r.rows]
+        # First (best) position per distinct sha.
+        uniq, first_idx = np.unique(shas, return_index=True)
+        best_pos = dict(zip(uniq.tolist(), first_idx.tolist()))
+
+        conn = state.db(name).reader()
+        boards = conn.execute(
+            """SELECT p.id, p.name, p.head_version_id, p.time_added,
+                      p.time_updated, v.preview_w, v.preview_h,
+                      v.screenful_h,
+                      (SELECT COUNT(*) FROM user_data.pinboard_versions pv
+                       WHERE pv.pinboard_id = p.id) AS version_count
+               FROM user_data.pinboards p
+               LEFT JOIN user_data.pinboard_versions v
+                 ON v.id = p.head_version_id
+               WHERE p.user = ?""",
+            (user,),
+        ).fetchall()
+        ranked = []
+        for (pid, bname, head, t_add, t_upd, pw, ph, sh, vcount) in boards:
+            if head is None:
+                continue
+            pins = [
+                row[0] for row in conn.execute(
+                    "SELECT sha256 FROM user_data.pinboard_version_items "
+                    "WHERE version_id=?",
+                    (head,),
+                ).fetchall()
+            ]
+            matched = [p for p in pins if p in best_pos]
+            if not matched:
+                continue
+            best = min(best_pos[p] for p in matched)
+            ranked.append(
+                (
+                    best if r.ordered else 0,
+                    -(len(matched) / max(len(pins), 1)),
+                    -len(matched),
+                    t_upd or "", -pid,
+                    {
+                        "id": pid, "name": bname, "head_version_id": head,
+                        "time_added": t_add, "time_updated": t_upd,
+                        "preview_w": pw, "preview_h": ph,
+                        "screenful_h": sh, "item_count": len(pins),
+                        "version_count": vcount,
+                        "match_count": len(matched),
+                    },
+                )
+            )
+        # best-rank asc, fraction desc, count desc, recency desc, id desc —
+        # stable sorts chained least-significant first (fraction/count are
+        # stored negated so the final ascending pass orders them desc).
+        ranked.sort(key=lambda t: t[4])  # -id ascending == id desc
+        ranked.sort(key=lambda t: t[3], reverse=True)  # ISO recency desc
+        ranked.sort(key=lambda t: (t[0], t[1], t[2]))
+        return [t[5] for t in ranked], r.metrics
+
+    matches, metrics = await asyncio.to_thread(run)
+    return web.json_response(
+        {
+            "pinboards": matches,
+            "metrics": {
+                "compile": round(metrics.compile_s, 6),
+                "execute": round(metrics.execute_s, 6),
+                "path": metrics.path,
+                "cache": "inactive",
+            },
+        }
+    )
 
 
 # -- jobs --------------------------------------------------------------------
@@ -1356,6 +1643,93 @@ async def quants_reconcile(request: web.Request) -> web.Response:
     return web.json_response({"job_id": handle.job_id})
 
 
+async def cronjob_run(request: web.Request) -> web.Response:
+    """Manual cron trigger (reference api/jobs.rs manual_trigger_cronjob):
+    enqueue every configured cron entry for this DB now. The queue's
+    dedupe keeps an already-queued duplicate from stacking, matching the
+    reference's 'skipped: still queued or running' outcome."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    from panoptikon_tpu.jobs.cron import CronScheduler
+
+    entries = await asyncio.to_thread(CronScheduler.entries, state.db(name))
+    fired = 0
+    for entry in entries:
+        try:
+            job_type = JobType(entry.job)
+        except ValueError:
+            continue
+        state.queue.enqueue(name, job_type, entry.params)
+        fired += 1
+    detail = (
+        f"Cronjob triggered ({fired} job(s) enqueued)."
+        if fired
+        else "Cronjob skipped: no cron jobs configured for this database."
+    )
+    return web.json_response({"detail": detail})
+
+
+async def cronjob_schedule(request: web.Request) -> web.Response:
+    """Schedule introspection (reference api/jobs.rs get_cronjob_schedule):
+    per configured entry — schedule string, parse validity, and the next
+    automatic run time."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    from panoptikon_tpu.jobs import cron as cron_mod
+
+    def run():
+        out = []
+        for entry in cron_mod.CronScheduler.entries(state.db(name)):
+            nxt = cron_mod.next_match(entry.schedule)
+            out.append(
+                {
+                    "job": entry.job,
+                    "cron_schedule": entry.schedule,
+                    "valid": cron_mod.schedule_valid(entry.schedule),
+                    "next_run": nxt,
+                }
+            )
+        return out
+
+    return web.json_response(
+        {
+            "enabled": state.cron is not None,
+            "schedules": await asyncio.to_thread(run),
+        }
+    )
+
+
+async def maintenance_enqueue(request: web.Request) -> web.Response:
+    """Explicit DB maintenance (reference /api/jobs/maintenance): the same
+    deferred ANALYZE/checkpoint/VACUUM unit the queue synthesizes at batch
+    boundaries, on demand."""
+    state: AppState = request.app["state"]
+    handle = state.queue.enqueue(
+        _db_name(request), JobType.DB_MAINTENANCE, params={}
+    )
+    return web.json_response({"job_id": handle.job_id})
+
+
+async def setters_total(request: web.Request) -> web.Response:
+    """Per-setter extracted-row totals (reference api/jobs.rs
+    get_setter_data_count → db/extraction_log.rs get_setters_total_data)."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+
+    def run():
+        conn = state.db(name).reader()
+        return {
+            setter: count
+            for setter, count in conn.execute(
+                """SELECT s.name, COUNT(*) FROM item_data d
+                   JOIN setters s ON s.id = d.setter_id
+                   GROUP BY s.name ORDER BY s.name""",
+            ).fetchall()
+        }
+
+    return web.json_response({"total_counts": await asyncio.to_thread(run)})
+
+
 async def desktop_update_status(request: web.Request) -> web.Response:
     """Reference /api/desktop/update-status: current vs latest from the
     configured release manifest, with ribbon snooze/dismiss state. The
@@ -1506,6 +1880,257 @@ async def desktop_external_input_put(request: web.Request) -> web.Response:
     return web.Response(status=204)
 
 
+# -- desktop setup wizard ------------------------------------------------
+# Gated on desktop-managed mode (reference api/desktop.rs
+# ensure_desktop_managed:145-151 — unmanaged servers 404 these routes so
+# the wizard surface can't be driven by arbitrary network clients).
+
+
+def _managed_or_404(state: AppState) -> Optional[web.Response]:
+    if not getattr(state, "desktop_managed", False):
+        return _json_error(404, "Desktop lifecycle endpoint not found")
+    return None
+
+
+async def desktop_setup_status(request: web.Request) -> web.Response:
+    """Ready once ≥1 included folder reached the filescan pipeline
+    (reference api/desktop.rs setup_status → db/setup.rs
+    is_ready_for_desktop)."""
+    state: AppState = request.app["state"]
+    if (resp := _managed_or_404(state)) is not None:
+        return resp
+    name = _db_name(request)
+    from panoptikon_tpu.db import setup as dbsetup
+
+    ready = await asyncio.to_thread(
+        lambda: dbsetup.is_ready_for_desktop(state.db(name).reader())
+    )
+    return web.json_response({"index_db": name, "ready": ready})
+
+
+async def desktop_validate_folders(request: web.Request) -> web.Response:
+    """Stage-and-preview folder validation (api/desktop.rs
+    validate_setup_folders): nothing is written."""
+    state: AppState = request.app["state"]
+    if (resp := _managed_or_404(state)) is not None:
+        return resp
+    name = _db_name(request)
+    body = await request.json()
+    from panoptikon_tpu.db import setup as dbsetup
+
+    def run():
+        conn = None if body.get("new_database") else state.db(name).reader()
+        return dbsetup.validate_folders(
+            conn,
+            body.get("included_folders") or [],
+            body.get("excluded_folders") or [],
+        )
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+async def desktop_validate_continuous(request: web.Request) -> web.Response:
+    state: AppState = request.app["state"]
+    if (resp := _managed_or_404(state)) is not None:
+        return resp
+    name = _db_name(request)
+    body = await request.json()
+    from panoptikon_tpu.db import setup as dbsetup
+
+    def run():
+        conn = None if body.get("new_database") else state.db(name).reader()
+        return dbsetup.validate_continuous_folders(
+            conn,
+            body.get("included_folders") or [],
+            body.get("excluded_folders") or [],
+            body.get("continuous_folders") or [],
+        )
+
+    return web.json_response(await asyncio.to_thread(run))
+
+
+async def desktop_preview_schedule(request: web.Request) -> web.Response:
+    """Cron-string preview (api/desktop.rs preview_setup_schedule)."""
+    state: AppState = request.app["state"]
+    if (resp := _managed_or_404(state)) is not None:
+        return resp
+    body = await request.json()
+    from panoptikon_tpu.jobs import cron as cron_mod
+
+    schedule = str(body.get("cron_schedule", ""))
+    if not cron_mod.schedule_valid(schedule):
+        return web.json_response(
+            {"valid": False, "next_run": None,
+             "error": "schedule must be 5 cron fields of ints/*/,-/steps"}
+        )
+    return web.json_response(
+        {"valid": True, "next_run": cron_mod.next_match(schedule),
+         "error": None}
+    )
+
+
+async def desktop_setup_complete(request: web.Request) -> web.Response:
+    """Commit the wizard (api/desktop.rs complete_setup:973-1110): validate
+    everything again against the TARGET database, optionally create it,
+    write folders + per-DB config (continuous scan, scan-type switches,
+    cron), then enqueue the initial scan + extraction jobs."""
+    state: AppState = request.app["state"]
+    if (resp := _managed_or_404(state)) is not None:
+        return resp
+    body = await request.json()
+    from panoptikon_tpu.db import setup as dbsetup
+    from panoptikon_tpu.jobs import cron as cron_mod
+
+    included = body.get("included_folders") or []
+    if not any(str(p).strip() for p in included):
+        return _json_error(400, "At least one included directory is required")
+    new_db = body.get("new_index_db")
+    if new_db is not None:
+        new_db = str(new_db)
+        if not (3 <= len(new_db) <= 32) or not all(
+            c.isalnum() or c == "_" for c in new_db
+        ):
+            return _json_error(
+                400,
+                "Database names must contain 3-32 letters, numbers, or "
+                "underscores",
+            )
+        if new_db in (state.databases.names() or []):
+            return _json_error(400, f"Index database {new_db} already exists")
+    schedule = body.get("cron_schedule")
+    if schedule is not None and not cron_mod.schedule_valid(str(schedule)):
+        return _json_error(400, f"Invalid routine schedule: {schedule!r}")
+    cron_jobs = body.get("cron_jobs") or []
+    seen_models = set()
+    for job in cron_jobs:
+        iid = job.get("inference_id")
+        if not iid:
+            return _json_error(400, "cron job missing inference_id")
+        if iid in seen_models:
+            return _json_error(
+                400, f"Model {iid} was selected more than once"
+            )
+        seen_models.add(iid)
+        group, _, model = iid.partition("/")
+        try:
+            state.model_registry.resolve(group, model)
+        except Exception:
+            return _json_error(400, f"unknown model {iid!r}")
+        bs = job.get("batch_size")
+        if bs is not None and int(bs) < 1:
+            return _json_error(400, f"Model {iid} has an invalid batch size")
+        th = job.get("threshold")
+        if th is not None and not (0.0 <= float(th) <= 1.0):
+            return _json_error(
+                400, f"Model {iid} has an invalid confidence threshold"
+            )
+
+    target = new_db or _db_name(request)
+
+    def run():
+        db = state.db(target)  # creates + migrates when new
+        conn = db.reader()
+        validation = dbsetup.validate_folders(
+            conn, included, body.get("excluded_folders") or []
+        )
+        if validation["errors"]:
+            issue = validation["errors"][0]
+            raise web.HTTPBadRequest(
+                reason=f"{issue['path']}: {issue['error']}"
+            )
+        continuous = dbsetup.validate_continuous_folders(
+            conn,
+            validation["included_folders"],
+            validation["excluded_folders"],
+            body.get("continuous_filescan_included_folders") or [],
+        )
+        if continuous["errors"]:
+            issue = continuous["errors"][0]
+            raise web.HTTPBadRequest(
+                reason=f"{issue['path']}: {issue['error']}"
+            )
+        writer = state.writers.get(db)
+
+        def unit(c):
+            for path in validation["included_folders"]:
+                store.add_folder(c, path, True)
+            for path in validation["excluded_folders"]:
+                store.add_folder(c, path, False)
+            store.set_config(
+                c, "continuous_scan",
+                {
+                    "enabled": bool(body.get("continuous_filescan_enabled")),
+                    "poll_interval_secs": body.get(
+                        "continuous_filescan_poll_interval_secs"
+                    ),
+                    "included_folders": continuous["included_folders"],
+                },
+            )
+            store.set_config(
+                c, "scan_types",
+                {
+                    "images": bool(body.get("scan_images", True)),
+                    "video": bool(body.get("scan_video", True)),
+                    "audio": bool(body.get("scan_audio", True)),
+                    "pdf": bool(body.get("scan_pdf", True)),
+                    "html": bool(body.get("scan_html", True)),
+                },
+            )
+            if cron_jobs or schedule:
+                entries = [
+                    {
+                        "schedule": str(schedule or "0 3 * * *"),
+                        "job": "data_extraction",
+                        "params": {
+                            "inference_id": j["inference_id"],
+                            **({"batch_size": j["batch_size"]}
+                               if j.get("batch_size") else {}),
+                            **({"threshold": j["threshold"]}
+                               if j.get("threshold") is not None else {}),
+                        },
+                    }
+                    for j in cron_jobs
+                ]
+                store.set_config(c, "cron_jobs", entries)
+
+        writer.call(unit)
+        return validation
+
+    try:
+        await asyncio.to_thread(run)
+    except web.HTTPBadRequest as exc:
+        return _json_error(400, exc.reason)
+    # Initial work: scan now, then the selected models (the reference's
+    # run_initial_cronjob).
+    jobs = [state.queue.enqueue(target, JobType.FOLDER_RESCAN).job_id]
+    for job in cron_jobs:
+        params = {"inference_id": job["inference_id"]}
+        if job.get("batch_size"):
+            params["batch_size"] = job["batch_size"]
+        if job.get("threshold") is not None:
+            params["threshold"] = job["threshold"]
+        jobs.append(
+            state.queue.enqueue(
+                target, JobType.DATA_EXTRACTION, params=params
+            ).job_id
+        )
+    if state.continuous is not None:
+        state.continuous.ensure(state.db(target))
+    return web.json_response({"index_db": target, "jobs": jobs})
+
+
+async def desktop_update_window_open(request: web.Request) -> web.Response:
+    """Reference open_desktop_update_window: asks the managing desktop
+    shell to show its update window. No desktop binary exists here
+    (declared divergence) — record the request so a supervisor can poll
+    it, and acknowledge."""
+    state: AppState = request.app["state"]
+    if (resp := _managed_or_404(state)) is not None:
+        return resp
+    state.update_ribbon["window_requested_at"] = time.time()
+    return web.Response(status=204)
+
+
 async def builtin_ui(request: web.Request) -> web.Response:
     """Zero-dependency built-in search UI (api/ui.html). The reference's
     full UI remains a separate supervised app fronted by the reverse proxy
@@ -1515,7 +2140,7 @@ async def builtin_ui(request: web.Request) -> web.Response:
     return web.Response(text=path.read_text(), content_type="text/html")
 
 
-_SETTABLE_CONFIG_KEYS = ("continuous_scan", "vector_quants")
+_SETTABLE_CONFIG_KEYS = ("continuous_scan", "vector_quants", "scan_types")
 
 
 async def db_config_get(request: web.Request) -> web.Response:
@@ -1769,78 +2394,8 @@ async def inferio_cache_clear(request: web.Request) -> web.Response:
 
 
 # -- relay pairing -----------------------------------------------------------
-# The desktop Relay's credential recovery registry (reference api/relay.rs):
-# file actions never pass through the server; this registry only lets a
-# browser recover a relay credential and resume an interrupted pairing.
-
-_RELAY_TTL_S = 600
-_RELAY_MAX = 4096
-
-
-async def relay_pairings(request: web.Request) -> web.Response:
-    state: AppState = request.app["state"]
-    store = request.app.setdefault("relay_store", {})
-    now = asyncio.get_event_loop().time()
-    live = {
-        k: v for k, v in store.items()
-        if v.get("expires_at", 0) > now or v.get("durable")
-    }
-    request.app["relay_store"] = live
-    return web.json_response(
-        [{"id": k, "name": v.get("name"), "durable": bool(v.get("durable"))}
-         for k, v in live.items()]
-    )
-
-
-def _prune_relay(store, now: float) -> None:
-    expired = [
-        k for k, v in store.items()
-        if not v.get("durable") and v.get("expires_at", 0) <= now
-    ]
-    for k in expired:
-        store.pop(k, None)
-
-
-async def relay_pair(request: web.Request) -> web.Response:
-    import uuid
-
-    store = request.app.setdefault("relay_store", {})
-    # Prune HERE too: otherwise expired entries permanently 429 new
-    # pairings until someone happens to GET the list endpoint.
-    _prune_relay(store, asyncio.get_event_loop().time())
-    if len(store) >= _RELAY_MAX:
-        return _json_error(429, "pairing registry full")
-    body = await request.json() if request.can_read_body else {}
-    pairing_id = str(uuid.uuid4())
-    store[pairing_id] = {
-        "name": body.get("name"),
-        "credential": body.get("credential"),
-        "durable": bool(body.get("durable", False)),
-        "expires_at": asyncio.get_event_loop().time() + _RELAY_TTL_S,
-    }
-    return web.json_response({"id": pairing_id})
-
-
-async def relay_recover(request: web.Request) -> web.Response:
-    store = request.app.setdefault("relay_store", {})
-    entry = store.get(request.match_info["pairing_id"])
-    now = asyncio.get_event_loop().time()
-    if entry is not None and not entry.get("durable") and entry.get(
-        "expires_at", 0
-    ) <= now:
-        store.pop(request.match_info["pairing_id"], None)
-        entry = None  # expired credentials must not be recoverable
-    if entry is None:
-        return _json_error(404, "unknown pairing")
-    return web.json_response(
-        {"name": entry.get("name"), "credential": entry.get("credential")}
-    )
-
-
-async def relay_delete(request: web.Request) -> web.Response:
-    store = request.app.setdefault("relay_store", {})
-    removed = store.pop(request.match_info["pairing_id"], None)
-    return web.json_response({"deleted": removed is not None})
+# Durable policy-scoped pairing registry + two-phase operations: api/relay.py
+# (reference api/relay.rs). Routes are appended from relay.ROUTES below.
 
 
 async def openapi_doc(request: web.Request) -> web.Response:
@@ -2057,6 +2612,8 @@ def build_app(
         client_max_size=16 * 1024 * 1024, middlewares=middlewares
     )
     app["state"] = state
+    # Relay handlers consult the matched policy's relay_enabled switch.
+    app["policies"] = list(policies or [])
     app.add_routes(
         [
             web.post("/api/search/pql", search_pql),
@@ -2069,16 +2626,37 @@ def build_app(
             web.get("/api/search/embeddings/cache", embed_cache_stats),
             web.get("/api/search/tags/top", tags_top),
             web.get("/api/search/tags", tags_autocomplete),
+            web.get("/api/items/text/any", texts_any),
             web.get("/api/items/{sha256}/file", item_file),
             web.get("/api/items/{sha256}/thumbnail", item_thumbnail),
             web.get("/api/items/{sha256}", item_metadata),
+            # Literal /users before the {user} wildcard or it shadows it.
+            web.get("/api/bookmarks/users", bookmarks_users),
+            web.get("/api/bookmarks/{user}/ns", bookmarks_namespaces),
             web.get("/api/bookmarks/{user}", bookmarks_list),
             web.put("/api/bookmarks/{user}/{namespace}/{sha256}", bookmarks_put),
             web.delete("/api/bookmarks/{user}/{namespace}/{sha256}", bookmarks_delete),
+            # Literal /search before the {user} wildcard; content search
+            # lives in the pinboard authz domain, not /api/search/
+            # (main.rs:490-499 — search-only ruleset grants must not leak
+            # board names).
+            web.post("/api/pinboards/search", pinboards_search),
             web.get("/api/pinboards/{user}", pinboards_list),
             web.post("/api/pinboards/{user}", pinboards_create),
             web.get("/api/pinboards/{user}/{pinboard_id}", pinboards_get),
             web.post("/api/pinboards/{user}/{pinboard_id}/versions", pinboards_save_version),
+            web.get(
+                "/api/pinboards/{user}/{pinboard_id}/versions/{version_id}",
+                pinboards_get_version,
+            ),
+            web.get(
+                "/api/pinboards/{user}/{pinboard_id}/versions/{version_id}/preview",
+                pinboards_version_preview,
+            ),
+            web.put(
+                "/api/pinboards/{user}/{pinboard_id}/versions/{version_id}/preview",
+                pinboards_put_version_preview,
+            ),
             web.delete("/api/pinboards/{user}/{pinboard_id}", pinboards_delete),
             web.get("/api/jobs/queue", jobs_status),
             web.delete("/api/jobs/queue/{job_id}", jobs_cancel),
@@ -2100,6 +2678,10 @@ def build_app(
             web.post("/api/jobs/quants/reconcile", quants_reconcile),
             web.get("/api/jobs/cron", cron_get),
             web.put("/api/jobs/cron", cron_put),
+            web.post("/api/jobs/cronjob/run", cronjob_run),
+            web.get("/api/jobs/cronjob/schedule", cronjob_schedule),
+            web.post("/api/jobs/maintenance", maintenance_enqueue),
+            web.get("/api/jobs/data/setters/total", setters_total),
             web.get("/api/config/system", db_config_get),
             web.put("/api/config/system", db_config_put),
             web.get("/api/desktop/update-status", desktop_update_status),
@@ -2107,6 +2689,12 @@ def build_app(
             web.post("/api/desktop/update-ribbon/dismiss", desktop_ribbon_dismiss),
             web.get("/api/desktop/external-inputs", desktop_external_inputs),
             web.put("/api/desktop/external-inputs/{variable}", desktop_external_input_put),
+            web.get("/api/desktop/setup-status", desktop_setup_status),
+            web.post("/api/desktop/setup-folders/validate", desktop_validate_folders),
+            web.post("/api/desktop/setup-continuous/validate", desktop_validate_continuous),
+            web.post("/api/desktop/setup-schedule/preview", desktop_preview_schedule),
+            web.post("/api/desktop/setup/complete", desktop_setup_complete),
+            web.post("/api/desktop/update-window/open", desktop_update_window_open),
             web.get("/ui", builtin_ui),
             web.get("/api/db", db_list),
             web.post("/api/db", db_create),
@@ -2120,13 +2708,13 @@ def build_app(
             web.get("/health", health),
             web.get("/openapi.json", openapi_doc),
             web.get("/docs", docs_page),
+            web.get("/redoc", docs_page),  # reference mounts both aliases
             web.get("/api/client-config", client_config),
-            web.get("/api/relay/pairings", relay_pairings),
-            web.post("/api/relay/pairings", relay_pair),
-            web.get("/api/relay/pairings/{pairing_id}", relay_recover),
-            web.delete("/api/relay/pairings/{pairing_id}", relay_delete),
         ]
     )
+    from panoptikon_tpu.api import relay as _relay
+
+    app.add_routes(_relay.ROUTES)
     return app
 
 
@@ -2232,6 +2820,7 @@ def main(args=None) -> None:
     )
     state.cache.resize(settings.search.cache_bytes)
     state.update_manifest = settings.update_manifest
+    state.desktop_managed = settings.desktop_managed
     state.cron.start()
     state.reconsider_continuous()
     if settings.inference.eager_prewarm:

@@ -40,7 +40,7 @@ import threading
 import urllib.parse
 from dataclasses import dataclass
 from http.client import HTTPConnection, HTTPSConnection
-from typing import Any, Iterable, Mapping
+from typing import Any, Iterable, Mapping, Sequence
 
 POLICY_TOKEN_HEADER = "x-panoptikon-policy"
 
@@ -325,12 +325,25 @@ class _Items(_Resource):
             params={"folder": "1" if folder else "0"},
         )
 
+    def texts_any(self, text_ids: Sequence[int]) -> dict:
+        """Texts by extracted-text id (reference items.rs texts_any)."""
+        return self._c.request(
+            "GET", "/api/items/text/any",
+            params={"text_ids": ",".join(str(i) for i in text_ids)},
+        )
+
 
 class _Bookmarks(_Resource):
     def list(self, user: str, *, namespace: str | None = None) -> Any:
         return self._c.request(
             "GET", f"/api/bookmarks/{user}", params={"namespace": namespace}
         )
+
+    def users(self) -> dict:
+        return self._c.request("GET", "/api/bookmarks/users")
+
+    def namespaces(self, user: str) -> dict:
+        return self._c.request("GET", f"/api/bookmarks/{user}/ns")
 
     def put(
         self, user: str, namespace: str, sha256: str,
@@ -381,6 +394,41 @@ class _Pinboards(_Resource):
     def delete(self, user: str, pinboard_id: int) -> dict:
         return self._c.request(
             "DELETE", f"/api/pinboards/{user}/{pinboard_id}"
+        )
+
+    def get_version(
+        self, user: str, pinboard_id: int, version_id: int
+    ) -> dict:
+        return self._c.request(
+            "GET",
+            f"/api/pinboards/{user}/{pinboard_id}/versions/{version_id}",
+        )
+
+    def version_preview(
+        self, user: str, pinboard_id: int, version_id: int
+    ) -> FileResponse:
+        return self._c.request(
+            "GET",
+            f"/api/pinboards/{user}/{pinboard_id}/versions/{version_id}/preview",
+            raw=True,
+        )
+
+    def put_version_preview(
+        self, user: str, pinboard_id: int, version_id: int, *,
+        preview_b64: str, **extra: Any,
+    ) -> dict:
+        return self._c.request(
+            "PUT",
+            f"/api/pinboards/{user}/{pinboard_id}/versions/{version_id}/preview",
+            json_body={"preview_b64": preview_b64, **extra},
+        )
+
+    def search(self, query: Any = None, *, user: str = "user") -> dict:
+        """Boards whose pinned images match a PQL query (reference
+        search.rs search_pql_pinboards): unpaginated, board-ranked."""
+        return self._c.request(
+            "POST", "/api/pinboards/search", params={"user": user},
+            json_body=query or {},
         )
 
 
@@ -479,6 +527,21 @@ class _Jobs(_Resource):
 
     def set_cron(self, jobs: Any) -> dict:
         return self._c.request("PUT", "/api/jobs/cron", json_body=jobs)
+
+    def run_cron(self) -> dict:
+        """Trigger every configured cron entry now (jobs.rs
+        manual_trigger_cronjob)."""
+        return self._c.request("POST", "/api/jobs/cronjob/run")
+
+    def cron_schedule(self) -> dict:
+        return self._c.request("GET", "/api/jobs/cronjob/schedule")
+
+    def maintenance(self) -> dict:
+        """Enqueue the deferred ANALYZE/checkpoint/VACUUM unit on demand."""
+        return self._c.request("POST", "/api/jobs/maintenance")
+
+    def setters_total(self) -> dict:
+        return self._c.request("GET", "/api/jobs/data/setters/total")
 
     def wait(
         self, job_id: int, *, timeout: float = 600.0, poll_s: float = 0.25
@@ -603,17 +666,42 @@ class _Databases(_Resource):
 
 
 class _Relay(_Resource):
-    def pairings(self) -> Any:
-        return self._c.request("GET", "/api/relay/pairings")
+    """Two-phase Relay pairing recovery (api/relay.py; reference
+    api/relay.rs): begin an operation, commit the credential, recover it
+    later by relay id."""
 
-    def pair(self, **body: Any) -> dict:
-        return self._c.request("POST", "/api/relay/pairings", json_body=body)
+    def pairing(self, relay_id: str) -> dict:
+        return self._c.request("GET", f"/api/relay/pairings/{relay_id}")
 
-    def recover(self, pairing_id: str) -> dict:
-        return self._c.request("GET", f"/api/relay/pairings/{pairing_id}")
+    def delete_pairing(self, relay_id: str) -> dict:
+        return self._c.request("DELETE", f"/api/relay/pairings/{relay_id}")
 
-    def delete(self, pairing_id: str) -> dict:
-        return self._c.request("DELETE", f"/api/relay/pairings/{pairing_id}")
+    def operation(self, relay_id: str) -> dict:
+        return self._c.request(
+            "GET", f"/api/relay/pairing-operations/{relay_id}"
+        )
+
+    def begin(self, relay_id: str) -> dict:
+        return self._c.request(
+            "POST", f"/api/relay/pairing-operations/{relay_id}"
+        )
+
+    def commit(
+        self, operation_id: str, *, relay_id: str, instance_id: str,
+        credential: str,
+    ) -> Any:
+        return self._c.request(
+            "POST", f"/api/relay/pairing-operations/{operation_id}/commit",
+            json_body={
+                "relay_id": relay_id, "instance_id": instance_id,
+                "credential": credential,
+            },
+        )
+
+    def cancel(self, operation_id: str) -> Any:
+        return self._c.request(
+            "POST", f"/api/relay/pairing-operations/{operation_id}/cancel"
+        )
 
 
 class _Desktop(_Resource):
@@ -634,3 +722,32 @@ class _Desktop(_Resource):
             "PUT", f"/api/desktop/external-inputs/{variable}",
             json_body={"value": value},
         )
+
+    # Setup wizard (desktop-managed servers only; api/desktop.rs setup_*).
+
+    def setup_status(self) -> dict:
+        return self._c.request("GET", "/api/desktop/setup-status")
+
+    def validate_setup_folders(self, **body: Any) -> dict:
+        return self._c.request(
+            "POST", "/api/desktop/setup-folders/validate", json_body=body
+        )
+
+    def validate_setup_continuous(self, **body: Any) -> dict:
+        return self._c.request(
+            "POST", "/api/desktop/setup-continuous/validate", json_body=body
+        )
+
+    def preview_setup_schedule(self, cron_schedule: str) -> dict:
+        return self._c.request(
+            "POST", "/api/desktop/setup-schedule/preview",
+            json_body={"cron_schedule": cron_schedule},
+        )
+
+    def complete_setup(self, **body: Any) -> dict:
+        return self._c.request(
+            "POST", "/api/desktop/setup/complete", json_body=body
+        )
+
+    def open_update_window(self) -> Any:
+        return self._c.request("POST", "/api/desktop/update-window/open")

@@ -36,6 +36,10 @@ class PolicyConfig:
     deny: list[str] = field(default_factory=list)
     index_db: Optional[str] = None  # pin requests to this database
     read_only: bool = False
+    # Relay pairing registry switch (reference api/relay.rs:87-104 reads
+    # the policy's client.relay_enabled): false denies every
+    # /api/relay/* request matched by this policy with 403.
+    relay_enabled: bool = True
 
 
 @dataclass
@@ -112,6 +116,10 @@ class Settings:
     # [update].manifest — JSON release-manifest URL for the self-update
     # surfaces (cli self-update, /api/desktop/update-status).
     update_manifest: str | None = None
+    # [desktop].managed — the desktop supervisor owns this server: unlocks
+    # the /api/desktop/setup-* wizard surface (reference --desktop-managed,
+    # main.rs:152; unmanaged servers 404 those routes).
+    desktop_managed: bool = False
 
     @classmethod
     def load(cls, path: str | Path | None = None, root: str | Path = ".") -> "Settings":
@@ -199,4 +207,5 @@ class Settings:
         server = raw.get("server", {})
         s.policy_token_key = server.get("policy_token_key")
         s.update_manifest = (raw.get("update") or {}).get("manifest")
+        s.desktop_managed = bool((raw.get("desktop") or {}).get("managed", False))
         return s

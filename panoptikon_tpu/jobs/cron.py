@@ -69,6 +69,45 @@ def cron_matches(schedule: str, when: time.struct_time) -> bool:
     )
 
 
+def schedule_valid(schedule: str) -> bool:
+    """Structural parse check: 5 fields, each '*'/list/range/step of ints
+    (the reference validates via croner; api/jobs.rs:1132)."""
+    fields = schedule.split()
+    if len(fields) != 5:
+        return False
+    for f in fields:
+        for part in f.split(","):
+            if part == "*":
+                continue
+            body = part[2:] if part.startswith("*/") else part
+            pieces = body.split("-", 1) if "-" in body else [body]
+            try:
+                for p in pieces:
+                    int(p)
+            except ValueError:
+                return False
+    return True
+
+
+def next_match(
+    schedule: str, after: Optional[float] = None, horizon_days: int = 8
+) -> Optional[str]:
+    """Next minute the schedule fires after ``after`` (local, ISO string),
+    scanned minute-by-minute up to ``horizon_days`` out — covers every
+    weekly pattern; monthly patterns beyond the horizon report None rather
+    than paying a year-long scan (api/jobs.rs CronScheduleResponse
+    next_run)."""
+    if not schedule_valid(schedule):
+        return None
+    t = (after if after is not None else time.time()) // 60 * 60 + 60
+    for _ in range(horizon_days * 24 * 60):
+        when = time.localtime(t)
+        if cron_matches(schedule, when):
+            return time.strftime("%Y-%m-%dT%H:%M:%S", when)
+        t += 60
+    return None
+
+
 @dataclass
 class CronEntry:
     schedule: str

@@ -141,6 +141,7 @@ class ScanCounters:
     frames_written: int = 0
     blocked: int = 0
     healed: int = 0
+    skipped_type: int = 0
 
 
 @dataclass
@@ -218,6 +219,23 @@ def _video_thumb(frame: tuple[bytes, int, int]) -> Optional[tuple[bytes, int, in
         return None
 
 
+def mime_class(mime: str) -> str:
+    """Scan-filter media class for a sniffed mime (the per-DB
+    ``scan_types`` switches; reference system_config scan_images/_video/
+    _audio/_pdf/_html)."""
+    if mime.startswith("image/"):
+        return "images"
+    if mime.startswith("video/"):
+        return "video"
+    if mime.startswith("audio/"):
+        return "audio"
+    if mime == "application/pdf":
+        return "pdf"
+    if mime == "text/html":
+        return "html"
+    return "other"
+
+
 def process_path(
     path: str,
     prev: Optional[tuple[str, str]],
@@ -225,6 +243,7 @@ def process_path(
     make_thumbnails: bool,
     max_frames: int = media.DEFAULT_MAX_FRAMES,
     detect_outros: bool = True,
+    disabled_types: frozenset = frozenset(),
 ) -> Optional[ScanRow]:
     """Hash + identify + media intake for ONE path — thread-pool work unit.
     Returns None for unchanged files."""
@@ -258,6 +277,12 @@ def process_path(
     t0 = time.perf_counter()
     row.mime = sniff_mime(path, head)
     mime = row.mime
+    if disabled_types and mime_class(mime) in disabled_types:
+        # Type switched off in per-DB config: no intake, but the file
+        # still counts as present on disk (the caller adds it to `seen`,
+        # so existing rows are never vanish-marked by a toggle).
+        row.status = "skipped_type"
+        return row
 
     if mime.startswith("image/"):
         row.width, row.height = image_meta(path)
@@ -447,6 +472,13 @@ def rescan_folders(
         excluded = [p for p, inc in store.list_folders(conn, included=False)]
     else:
         included, excluded = folders, []
+    # Per-DB media-class switches ({"images": true, "video": false, ...},
+    # written by /api/desktop/setup/complete and /api/jobs/config): a class
+    # set to false is skipped at intake, never vanish-marked.
+    type_cfg = store.get_config(conn, "scan_types", {}) or {}
+    disabled_types = frozenset(
+        cls for cls, enabled in type_cfg.items() if enabled is False
+    )
     counters = ScanCounters()
     scan_id = writer.call(lambda c: store.start_file_scan(c, ";".join(included)))
 
@@ -531,6 +563,9 @@ def rescan_folders(
         if row.status == "unchanged":
             counters.unchanged_files += 1
             return None
+        if row.status == "skipped_type":
+            counters.skipped_type += 1
+            return None
         if row.status == "error" and not row.sha256:
             counters.errors += 1
             writer.call(
@@ -569,6 +604,7 @@ def rescan_folders(
                     process_path, path, known.get(path),
                     make_thumbnails=make_thumbnails, max_frames=max_frames,
                     detect_outros=detect_outros,
+                    disabled_types=disabled_types,
                 )
             )
             if len(pending) >= WINDOW:

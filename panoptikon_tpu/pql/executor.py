@@ -468,6 +468,15 @@ class SearchResult:
     results: list[dict]
     seed: Optional[int]
     metrics: SearchMetrics
+    # rows_only extras (pinboard content search, api/server.py
+    # pinboards_search): the full ordered row-index array over ``base``,
+    # without per-row result dicts — board intersection is vectorized on
+    # the caller side. ``ordered`` distinguishes a real ranking from
+    # arbitrary membership order (reference search.rs:1091-1095 passes
+    # OrderKeyValue::Null when the query carries no order key).
+    rows: Optional[np.ndarray] = None
+    base: Optional[Any] = None
+    ordered: bool = False
 
 
 def _convert_base_columns(
@@ -845,7 +854,9 @@ class Executor:
 
     # -- public entry -------------------------------------------------------
 
-    def execute(self, query: pql.PqlQuery) -> SearchResult:
+    def execute(
+        self, query: pql.PqlQuery, *, rows_only: bool = False
+    ) -> SearchResult:
         t0 = time.perf_counter()
         seed, _synth = query.resolve_seed()
         prep.preprocess_query(query, manager=self.manager, index=self.index)
@@ -949,6 +960,20 @@ class Executor:
             total = len(rows)
 
         count = int(total) if query.count else None
+        if rows_only:
+            # Board-intersection path: the caller consumes the ordered row
+            # indices directly (vectorized); building per-row dicts for the
+            # full set would dominate the query.
+            return SearchResult(
+                count=count, results=[], seed=seed,
+                metrics=SearchMetrics(
+                    compile_s=compile_s,
+                    execute_s=time.perf_counter() - t1,
+                    path=engine_path,
+                ),
+                rows=rows, base=base,
+                ordered=fused_rows is not None or bool(order_keys),
+            )
         results: list[dict] = []
         if query.results:
             start = (query.page - 1) * query.page_size

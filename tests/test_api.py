@@ -919,3 +919,385 @@ class TestInputHardening:
         assert status == 400
         status, _ = call("PUT", "/api/search/cache", json={})
         assert status == 400
+
+
+class TestApiLongTail:
+    """Reference-surface endpoints added late: bookmark listings, texts by
+    id, cron trigger/schedule, maintenance, setter totals, /redoc."""
+
+    def test_bookmark_users_and_namespaces(self, client_env):
+        call = client_env["call"]
+        call("PUT", "/api/bookmarks/alice/favs/aa11", json={})
+        call("PUT", "/api/bookmarks/bob/queue/bb22", json={})
+        call("PUT", "/api/bookmarks/*/shared/cc33", json={})
+        status, body = call("GET", "/api/bookmarks/users")
+        assert status == 200
+        assert set(body["users"]) == {"alice", "bob", "*"}
+        status, body = call("GET", "/api/bookmarks/alice/ns")
+        assert status == 200
+        # alice sees her own namespaces plus the wildcard user's.
+        assert body["namespaces"] == ["favs", "shared"]
+
+    def test_texts_any(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders",
+             json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+
+        def seed(conn):
+            conn.execute("INSERT INTO setters (name) VALUES ('t/ocr')")
+            sid = conn.execute(
+                "SELECT id FROM setters WHERE name='t/ocr'"
+            ).fetchone()[0]
+            item = conn.execute("SELECT id FROM items LIMIT 1").fetchone()[0]
+            conn.execute(
+                """INSERT INTO item_data
+                   (item_id, setter_id, data_type, idx, is_origin)
+                   VALUES (?, ?, 'text', 0, 1)""",
+                (item, sid),
+            )
+            did = conn.execute(
+                "SELECT last_insert_rowid()"
+            ).fetchone()[0]
+            conn.execute(
+                """INSERT INTO extracted_text
+                   (id, language, confidence, text, text_length)
+                   VALUES (?, 'en', 0.9, 'hello world', 11)""",
+                (did,),
+            )
+            return did
+
+        db = state.db("default")
+        did = state.writers.get(db).call(seed)
+        status, body = call("GET", f"/api/items/text/any?text_ids={did},999999")
+        assert status == 200
+        assert len(body["text"]) == 1
+        entry = body["text"][0]
+        assert entry["text"] == "hello world"
+        assert entry["setter"] == "t/ocr"
+        assert entry["language"] == "en"
+        status, _ = call("GET", "/api/items/text/any?text_ids=nope")
+        assert status == 400
+
+    def test_cron_trigger_schedule_and_maintenance(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        status, body = call("POST", "/api/jobs/cronjob/run")
+        assert status == 200 and "skipped" in body["detail"].lower()
+        call("PUT", "/api/jobs/cron",
+             json=[{"schedule": "*/5 * * * *", "job": "folder_rescan"},
+                   {"schedule": "bogus", "job": "folder_rescan"}])
+        status, body = call("GET", "/api/jobs/cronjob/schedule")
+        assert status == 200
+        scheds = {s["cron_schedule"]: s for s in body["schedules"]}
+        assert scheds["*/5 * * * *"]["valid"]
+        assert scheds["*/5 * * * *"]["next_run"] is not None
+        assert not scheds["bogus"]["valid"]
+        assert scheds["bogus"]["next_run"] is None
+        status, body = call("POST", "/api/jobs/cronjob/run")
+        assert status == 200 and "triggered" in body["detail"].lower()
+        wait_jobs(state)
+        status, body = call("POST", "/api/jobs/maintenance")
+        assert status == 200 and "job_id" in body
+        wait_jobs(state)
+
+    def test_setters_total(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders",
+             json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+        call("POST", "/api/jobs/data/extraction",
+             json={"inference_id": "clip/tiny"})
+        wait_jobs(state)
+        status, body = call("GET", "/api/jobs/data/setters/total")
+        assert status == 200
+        assert body["total_counts"].get("clip/tiny", 0) >= 3
+
+    def test_redoc_alias(self, client_env):
+        call = client_env["call"]
+        status, body = call("GET", "/redoc")
+        assert status == 200 and b"openapi.json" in bytes(body)
+
+
+class TestPinboardSurfaces:
+    """Pinboard content search + version snapshot/preview endpoints
+    (reference api/search.rs search_pql_pinboards, api/pinboards.rs
+    version/preview handlers)."""
+
+    def _indexed(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders",
+             json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+        call("POST", "/api/jobs/data/extraction",
+             json={"inference_id": "clip/tiny"})
+        wait_jobs(state)
+        status, res = call(
+            "POST", "/api/search/pql",
+            json={"query": {"image_embeddings":
+                            {"query": "a red image", "model": "clip/tiny"}},
+                  "page_size": 3},
+        )
+        assert status == 200 and len(res["results"]) == 3
+        return [r["sha256"] for r in res["results"]]
+
+    def _board(self, call, user, name, shas):
+        status, body = call("POST", f"/api/pinboards/{user}",
+                            json={"name": name})
+        pid = body["id"]
+        status, body = call(
+            "POST", f"/api/pinboards/{user}/{pid}/versions",
+            json={"layout": list(shas)},
+        )
+        return pid, body["version_id"]
+
+    def test_content_search_ranks_boards(self, client_env):
+        call = client_env["call"]
+        ordered = self._indexed(client_env)
+        best_pid, _ = self._board(call, "user", "best", [ordered[0]])
+        worst_pid, _ = self._board(call, "user", "worst", [ordered[2]])
+        both_pid, _ = self._board(call, "user", "both", ordered[:2])
+        self._board(call, "user", "empty", ["f" * 64])  # no matches
+
+        status, body = call(
+            "POST", "/api/pinboards/search",
+            json={"query": {"image_embeddings":
+                            {"query": "a red image", "model": "clip/tiny"}}},
+        )
+        assert status == 200, body
+        boards = body["pinboards"]
+        ids = [b["id"] for b in boards]
+        # The no-match board is absent; best-ranked image wins; the board
+        # holding ranks 1+2 ties 'best' on rank 1 but loses nothing —
+        # rank asc puts both before 'worst'.
+        assert worst_pid in ids and best_pid in ids and both_pid in ids
+        assert len(boards) == 3
+        assert ids.index(best_pid) < ids.index(worst_pid)
+        assert ids.index(both_pid) < ids.index(worst_pid)
+        by_id = {b["id"]: b for b in boards}
+        assert by_id[both_pid]["match_count"] == 2
+        assert by_id[both_pid]["item_count"] == 2
+        assert by_id[best_pid]["match_count"] == 1
+        assert body["metrics"]["path"] in ("fused", "full")
+
+    def test_content_search_without_query_matches_all(self, client_env):
+        call = client_env["call"]
+        ordered = self._indexed(client_env)
+        pid, _ = self._board(call, "user", "all", ordered)
+        status, body = call("POST", "/api/pinboards/search", json={})
+        assert status == 200
+        assert [b["id"] for b in body["pinboards"]] == [pid]
+        assert body["pinboards"][0]["match_count"] == 3
+
+    def test_version_snapshot_and_preview_roundtrip(self, client_env):
+        import base64 as b64mod
+
+        call = client_env["call"]
+        sha = "a" * 64
+        pid, vid = self._board(call, "user", "b1", [sha])
+        status, version = call(
+            "GET", f"/api/pinboards/user/{pid}/versions/{vid}"
+        )
+        assert status == 200
+        assert version["items"] == [sha]
+        assert version["has_preview"] is False
+        # No preview yet → 404.
+        status, _ = call(
+            "GET", f"/api/pinboards/user/{pid}/versions/{vid}/preview"
+        )
+        assert status == 404
+        png = b"\x89PNG\r\n\x1a\n" + b"fakebody"
+        status, _ = call(
+            "PUT", f"/api/pinboards/user/{pid}/versions/{vid}/preview",
+            json={"preview_b64": b64mod.b64encode(png).decode(),
+                  "preview_w": 10, "preview_h": 8},
+        )
+        assert status == 200
+        status, blob = call(
+            "GET", f"/api/pinboards/user/{pid}/versions/{vid}/preview"
+        )
+        assert status == 200 and bytes(blob) == png
+        status, version = call(
+            "GET", f"/api/pinboards/user/{pid}/versions/{vid}"
+        )
+        assert version["has_preview"] is True and version["preview_w"] == 10
+        # Unknown version → 404.
+        status, _ = call("GET", f"/api/pinboards/user/{pid}/versions/99999")
+        assert status == 404
+
+
+class TestDesktopSetup:
+    """Desktop setup wizard (api/desktop.rs setup_*; db/setup.rs
+    validation): managed-mode gate, folder validation semantics, schedule
+    preview, and the full completion flow."""
+
+    @pytest.fixture
+    def managed(self, client_env):
+        client_env["state"].desktop_managed = True
+        return client_env
+
+    def test_unmanaged_servers_404(self, client_env):
+        call = client_env["call"]
+        for method, path in [
+            ("GET", "/api/desktop/setup-status"),
+            ("POST", "/api/desktop/setup-folders/validate"),
+            ("POST", "/api/desktop/setup/complete"),
+            ("POST", "/api/desktop/update-window/open"),
+        ]:
+            status, _ = call(method, path, json={})
+            assert status == 404, (method, path)
+
+    def test_folder_validation_rules(self, managed, tmp_path):
+        call = managed["call"]
+        good = tmp_path / "newmedia"
+        good.mkdir()
+        (good / "x.bin").write_bytes(b"x")
+        outside = tmp_path / "elsewhere"
+        outside.mkdir()
+        status, body = call(
+            "POST", "/api/desktop/setup-folders/validate",
+            json={"included_folders": [str(good), str(tmp_path / "missing")],
+                  "excluded_folders": [str(outside)]},
+        )
+        assert status == 200
+        errs = {e["path"]: e["error"] for e in body["errors"]}
+        assert any("Cannot access" in e for e in errs.values())
+        assert any("inside an included" in e for e in errs.values())
+        assert str(good) in body["included_folders"]
+
+    def test_empty_included_folder_with_indexed_rows_is_rejected(
+        self, managed
+    ):
+        call, state = managed["call"], managed["state"]
+        # Index the media folder, then empty it: the wizard must refuse it.
+        call("PUT", "/api/jobs/folders",
+             json={"included": [str(managed["media"])]})
+        wait_jobs(state)
+        for f in managed["media"].iterdir():
+            f.unlink()
+        status, body = call(
+            "POST", "/api/desktop/setup-folders/validate",
+            json={"included_folders": [str(managed["media"])]},
+        )
+        assert status == 200
+        assert any(
+            "still contains indexed files" in e["error"]
+            for e in body["errors"]
+        )
+        # new_database=True skips the index check (fresh DB has no rows).
+        status, body = call(
+            "POST", "/api/desktop/setup-folders/validate",
+            json={"included_folders": [str(managed["media"])],
+                  "new_database": True},
+        )
+        assert not body["errors"]
+
+    def test_continuous_whitelist_rules(self, managed, tmp_path):
+        call = managed["call"]
+        root = tmp_path / "root"
+        sub = root / "watched"
+        sub.mkdir(parents=True)
+        (sub / "f").write_bytes(b"x")
+        other = tmp_path / "other"
+        other.mkdir()
+        status, body = call(
+            "POST", "/api/desktop/setup-continuous/validate",
+            json={"included_folders": [str(root)],
+                  "continuous_folders": [str(sub), str(other)]},
+        )
+        assert status == 200
+        errs = [e for e in body["errors"]]
+        assert len(errs) == 1 and "full-scan included" in errs[0]["error"]
+
+    def test_schedule_preview(self, managed):
+        call = managed["call"]
+        status, body = call(
+            "POST", "/api/desktop/setup-schedule/preview",
+            json={"cron_schedule": "0 3 * * *"},
+        )
+        assert status == 200 and body["valid"] and body["next_run"]
+        status, body = call(
+            "POST", "/api/desktop/setup-schedule/preview",
+            json={"cron_schedule": "whenever"},
+        )
+        assert body["valid"] is False and body["error"]
+
+    def test_complete_setup_full_flow(self, managed):
+        call, state = managed["call"], managed["state"]
+        status, body = call(
+            "POST", "/api/desktop/setup/complete",
+            json={
+                "included_folders": [str(managed["media"])],
+                "scan_video": False,
+                "cron_schedule": "0 3 * * *",
+                "cron_jobs": [{"inference_id": "clip/tiny"}],
+                "continuous_filescan_enabled": False,
+            },
+        )
+        assert status == 200, body
+        assert body["index_db"] == "default" and len(body["jobs"]) == 2
+        wait_jobs(state)
+        # Scan + extraction actually ran; readiness flips.
+        status, ready = call("GET", "/api/desktop/setup-status")
+        assert ready["ready"] is True
+        status, cfg = call("GET", "/api/config/system")
+        assert cfg["scan_types"]["video"] is False
+        assert cfg["scan_types"]["images"] is True
+        status, cron_cfg = call("GET", "/api/jobs/cron")
+        assert cron_cfg and cron_cfg[0]["job"] == "data_extraction"
+        assert cron_cfg[0]["params"]["inference_id"] == "clip/tiny"
+        # The extraction the wizard enqueued produced searchable vectors.
+        status, res = call(
+            "POST", "/api/search/pql",
+            json={"query": {"image_embeddings":
+                            {"query": "red", "model": "clip/tiny"}},
+                  "page_size": 2},
+        )
+        assert status == 200 and res["count"] == 3
+
+    def test_complete_setup_rejections(self, managed):
+        call = managed["call"]
+        status, _ = call("POST", "/api/desktop/setup/complete",
+                         json={"included_folders": ["  "]})
+        assert status == 400
+        status, _ = call(
+            "POST", "/api/desktop/setup/complete",
+            json={"included_folders": [str(managed["media"])],
+                  "new_index_db": "a"},
+        )
+        assert status == 400  # name too short
+        status, _ = call(
+            "POST", "/api/desktop/setup/complete",
+            json={"included_folders": [str(managed["media"])],
+                  "cron_jobs": [{"inference_id": "nope/nope"}]},
+        )
+        assert status == 400  # unknown model
+        status, _ = call(
+            "POST", "/api/desktop/setup/complete",
+            json={"included_folders": [str(managed["media"])],
+                  "cron_jobs": [{"inference_id": "clip/tiny"},
+                                {"inference_id": "clip/tiny"}]},
+        )
+        assert status == 400  # duplicate model
+
+    def test_scan_type_filter_skips_disabled_classes(
+        self, managed, tmp_path
+    ):
+        """scan_types.video=false: video files are skipped at intake but
+        never vanish-marked; images still index."""
+        call, state = managed["call"], managed["state"]
+        media = managed["media"]
+        fake_mp4 = media / "clip.mp4"
+        # ftyp box → sniffed as video/mp4 without a real decoder.
+        fake_mp4.write_bytes(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64)
+        status, _ = call(
+            "POST", "/api/desktop/setup/complete",
+            json={"included_folders": [str(media)], "scan_video": False},
+        )
+        assert status == 200
+        wait_jobs(state)
+        conn = state.db("default").reader()
+        mimes = {
+            m for (m,) in conn.execute("SELECT type FROM items").fetchall()
+        }
+        assert all(not m.startswith("video/") for m in mimes)
+        assert any(m.startswith("image/") for m in mimes)

@@ -299,7 +299,10 @@ class TestClientCoversOpenApi:
             "/api/items/{sha256}": {"GET": "items.metadata"},
             "/api/items/{sha256}/file": {"GET": "items.file"},
             "/api/items/{sha256}/thumbnail": {"GET": "items.thumbnail"},
+            "/api/items/text/any": {"GET": "items.texts_any"},
             "/api/open/{sha256}": {"POST": "items.open"},
+            "/api/bookmarks/users": {"GET": "bookmarks.users"},
+            "/api/bookmarks/{user}/ns": {"GET": "bookmarks.namespaces"},
             "/api/bookmarks/{user}": {"GET": "bookmarks.list"},
             "/api/bookmarks/{user}/{namespace}/{sha256}":
                 {"PUT": "bookmarks.put", "DELETE": "bookmarks.delete"},
@@ -309,6 +312,12 @@ class TestClientCoversOpenApi:
                 {"GET": "pinboards.get", "DELETE": "pinboards.delete"},
             "/api/pinboards/{user}/{pinboard_id}/versions":
                 {"POST": "pinboards.save_version"},
+            "/api/pinboards/{user}/{pinboard_id}/versions/{version_id}":
+                {"GET": "pinboards.get_version"},
+            "/api/pinboards/{user}/{pinboard_id}/versions/{version_id}/preview":
+                {"GET": "pinboards.version_preview",
+                 "PUT": "pinboards.put_version_preview"},
+            "/api/pinboards/search": {"POST": "pinboards.search"},
             "/api/jobs/queue": {"GET": "jobs.queue"},
             "/api/jobs/queue/{job_id}": {"DELETE": "jobs.cancel"},
             "/api/jobs/data/extraction":
@@ -330,15 +339,23 @@ class TestClientCoversOpenApi:
             "/api/jobs/quants/reconcile": {"POST": "jobs.reconcile_quants"},
             "/api/jobs/cron": {"GET": "jobs.get_cron",
                                "PUT": "jobs.set_cron"},
+            "/api/jobs/cronjob/run": {"POST": "jobs.run_cron"},
+            "/api/jobs/cronjob/schedule": {"GET": "jobs.cron_schedule"},
+            "/api/jobs/maintenance": {"POST": "jobs.maintenance"},
+            "/api/jobs/data/setters/total": {"GET": "jobs.setters_total"},
             "/api/inference/pool": {"GET": "inference.pool"},
             "/api/config/system": {"GET": "config.get",
                                    "PUT": "config.put"},
             "/api/db": {"GET": "databases.list", "POST": "databases.create"},
             "/api/client-config": {"GET": "client_config"},
-            "/api/relay/pairings": {"GET": "relay.pairings",
-                                    "POST": "relay.pair"},
-            "/api/relay/pairings/{pairing_id}":
-                {"GET": "relay.recover", "DELETE": "relay.delete"},
+            "/api/relay/pairings/{relay_id}":
+                {"GET": "relay.pairing", "DELETE": "relay.delete_pairing"},
+            "/api/relay/pairing-operations/{relay_id}":
+                {"GET": "relay.operation", "POST": "relay.begin"},
+            "/api/relay/pairing-operations/{operation_id}/commit":
+                {"POST": "relay.commit"},
+            "/api/relay/pairing-operations/{operation_id}/cancel":
+                {"POST": "relay.cancel"},
             "/api/desktop/update-status": {"GET": "desktop.update_status"},
             "/api/desktop/update-ribbon/snooze":
                 {"POST": "desktop.snooze_ribbon"},
@@ -348,6 +365,17 @@ class TestClientCoversOpenApi:
                 {"GET": "desktop.external_inputs"},
             "/api/desktop/external-inputs/{variable}":
                 {"PUT": "desktop.set_external_input"},
+            "/api/desktop/setup-status": {"GET": "desktop.setup_status"},
+            "/api/desktop/setup-folders/validate":
+                {"POST": "desktop.validate_setup_folders"},
+            "/api/desktop/setup-continuous/validate":
+                {"POST": "desktop.validate_setup_continuous"},
+            "/api/desktop/setup-schedule/preview":
+                {"POST": "desktop.preview_setup_schedule"},
+            "/api/desktop/setup/complete":
+                {"POST": "desktop.complete_setup"},
+            "/api/desktop/update-window/open":
+                {"POST": "desktop.open_update_window"},
             "/predict/{group}/{inference_id}": {"POST": "inference.predict"},
             "/load/{group}/{inference_id}": {"PUT": "inference.load",
                                              "DELETE": "inference.unload"},
@@ -358,7 +386,7 @@ class TestClientCoversOpenApi:
             "/openapi.json": {"GET": "openapi"},
         }
         # Browser-facing pages with no programmatic client mapping.
-        spec_only = {"/docs", "/ui"}
+        spec_only = {"/docs", "/redoc", "/ui"}
 
         spec = client.openapi()
         missing = []
