@@ -103,16 +103,22 @@ def policy_middleware(
             return await handler(request)
         # Surfaced so the UI proxy can mint an SSR token naming this policy.
         request["policy_name"] = policy.name
-        # Relay bootstrap paths bypass the RULESET only (policy.rs:288-293):
-        # a restricted search-only policy must still be able to recover its
-        # own relay credential. The relay handlers enforce the policy's
-        # relay_enabled switch and scope every record to the policy name.
+        # Relay bootstrap paths bypass the ALLOW list and the read-only
+        # switch (policy.rs:288-293): a restricted search-only policy must
+        # still be able to recover its own relay credential, and relay
+        # commits mutate only the pairing store, never DB data. EXPLICIT
+        # deny rules still apply, and the relay handlers enforce the
+        # policy's relay_enabled switch + scope records per policy name.
         relay_bootstrap = request.path.startswith(
             ("/api/relay/pairings/", "/api/relay/pairing-operations/")
         )
-        if not relay_bootstrap and not engine.check(
-            policy, request.method, request.path
-        ):
+        if relay_bootstrap:
+            for rule in policy.deny:
+                if _rule_matches(rule, request.method, request.path):
+                    raise web.HTTPForbidden(
+                        reason=f"denied by policy {policy.name!r}"
+                    )
+        elif not engine.check(policy, request.method, request.path):
             raise web.HTTPForbidden(reason=f"denied by policy {policy.name!r}")
         if policy.index_db is not None:
             # DB pinning: the policy's database overrides the query param.

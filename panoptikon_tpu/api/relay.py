@@ -264,6 +264,9 @@ async def commit_operation(request: web.Request) -> web.Response:
         body = await request.json()
     except Exception:
         return _err(400, "invalid JSON body")
+    if not isinstance(body, dict):
+        # '[]' / '"x"' are valid JSON; .get on them is a 500 traceback.
+        return _err(400, "body must be a JSON object")
     credential = body.get("credential") or ""
     relay_id = body.get("relay_id") or ""
     instance_id = body.get("instance_id") or ""

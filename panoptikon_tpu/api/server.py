@@ -501,6 +501,20 @@ def _json_error(status: int, message: str):
     return web.json_response({"error": message}, status=status)
 
 
+async def _dict_body(request: web.Request) -> dict:
+    """Parse the body as a JSON OBJECT or raise a 400 — '[]' and '\"x\"'
+    are valid JSON but `body.get(...)` on them is a 500 traceback."""
+    try:
+        body = await request.json() if request.can_read_body else {}
+    except Exception:
+        raise web.HTTPBadRequest(reason="invalid JSON body")
+    if body is None:
+        return {}
+    if not isinstance(body, dict):
+        raise web.HTTPBadRequest(reason="body must be a JSON object")
+    return body
+
+
 # ---------------------------------------------------------------------------
 # Handlers
 # ---------------------------------------------------------------------------
@@ -1292,7 +1306,7 @@ async def pinboards_put_version_preview(request: web.Request) -> web.Response:
     name = _db_name(request)
     pid = _int_arg(request.match_info["pinboard_id"], "pinboard_id")
     vid = _int_arg(request.match_info["version_id"], "version_id")
-    body = await request.json()
+    body = await _dict_body(request)
     if not body.get("preview_b64"):
         return _json_error(400, "preview_b64 required")
     try:
@@ -1306,7 +1320,9 @@ async def pinboards_put_version_preview(request: web.Request) -> web.Response:
             with conn:
                 return conn.execute(
                     """UPDATE pinboard_versions
-                       SET preview=?, preview_w=?, preview_h=?,
+                       SET preview=?,
+                           preview_w=COALESCE(?, preview_w),
+                           preview_h=COALESCE(?, preview_h),
                            screenful_h=COALESCE(?, screenful_h)
                        WHERE id=? AND pinboard_id=?""",
                     (blob, body.get("preview_w"), body.get("preview_h"),
@@ -1340,6 +1356,8 @@ async def pinboards_search(request: web.Request) -> web.Response:
         payload = await request.json() if request.can_read_body else {}
     except Exception:
         return _json_error(400, "invalid JSON body")
+    if payload and not isinstance(payload, dict):
+        return _json_error(400, "body must be a JSON object")
 
     def run():
         query = pql.PqlQuery.from_json(payload or {})
@@ -1409,7 +1427,21 @@ async def pinboards_search(request: web.Request) -> web.Response:
         ranked.sort(key=lambda t: (t[0], t[1], t[2]))
         return [t[5] for t in ranked], r.metrics
 
-    matches, metrics = await asyncio.to_thread(run)
+    try:
+        matches, metrics = await asyncio.to_thread(run)
+    except pql.PqlError as exc:
+        # Same malformed-query contract as search_pql: 400, not a 500
+        # traceback.
+        return _json_error(400, str(exc))
+    except Exception as exc:  # noqa: BLE001 — query-induced failures are 4xx
+        from panoptikon_tpu.models.manager import ModelLoadError
+        from panoptikon_tpu.models.registry import RegistryError
+
+        if isinstance(
+            exc, (RegistryError, ModelLoadError, KeyError, ValueError)
+        ):
+            return _json_error(400, str(exc))
+        raise
     return web.json_response(
         {
             "pinboards": matches,
@@ -1915,7 +1947,7 @@ async def desktop_validate_folders(request: web.Request) -> web.Response:
     if (resp := _managed_or_404(state)) is not None:
         return resp
     name = _db_name(request)
-    body = await request.json()
+    body = await _dict_body(request)
     from panoptikon_tpu.db import setup as dbsetup
 
     def run():
@@ -1934,7 +1966,7 @@ async def desktop_validate_continuous(request: web.Request) -> web.Response:
     if (resp := _managed_or_404(state)) is not None:
         return resp
     name = _db_name(request)
-    body = await request.json()
+    body = await _dict_body(request)
     from panoptikon_tpu.db import setup as dbsetup
 
     def run():
@@ -1954,7 +1986,7 @@ async def desktop_preview_schedule(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     if (resp := _managed_or_404(state)) is not None:
         return resp
-    body = await request.json()
+    body = await _dict_body(request)
     from panoptikon_tpu.jobs import cron as cron_mod
 
     schedule = str(body.get("cron_schedule", ""))
@@ -1977,7 +2009,12 @@ async def desktop_setup_complete(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     if (resp := _managed_or_404(state)) is not None:
         return resp
-    body = await request.json()
+    try:
+        body = await request.json()
+    except Exception:
+        return _json_error(400, "invalid JSON body")
+    if not isinstance(body, dict):
+        return _json_error(400, "body must be a JSON object")
     from panoptikon_tpu.db import setup as dbsetup
     from panoptikon_tpu.jobs import cron as cron_mod
 
@@ -2003,6 +2040,8 @@ async def desktop_setup_complete(request: web.Request) -> web.Response:
     cron_jobs = body.get("cron_jobs") or []
     seen_models = set()
     for job in cron_jobs:
+        if not isinstance(job, dict):
+            return _json_error(400, "cron_jobs entries must be objects")
         iid = job.get("inference_id")
         if not iid:
             return _json_error(400, "cron job missing inference_id")
@@ -2016,11 +2055,19 @@ async def desktop_setup_complete(request: web.Request) -> web.Response:
             state.model_registry.resolve(group, model)
         except Exception:
             return _json_error(400, f"unknown model {iid!r}")
+        # Client-supplied numerics → 400, not a 500 traceback (the file's
+        # _int_arg convention).
         bs = job.get("batch_size")
-        if bs is not None and int(bs) < 1:
+        try:
+            if bs is not None and int(bs) < 1:
+                raise ValueError
+        except (TypeError, ValueError):
             return _json_error(400, f"Model {iid} has an invalid batch size")
         th = job.get("threshold")
-        if th is not None and not (0.0 <= float(th) <= 1.0):
+        try:
+            if th is not None and not (0.0 <= float(th) <= 1.0):
+                raise ValueError
+        except (TypeError, ValueError):
             return _json_error(
                 400, f"Model {iid} has an invalid confidence threshold"
             )
@@ -2706,6 +2753,17 @@ def build_app(
             web.get("/cache", inferio_cache_list),
             web.delete("/cache/{cache_key}", inferio_cache_clear),
             web.get("/health", health),
+            # The unified server ALSO nests the inference surface under
+            # /api/inference (reference main.rs:356-364 nest_service) —
+            # reference clients and federation peers address it there; the
+            # root mounts above match the standalone inferio port.
+            web.post("/api/inference/predict/{group}/{inference_id}", inferio_predict),
+            web.put("/api/inference/load/{group}/{inference_id}", inferio_load),
+            web.delete("/api/inference/load/{group}/{inference_id}", inferio_unload),
+            web.get("/api/inference/metadata", inferio_metadata),
+            web.get("/api/inference/cache", inferio_cache_list),
+            web.delete("/api/inference/cache/{cache_key}", inferio_cache_clear),
+            web.get("/api/inference/health", health),
             web.get("/openapi.json", openapi_doc),
             web.get("/docs", docs_page),
             web.get("/redoc", docs_page),  # reference mounts both aliases

@@ -158,6 +158,7 @@ class Settings:
                     deny=list(p.get("deny", [])),
                     index_db=p.get("index_db"),
                     read_only=bool(p.get("read_only", False)),
+                    relay_enabled=bool(p.get("relay_enabled", True)),
                 )
                 for i, p in enumerate(raw["policies"])
             ]

@@ -47,10 +47,14 @@ def _inspect_directory(path: str) -> tuple[Optional[str], bool]:
 
 
 def has_indexed_files_under(conn: sqlite3.Connection, folder: str) -> bool:
+    # Separator-safe boundary: /data/photos must not claim files under
+    # /data/photos2 (the same prefix bug class commit d8e1c7f fixed in
+    # the scan path).
+    prefix = folder.rstrip(os.sep) + os.sep
     row = conn.execute(
         "SELECT EXISTS (SELECT 1 FROM files "
-        "WHERE substr(path, 1, length(?1)) = ?1)",
-        (folder,),
+        "WHERE path = ?1 OR substr(path, 1, length(?2)) = ?2)",
+        (folder, prefix),
     ).fetchone()
     return bool(row and row[0])
 
@@ -154,10 +158,14 @@ def is_ready_for_desktop(conn: sqlite3.Connection) -> bool:
     """Ready once ≥1 currently-included folder has reached the filescan
     pipeline — file_scans rows appear when scanning STARTS, so queued or
     failed-before-start jobs don't false-positive (setup.rs:184-200)."""
+    # file_scans.path records the scan's ";"-joined included-folder list
+    # (store.start_file_scan) — match a folder ANYWHERE in that list, not
+    # string-equal, or readiness never flips once 2+ folders are included.
     row = conn.execute(
         """SELECT EXISTS (
                SELECT 1 FROM folders f
-               INNER JOIN file_scans s ON s.path = f.path
+               INNER JOIN file_scans s
+                 ON instr(';' || s.path || ';', ';' || f.path || ';') > 0
                WHERE f.included = 1
            )"""
     ).fetchone()

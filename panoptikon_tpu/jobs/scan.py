@@ -264,6 +264,24 @@ def process_path(
         # content rewrite with a preserved timestamp still re-hashes.
         row.status = "unchanged"
         return row
+    if disabled_types:
+        # Pre-hash gate: sniff from a small head read so a disabled class
+        # (e.g. 500 GB of video with scan_types.video=false) never pays a
+        # full-file hash on every rescan — skipped rows are not persisted,
+        # so without this every scan would re-hash the whole class.
+        try:
+            with open(path, "rb") as f:
+                head_probe = f.read(8192)
+        except OSError as exc:
+            row.status = "error"
+            row.error = ("stat", "transient", None, str(exc))
+            return row
+        if mime_class(sniff_mime(path, head_probe)) in disabled_types:
+            # No intake, but the file still counts as present on disk
+            # (the caller adds it to `seen`, so existing rows are never
+            # vanish-marked by a toggle).
+            row.status = "skipped_type"
+            return row
     try:
         t0 = time.perf_counter()
         row.sha256, row.md5, head = hash_file(path)
@@ -277,12 +295,6 @@ def process_path(
     t0 = time.perf_counter()
     row.mime = sniff_mime(path, head)
     mime = row.mime
-    if disabled_types and mime_class(mime) in disabled_types:
-        # Type switched off in per-DB config: no intake, but the file
-        # still counts as present on disk (the caller adds it to `seen`,
-        # so existing rows are never vanish-marked by a toggle).
-        row.status = "skipped_type"
-        return row
 
     if mime.startswith("image/"):
         row.width, row.height = image_meta(path)

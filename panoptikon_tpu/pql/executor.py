@@ -1529,6 +1529,18 @@ class Executor:
             for k in stale:
                 self._static_cache.pop(k, None)
             self._static_cache[key] = value
+            # Sibling cap: parameterized kinds (srcweights' user-supplied
+            # (cw, lcw) arms) pin corpus-sized arrays per distinct
+            # parameter tuple — bound same-(kind, space, generation)
+            # siblings to the most recent few so an adversarial caller
+            # iterating weights can't grow the cache without bound.
+            if len(key) > 3:
+                siblings = [
+                    k for k in self._static_cache
+                    if k[:3] == key[:3] and k != key
+                ]
+                for k in siblings[: max(0, len(siblings) - 3)]:
+                    self._static_cache.pop(k, None)
         return value
 
     def _identity_groups(self, space: str, snap) -> bool:

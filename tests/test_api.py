@@ -1301,3 +1301,116 @@ class TestDesktopSetup:
         }
         assert all(not m.startswith("video/") for m in mimes)
         assert any(m.startswith("image/") for m in mimes)
+
+
+class TestLongTailHardening:
+    def test_pinboard_search_bad_model_is_400(self, client_env):
+        call = client_env["call"]
+        status, _ = call(
+            "POST", "/api/pinboards/search",
+            json={"query": {"image_embeddings":
+                            {"query": "x", "model": "nope/nope"}}},
+        )
+        assert status == 400
+        status, _ = call("POST", "/api/pinboards/search", json=[1])
+        assert status == 400
+
+    def test_setup_complete_non_numeric_knobs_are_400(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        state.desktop_managed = True
+        status, _ = call(
+            "POST", "/api/desktop/setup/complete",
+            json={"included_folders": [str(client_env["media"])],
+                  "cron_jobs": [{"inference_id": "clip/tiny",
+                                 "batch_size": "four"}]},
+        )
+        assert status == 400
+        status, _ = call(
+            "POST", "/api/desktop/setup/complete",
+            json={"included_folders": [str(client_env["media"])],
+                  "cron_jobs": [{"inference_id": "clip/tiny",
+                                 "threshold": "high"}]},
+        )
+        assert status == 400
+        status, _ = call("POST", "/api/desktop/setup/complete", json=[1])
+        assert status == 400
+
+    def test_preview_put_without_dims_keeps_existing(self, client_env):
+        import base64 as b64mod
+
+        call = client_env["call"]
+        _, body = call("POST", "/api/pinboards/user", json={"name": "x"})
+        pid = body["id"]
+        _, body = call(
+            "POST", f"/api/pinboards/user/{pid}/versions",
+            json={"layout": [], "preview_b64":
+                  b64mod.b64encode(b"one").decode(),
+                  "preview_w": 10, "preview_h": 8},
+        )
+        vid = body["version_id"]
+        status, _ = call(
+            "PUT", f"/api/pinboards/user/{pid}/versions/{vid}/preview",
+            json={"preview_b64": b64mod.b64encode(b"two").decode()},
+        )
+        assert status == 200
+        _, version = call("GET", f"/api/pinboards/user/{pid}/versions/{vid}")
+        assert version["preview_w"] == 10 and version["preview_h"] == 8
+
+
+class TestSetupHelpers:
+    def test_ready_with_multiple_included_folders(self, tmp_path):
+        """file_scans.path is the ';'-joined included list — readiness must
+        match a folder ANYWHERE in it (regression: string-equality join)."""
+        import sqlite3
+
+        from panoptikon_tpu.db import schema, setup as dbsetup
+
+        conn = sqlite3.connect(":memory:")
+        schema.migrate(conn, "index")
+        conn.execute(
+            "INSERT INTO folders (path, included, time_added) "
+            "VALUES ('/a', 1, 't')"
+        )
+        conn.execute(
+            "INSERT INTO file_scans (start_time, path) VALUES ('t', '/a;/b')"
+        )
+        assert dbsetup.is_ready_for_desktop(conn) is True
+
+    def test_has_indexed_files_under_is_separator_safe(self, tmp_path):
+        import sqlite3
+
+        from panoptikon_tpu.db import schema, setup as dbsetup
+
+        conn = sqlite3.connect(":memory:")
+        schema.migrate(conn, "index")
+        conn.execute(
+            "INSERT INTO items (sha256, md5, type, time_added) "
+            "VALUES ('s', 'm', 'image/png', 't')"
+        )
+        conn.execute(
+            "INSERT INTO files (item_id, sha256, path, filename, "
+            "last_modified, available) "
+            "VALUES (1, 's', '/data/photos2/x.jpg', 'x.jpg', 't', 1)"
+        )
+        assert dbsetup.has_indexed_files_under(conn, "/data/photos") is False
+        assert dbsetup.has_indexed_files_under(conn, "/data/photos2") is True
+
+
+class TestNestedInferenceSurface:
+    def test_backend_against_api_inference_prefix(self, client_env):
+        """A federation peer (or reference client) addresses the inference
+        surface at base_url + /api/inference (main.rs nest_service); the
+        HTTP backend must round-trip through the nested mount."""
+        call, client = client_env["call"], client_env["client"]
+        status, meta = call("GET", "/api/inference/metadata")
+        assert status == 200 and "clip" in meta
+        status, body = call(
+            "POST",
+            "/api/inference/predict/fixtures/echo",
+            json={"inputs": [{"x": 1}]},
+        )
+        assert status == 200 and body["outputs"][0]["echo"] == {"x": 1}
+        status, _ = call("GET", "/api/inference/health")
+        assert status == 200
+        status, _ = call("GET", "/api/inference/cache")
+        assert status == 200

@@ -380,6 +380,18 @@ class TestClientCoversOpenApi:
             "/load/{group}/{inference_id}": {"PUT": "inference.load",
                                              "DELETE": "inference.unload"},
             "/metadata": {"GET": "inference.metadata"},
+            # Nested aliases (reference main.rs nest_service) — same calls
+            # via an HttpInferenceBackend pointed at base_url +
+            # "/api/inference".
+            "/api/inference/predict/{group}/{inference_id}":
+                {"POST": "inference.predict"},
+            "/api/inference/load/{group}/{inference_id}":
+                {"PUT": "inference.load", "DELETE": "inference.unload"},
+            "/api/inference/metadata": {"GET": "inference.metadata"},
+            "/api/inference/cache": {"GET": "inference.cache_list"},
+            "/api/inference/cache/{cache_key}":
+                {"DELETE": "inference.cache_clear"},
+            "/api/inference/health": {"GET": "health"},
             "/cache": {"GET": "inference.cache_list"},
             "/cache/{cache_key}": {"DELETE": "inference.cache_clear"},
             "/health": {"GET": "health"},

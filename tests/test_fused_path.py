@@ -598,3 +598,18 @@ class TestStaticCacheSupersession:
             keys = {k for k in ex._static_cache if k[0] == "hitrows" and k[1] == "spZ"}
         # The stale epoch of the SAME entity is gone; the other entity stays.
         assert h_old not in keys and h_new in keys and h_text in keys
+
+    def test_sibling_cap_bounds_parameterized_kinds(self, ex_rng):
+        """Unbounded (cw, lcw) arms would pin corpus-sized arrays per
+        distinct user float — same-(kind, space, generation) siblings are
+        capped at the most recent few."""
+        ex, _ = ex_rng
+        for i in range(10):
+            ex._static_get(
+                ("srcweights", "spCap", 1, float(i), 0.0), lambda: i
+            )
+        with ex._cache_lock:
+            live = [k for k in ex._static_cache if k[:3] == ("srcweights", "spCap", 1)]
+        assert len(live) <= 4
+        # The most recent key survived.
+        assert ("srcweights", "spCap", 1, 9.0, 0.0) in live

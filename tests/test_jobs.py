@@ -843,3 +843,37 @@ class TestOwedMaintenanceRetry:
             assert q._owed.get("d") is not None and q._owed["d"].any
             assert q._maint_retry_at.get("d", 0) > _t.time()
         q.shutdown()
+
+
+class TestScanTypeFilter:
+    def test_disabled_class_skips_before_hashing(self, tmp_path, monkeypatch):
+        """A disabled media class must be skipped from a cheap head sniff,
+        never paying the full-file hash (regression: 500 GB of disabled
+        video re-hashed on every rescan)."""
+        from panoptikon_tpu.jobs import scan as scan_mod
+
+        mp4 = tmp_path / "big.mp4"
+        mp4.write_bytes(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 4096)
+
+        def boom(path):
+            raise AssertionError("hash_file must not run for skipped types")
+
+        monkeypatch.setattr(scan_mod, "hash_file", boom)
+        row = scan_mod.process_path(
+            str(mp4), None, make_thumbnails=False,
+            disabled_types=frozenset({"video"}),
+        )
+        assert row.status == "skipped_type"
+
+    def test_enabled_classes_still_hash(self, tmp_path):
+        from panoptikon_tpu.jobs import scan as scan_mod
+
+        png = tmp_path / "a.png"
+        from PIL import Image
+
+        Image.new("RGB", (8, 8), (1, 2, 3)).save(png)
+        row = scan_mod.process_path(
+            str(png), None, make_thumbnails=False,
+            disabled_types=frozenset({"video"}),
+        )
+        assert row.status == "new" and row.sha256

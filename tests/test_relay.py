@@ -217,3 +217,53 @@ class TestDurabilityAndTtl:
         # Another policy is unaffected by beta's cap.
         st, _, _ = call("POST", "/api/relay/pairing-operations/cap-other")
         assert st == 202
+
+
+class TestHardening:
+    def test_commit_non_object_body_is_400(self, env):
+        call = env["call"]
+        st, _, _ = call(
+            "POST", "/api/relay/pairing-operations/x/commit", json=[1, 2]
+        )
+        assert st == 400
+
+    def test_deny_rule_still_blocks_relay_paths(self, tmp_path):
+        """The allow-list bypass must NOT bypass explicit deny rules."""
+        import asyncio as _asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from panoptikon_tpu.api.server import AppState, build_app
+
+        reg = tmp_path / "registry"
+        reg.mkdir()
+        (reg / "00.toml").write_text("")
+        state = AppState.create(tmp_path / "data", reg)
+        policies = [PolicyConfig(name="d", allow=["* /"],
+                                 deny=["* /api/relay/"])]
+        loop = _asyncio.new_event_loop()
+        app = build_app(state, policies, "d")
+        c = TestClient(TestServer(app), loop=loop)
+        loop.run_until_complete(c.start_server())
+        try:
+            resp = loop.run_until_complete(
+                c.request("POST", "/api/relay/pairing-operations/r")
+            )
+            assert resp.status == 403
+        finally:
+            loop.run_until_complete(c.close())
+            state.shutdown()
+            loop.close()
+
+    def test_relay_enabled_parses_from_toml(self, tmp_path):
+        from panoptikon_tpu.config import Settings
+
+        cfg = tmp_path / "s.toml"
+        cfg.write_text(
+            'data_root = "x"\n'
+            "[[policies]]\n"
+            'name = "p"\n'
+            "relay_enabled = false\n"
+        )
+        s = Settings.load(cfg, root=tmp_path)
+        assert s.policies[0].relay_enabled is False
