@@ -1414,3 +1414,46 @@ class TestNestedInferenceSurface:
         assert status == 200
         status, _ = call("GET", "/api/inference/cache")
         assert status == 200
+
+
+class TestUiBoardSearchFlow:
+    def test_board_search_flow(self, client_env):
+        """The UI's 'Search boards' action, driven as the exact endpoint
+        sequence its JS performs (ui.html pbsearch handler): index →
+        create a board from a search hit → find the board by content
+        search → open it."""
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders",
+             json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+        call("POST", "/api/jobs/data/extraction",
+             json={"inference_id": "clip/tiny"})
+        wait_jobs(state)
+        _, res = call(
+            "POST", "/api/search/pql",
+            json={"query": {"image_embeddings":
+                            {"query": "a red image", "model": "clip/tiny"}},
+                  "page_size": 1},
+        )
+        sha = res["results"][0]["sha256"]
+        _, body = call("POST", "/api/pinboards/user", json={"name": "reds"})
+        pid = body["id"]
+        call("POST", f"/api/pinboards/user/{pid}/versions",
+             json={"layout": [sha]})
+        # The pbsearch handler's exact request body.
+        status, found = call(
+            "POST", "/api/pinboards/search",
+            json={"query": {"image_embeddings":
+                            {"query": "a red image", "model": "clip/tiny"}}},
+        )
+        assert status == 200
+        assert [b["id"] for b in found["pinboards"]] == [pid]
+        assert found["pinboards"][0]["match_count"] == 1
+        # Open the board (the UI's follow-up call).
+        status, board = call("GET", f"/api/pinboards/user/{pid}")
+        assert status == 200 and board["items"] == [sha]
+        # The UI page carries the new wiring.
+        _, page = call("GET", "/ui")
+        text = bytes(page).decode()
+        for marker in ("pbsearch", "pbsearchmodel", "/api/pinboards/search"):
+            assert marker in text, marker
