@@ -759,6 +759,14 @@ async def embed_cache_stats(request: web.Request) -> web.Response:
     return web.json_response(EMBED_CACHE.stats())
 
 
+async def embed_cache_clear(request: web.Request) -> web.Response:
+    """Clear the query-embedding LRU (reference clear_search_cache on
+    /api/search/embeddings/cache — forces fresh embeds after a model
+    recalibration)."""
+    EMBED_CACHE.clear()
+    return web.json_response(EMBED_CACHE.stats())
+
+
 async def item_file(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     name = _db_name(request)
@@ -848,18 +856,79 @@ async def item_metadata(request: web.Request) -> web.Response:
 
 
 async def tags_top(request: web.Request) -> web.Response:
+    """Most common tags with optional namespace / setter / confidence
+    scoping (reference api/search.rs get_top_tags:399-440): each row
+    carries occurrences and the relative frequency (occurrences / total
+    item-setter pairs), descending by frequency."""
     state: AppState = request.app["state"]
     name = _db_name(request)
     limit = _int_arg(request.query.get("limit", 100), "limit")
+    namespace = request.query.get("namespace")
+    setters = [s for s in request.query.get("setters", "").split(",") if s]
+    threshold = request.query.get("confidence_threshold")
+    if threshold is not None:
+        threshold = _float_arg(threshold, "confidence_threshold")
+        if not (0.0 <= threshold <= 1.0):
+            return _json_error(
+                400, "confidence_threshold must be between 0 and 1"
+            )
 
     def run():
         conn = state.db(name).reader()
-        return [
-            {"namespace": ns, "name": n, "count": c}
-            for ns, n, c in conn.execute(
-                "SELECT namespace, name, item_count FROM tags ORDER BY item_count DESC LIMIT ?",
+        scoped = namespace or setters or threshold is not None
+        if not scoped:
+            # Fast path: the denormalized per-tag item_count.
+            total = conn.execute(
+                "SELECT COUNT(DISTINCT item_id || ':' || "
+                "(SELECT setter_id FROM item_data d WHERE d.id = "
+                "ti.item_data_id)) FROM tags_items ti"
+            ).fetchone()[0] or 1
+            rows = conn.execute(
+                """SELECT namespace, name, item_count FROM tags
+                   WHERE item_count > 0
+                   ORDER BY item_count DESC LIMIT ?""",
                 (limit,),
             ).fetchall()
+            return [
+                {"namespace": ns, "name": n, "count": c,
+                 "frequency": c / total}
+                for ns, n, c in rows
+            ]
+        where, params = [], []
+        if namespace:
+            where.append("tg.namespace = ?")
+            params.append(namespace)
+        if setters:
+            marks = ",".join("?" * len(setters))
+            where.append(
+                f"d.setter_id IN (SELECT id FROM setters WHERE name IN ({marks}))"
+            )
+            params.extend(setters)
+        if threshold is not None:
+            where.append("ti.confidence >= ?")
+            params.append(threshold)
+        clause = " AND ".join(where) or "1=1"
+        total = conn.execute(
+            f"""SELECT COUNT(DISTINCT ti.item_id || ':' || d.setter_id)
+                FROM tags_items ti
+                JOIN item_data d ON d.id = ti.item_data_id
+                JOIN tags tg ON tg.id = ti.tag_id
+                WHERE {clause}""",
+            params,
+        ).fetchone()[0] or 1
+        rows = conn.execute(
+            f"""SELECT tg.namespace, tg.name, COUNT(DISTINCT ti.item_id) c
+                FROM tags_items ti
+                JOIN item_data d ON d.id = ti.item_data_id
+                JOIN tags tg ON tg.id = ti.tag_id
+                WHERE {clause}
+                GROUP BY tg.namespace, tg.name
+                ORDER BY c DESC LIMIT ?""",
+            [*params, limit],
+        ).fetchall()
+        return [
+            {"namespace": ns, "name": n, "count": c, "frequency": c / total}
+            for ns, n, c in rows
         ]
 
     return web.json_response(await asyncio.to_thread(run))
@@ -2671,6 +2740,7 @@ def build_app(
             web.put("/api/search/cache", cache_resize),
             web.delete("/api/search/cache", cache_clear),
             web.get("/api/search/embeddings/cache", embed_cache_stats),
+            web.delete("/api/search/embeddings/cache", embed_cache_clear),
             web.get("/api/search/tags/top", tags_top),
             web.get("/api/search/tags", tags_autocomplete),
             web.get("/api/items/text/any", texts_any),

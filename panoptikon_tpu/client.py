@@ -285,10 +285,21 @@ class _Search(_Resource):
     def embedding_cache_stats(self) -> dict:
         return self._c.request("GET", "/api/search/embeddings/cache")
 
-    def tags_top(self, *, limit: int = 100, namespace: str | None = None) -> Any:
+    def embedding_cache_clear(self) -> dict:
+        return self._c.request("DELETE", "/api/search/embeddings/cache")
+
+    def tags_top(
+        self, *, limit: int = 100, namespace: str | None = None,
+        setters: Sequence[str] | None = None,
+        confidence_threshold: float | None = None,
+    ) -> Any:
         return self._c.request(
             "GET", "/api/search/tags/top",
-            params={"limit": limit, "namespace": namespace},
+            params={
+                "limit": limit, "namespace": namespace,
+                "setters": ",".join(setters) if setters else None,
+                "confidence_threshold": confidence_threshold,
+            },
         )
 
     def tags_autocomplete(self, prefix: str, *, limit: int = 25) -> Any:

@@ -1457,3 +1457,81 @@ class TestUiBoardSearchFlow:
         text = bytes(page).decode()
         for marker in ("pbsearch", "pbsearchmodel", "/api/pinboards/search"):
             assert marker in text, marker
+
+
+class TestTopTagsScoping:
+    def test_scoped_and_unscoped_frequencies(self, client_env):
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders",
+             json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+
+        def seed(conn):
+            for s in ("tags/a", "tags/b"):
+                conn.execute("INSERT INTO setters (name) VALUES (?)", (s,))
+            sa = conn.execute(
+                "SELECT id FROM setters WHERE name='tags/a'").fetchone()[0]
+            sb = conn.execute(
+                "SELECT id FROM setters WHERE name='tags/b'").fetchone()[0]
+            items = [r[0] for r in conn.execute(
+                "SELECT id FROM items ORDER BY id").fetchall()]
+            conn.execute(
+                "INSERT INTO tags (namespace, name, item_count) "
+                "VALUES ('general', 'cat', 2), ('meta', 'hi', 1)"
+            )
+            cat = conn.execute(
+                "SELECT id FROM tags WHERE name='cat'").fetchone()[0]
+            hi = conn.execute(
+                "SELECT id FROM tags WHERE name='hi'").fetchone()[0]
+            rows = [
+                (items[0], sa, cat, 0.9),
+                (items[1], sa, cat, 0.4),
+                (items[0], sb, hi, 0.8),
+            ]
+            for item, setter, tag, conf in rows:
+                conn.execute(
+                    "INSERT INTO item_data (item_id, setter_id, data_type, "
+                    "idx, is_origin) VALUES (?,?, 'tags', 0, 1)"
+                    " ON CONFLICT DO NOTHING",
+                    (item, setter),
+                )
+                did = conn.execute(
+                    "SELECT id FROM item_data WHERE item_id=? AND "
+                    "setter_id=?", (item, setter),
+                ).fetchone()[0]
+                conn.execute(
+                    "INSERT INTO tags_items (item_data_id, tag_id, item_id, "
+                    "confidence) VALUES (?,?,?,?)",
+                    (did, tag, item, conf),
+                )
+
+        db = state.db("default")
+        state.writers.get(db).call(seed)
+        # Unscoped: denormalized counts + frequency present.
+        status, rows = call("GET", "/api/search/tags/top")
+        assert status == 200
+        by_name = {r["name"]: r for r in rows}
+        assert by_name["cat"]["count"] == 2
+        assert 0 < by_name["cat"]["frequency"] <= 1
+        # Namespace scope drops the other namespace.
+        status, rows = call("GET", "/api/search/tags/top?namespace=meta")
+        assert [r["name"] for r in rows] == ["hi"]
+        # Setter scope.
+        status, rows = call("GET", "/api/search/tags/top?setters=tags/b")
+        assert [r["name"] for r in rows] == ["hi"]
+        # Confidence threshold drops the 0.4 attribution.
+        status, rows = call(
+            "GET", "/api/search/tags/top?confidence_threshold=0.5"
+        )
+        by_name = {r["name"]: r for r in rows}
+        assert by_name["cat"]["count"] == 1
+        # Out-of-range threshold → 400.
+        status, _ = call(
+            "GET", "/api/search/tags/top?confidence_threshold=2"
+        )
+        assert status == 400
+
+    def test_embed_cache_clear(self, client_env):
+        call = client_env["call"]
+        status, stats = call("DELETE", "/api/search/embeddings/cache")
+        assert status == 200 and stats["entries"] == 0

@@ -292,7 +292,8 @@ class TestClientCoversOpenApi:
                                   "PUT": "search.cache_resize",
                                   "DELETE": "search.cache_clear"},
             "/api/search/embeddings/cache":
-                {"GET": "search.embedding_cache_stats"},
+                {"GET": "search.embedding_cache_stats",
+                 "DELETE": "search.embedding_cache_clear"},
             "/api/search/tags/top": {"GET": "search.tags_top"},
             "/api/search/tags": {"GET": "search.tags_autocomplete"},
             "/api/accelerator": {"GET": "accelerator"},
