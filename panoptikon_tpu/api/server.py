@@ -767,17 +767,64 @@ async def embed_cache_clear(request: web.Request) -> web.Response:
     return web.json_response(EMBED_CACHE.stats())
 
 
+_ID_TYPE_SQL = {
+    # Every identifier the reference accepts (db/items.rs
+    # ItemIdentifierType:13-20) resolved to the item's sha256. File-level
+    # ids (file_id/path) resolve to their item — all of an item's files
+    # are bit-identical (same sha), so the served content is the same.
+    "item_id": "SELECT sha256 FROM items WHERE id = ?",
+    "file_id": (
+        "SELECT i.sha256 FROM files f JOIN items i ON i.id = f.item_id "
+        "WHERE f.id = ?"
+    ),
+    "data_id": (
+        "SELECT i.sha256 FROM item_data d JOIN items i ON i.id = d.item_id "
+        "WHERE d.id = ?"
+    ),
+    "path": (
+        "SELECT i.sha256 FROM files f JOIN items i ON i.id = f.item_id "
+        "WHERE f.path = ?"
+    ),
+    "md5": "SELECT sha256 FROM items WHERE md5 = ?",
+}
+
+
+def _resolve_item_sha(conn, ident: str, id_type: str) -> Optional[str]:
+    """Item identifier → sha256 per the ``id_type`` query param
+    (reference api/items.rs ItemQuery). Unknown type raises 400."""
+    if id_type in ("sha256", "", None):
+        return ident
+    sql = _ID_TYPE_SQL.get(id_type)
+    if sql is None:
+        raise web.HTTPBadRequest(
+            reason=f"unknown id_type {id_type!r} (expected sha256/item_id/"
+            "file_id/data_id/path/md5)"
+        )
+    if id_type.endswith("_id"):
+        try:
+            ident = int(ident)
+        except ValueError:
+            raise web.HTTPBadRequest(reason=f"{id_type} must be an integer")
+    row = conn.execute(sql, (ident,)).fetchone()
+    return row[0] if row else None
+
+
 async def item_file(request: web.Request) -> web.Response:
     state: AppState = request.app["state"]
     name = _db_name(request)
     sha = request.match_info["sha256"]
 
+    id_type = request.query.get("id_type", "sha256")
+
     def run():
         conn = state.db(name).reader()
+        resolved = _resolve_item_sha(conn, sha, id_type)
+        if resolved is None:
+            return None
         row = conn.execute(
             """SELECT f.path, i.type FROM files f JOIN items i ON i.id=f.item_id
                WHERE f.sha256 = ? AND f.available = 1 LIMIT 1""",
-            (sha,),
+            (resolved,),
         ).fetchone()
         return row
 
@@ -795,11 +842,16 @@ async def item_thumbnail(request: web.Request) -> web.Response:
     name = _db_name(request)
     sha = request.match_info["sha256"]
 
+    id_type = request.query.get("id_type", "sha256")
+
     def run():
         conn = state.db(name).reader()
+        resolved = _resolve_item_sha(conn, sha, id_type)
+        if resolved is None:
+            return None
         return conn.execute(
             "SELECT thumbnail FROM storage.thumbnails WHERE item_sha256=? ORDER BY idx LIMIT 1",
-            (sha,),
+            (resolved,),
         ).fetchone()
 
     row = await asyncio.to_thread(run)
@@ -813,10 +865,15 @@ async def item_metadata(request: web.Request) -> web.Response:
     name = _db_name(request)
     sha = request.match_info["sha256"]
 
+    id_type = request.query.get("id_type", "sha256")
+
     def run():
         conn = state.db(name).reader()
         conn.row_factory = None
-        item = conn.execute("SELECT * FROM items WHERE sha256=?", (sha,)).fetchone()
+        resolved = _resolve_item_sha(conn, sha, id_type)
+        if resolved is None:
+            return None
+        item = conn.execute("SELECT * FROM items WHERE sha256=?", (resolved,)).fetchone()
         if item is None:
             return None
         cols = [d[0] for d in conn.execute("SELECT * FROM items LIMIT 0").description]

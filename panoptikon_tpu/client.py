@@ -309,8 +309,14 @@ class _Search(_Resource):
 
 
 class _Items(_Resource):
-    def metadata(self, sha256: str) -> dict:
-        return self._c.request("GET", f"/api/items/{sha256}")
+    def metadata(self, ident: str, *, id_type: str | None = None) -> dict:
+        """Item metadata by sha256 (default) or any reference identifier
+        — ``id_type`` in sha256/item_id/file_id/data_id/path/md5
+        (api/items.rs ItemIdentifierType)."""
+        enc = urllib.parse.quote(str(ident), safe="")
+        return self._c.request(
+            "GET", f"/api/items/{enc}", params={"id_type": id_type}
+        )
 
     def file(
         self, sha256: str, *, byte_range: tuple[int, int | None] | None = None

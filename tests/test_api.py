@@ -1535,3 +1535,41 @@ class TestTopTagsScoping:
         call = client_env["call"]
         status, stats = call("DELETE", "/api/search/embeddings/cache")
         assert status == 200 and stats["entries"] == 0
+
+
+class TestItemIdTypes:
+    def test_all_identifier_types_resolve(self, client_env):
+        """id_type query param on the item endpoints (reference
+        api/items.rs ItemIdentifierType:13-20)."""
+        call, state = client_env["call"], client_env["state"]
+        call("PUT", "/api/jobs/folders",
+             json={"included": [str(client_env["media"])]})
+        wait_jobs(state)
+        conn = state.db("default").reader()
+        item_id, sha, md5 = conn.execute(
+            "SELECT id, sha256, md5 FROM items LIMIT 1"
+        ).fetchone()
+        file_id, path = conn.execute(
+            "SELECT id, path FROM files WHERE item_id=?", (item_id,)
+        ).fetchone()
+        import urllib.parse as up
+
+        for ident, id_type in [
+            (sha, "sha256"), (item_id, "item_id"), (file_id, "file_id"),
+            (md5, "md5"), (up.quote(path, safe=""), "path"),
+        ]:
+            status, meta = call(
+                "GET", f"/api/items/{ident}?id_type={id_type}"
+            )
+            assert status == 200, (id_type, meta)
+            assert meta["sha256"] == sha, id_type
+        # Thumbnail + file resolve through the same param.
+        status, _ = call(
+            "GET", f"/api/items/{item_id}/file?id_type=item_id"
+        )
+        assert status == 200
+        # Unknown type → 400; unknown id → 404.
+        status, _ = call("GET", f"/api/items/{sha}?id_type=bogus")
+        assert status == 400
+        status, _ = call("GET", "/api/items/999999?id_type=item_id")
+        assert status == 404
