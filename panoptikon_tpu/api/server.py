@@ -1089,6 +1089,31 @@ async def bookmarks_delete(request: web.Request) -> web.Response:
     return web.json_response({"deleted": bool(deleted)})
 
 
+async def bookmarks_delete_namespace(request: web.Request) -> web.Response:
+    """Bulk-delete every bookmark in a user's namespace (reference
+    api/bookmarks.rs delete_bookmarks_by_namespace)."""
+    state: AppState = request.app["state"]
+    name = _db_name(request)
+    user = request.match_info["user"]
+    namespace = request.match_info["namespace"]
+
+    def run():
+        conn = state.db(name).user_data_write_connection()
+        try:
+            with conn:
+                return conn.execute(
+                    "DELETE FROM bookmarks WHERE user=? AND namespace=?",
+                    (user, namespace),
+                ).rowcount
+        finally:
+            conn.close()
+
+    deleted = await asyncio.to_thread(run)
+    if deleted:
+        EPOCHS.bump_user_data(name)
+    return web.json_response({"deleted": int(deleted)})
+
+
 async def bookmarks_users(request: web.Request) -> web.Response:
     """Distinct bookmark owners (reference api/bookmarks.rs bookmark_users,
     route /api/bookmarks/users)."""
@@ -2808,6 +2833,7 @@ def build_app(
             web.get("/api/bookmarks/users", bookmarks_users),
             web.get("/api/bookmarks/{user}/ns", bookmarks_namespaces),
             web.get("/api/bookmarks/{user}", bookmarks_list),
+            web.delete("/api/bookmarks/{user}/{namespace}", bookmarks_delete_namespace),
             web.put("/api/bookmarks/{user}/{namespace}/{sha256}", bookmarks_put),
             web.delete("/api/bookmarks/{user}/{namespace}/{sha256}", bookmarks_delete),
             # Literal /search before the {user} wildcard; content search

@@ -359,6 +359,13 @@ class _Bookmarks(_Resource):
     def users(self) -> dict:
         return self._c.request("GET", "/api/bookmarks/users")
 
+    def delete_namespace(self, user: str, namespace: str) -> dict:
+        """Bulk-delete a namespace's bookmarks (bookmarks.rs
+        delete_bookmarks_by_namespace)."""
+        return self._c.request(
+            "DELETE", f"/api/bookmarks/{user}/{namespace}"
+        )
+
     def namespaces(self, user: str) -> dict:
         return self._c.request("GET", f"/api/bookmarks/{user}/ns")
 

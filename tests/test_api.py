@@ -1573,3 +1573,15 @@ class TestItemIdTypes:
         assert status == 400
         status, _ = call("GET", "/api/items/999999?id_type=item_id")
         assert status == 404
+
+
+class TestBookmarkNamespaceBulkDelete:
+    def test_bulk_delete(self, client_env):
+        call = client_env["call"]
+        call("PUT", "/api/bookmarks/u1/favs/" + "a" * 64, json={})
+        call("PUT", "/api/bookmarks/u1/favs/" + "b" * 64, json={})
+        call("PUT", "/api/bookmarks/u1/keep/" + "c" * 64, json={})
+        status, body = call("DELETE", "/api/bookmarks/u1/favs")
+        assert status == 200 and body["deleted"] == 2
+        status, rows = call("GET", "/api/bookmarks/u1")
+        assert [b["namespace"] for b in rows] == ["keep"]

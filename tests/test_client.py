@@ -305,6 +305,8 @@ class TestClientCoversOpenApi:
             "/api/bookmarks/users": {"GET": "bookmarks.users"},
             "/api/bookmarks/{user}/ns": {"GET": "bookmarks.namespaces"},
             "/api/bookmarks/{user}": {"GET": "bookmarks.list"},
+            "/api/bookmarks/{user}/{namespace}":
+                {"DELETE": "bookmarks.delete_namespace"},
             "/api/bookmarks/{user}/{namespace}/{sha256}":
                 {"PUT": "bookmarks.put", "DELETE": "bookmarks.delete"},
             "/api/pinboards/{user}": {"GET": "pinboards.list",
