@@ -1585,3 +1585,86 @@ class TestBookmarkNamespaceBulkDelete:
         assert status == 200 and body["deleted"] == 2
         status, rows = call("GET", "/api/bookmarks/u1")
         assert [b["namespace"] for b in rows] == ["keep"]
+
+
+class TestPinboardSearchDifferential:
+    def test_ranking_matches_oracle_over_random_boards(self, tmp_path):
+        """Randomized boards over a 30-image corpus: the endpoint's board
+        ranking must equal an oracle recomputed from the full search
+        ordering (best-rank asc, fraction desc, count desc, recency desc,
+        id desc — reference search.rs sort_pinboard_matches:1142-1155)."""
+        import random
+
+        media = tmp_path / "media"
+        media.mkdir()
+        rnd = random.Random(7)
+        for i in range(30):
+            make_png(
+                media / f"img{i}.png",
+                (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256)),
+            )
+        reg = tmp_path / "registry"
+        reg.mkdir()
+        (reg / "00.toml").write_text(REG_TOML)
+        state = AppState.create(tmp_path / "data", reg)
+        app = build_app(state)
+        loop = asyncio.new_event_loop()
+        client = TestClient(TestServer(app), loop=loop)
+        loop.run_until_complete(client.start_server())
+
+        def call(method, path, **kwargs):
+            async def do():
+                resp = await client.request(method, path, **kwargs)
+                return resp.status, await resp.json()
+
+            return loop.run_until_complete(do())
+
+        try:
+            call("PUT", "/api/jobs/folders", json={"included": [str(media)]})
+            wait_jobs(state)
+            call("POST", "/api/jobs/data/extraction",
+                 json={"inference_id": "clip/tiny"})
+            wait_jobs(state)
+            query = {"image_embeddings":
+                     {"query": "a bright colorful image",
+                      "model": "clip/tiny"}}
+            _, full = call("POST", "/api/search/pql",
+                           json={"query": query, "page_size": 30})
+            ordered = [r["sha256"] for r in full["results"]]
+            assert len(ordered) == 30
+            pos = {}
+            for i, sha in enumerate(ordered):
+                pos.setdefault(sha, i)
+            boards = {}
+            for b in range(12):
+                shas = rnd.sample(ordered, rnd.randrange(1, 8))
+                # Some boards get an unindexed pin (never matches).
+                if rnd.random() < 0.3:
+                    shas.append("f" * 64)
+                _, body = call("POST", "/api/pinboards/user",
+                               json={"name": f"b{b}"})
+                pid = body["id"]
+                call("POST", f"/api/pinboards/user/{pid}/versions",
+                     json={"layout": shas})
+                boards[pid] = shas
+            _, res = call("POST", "/api/pinboards/search", json={"query": query})
+            got = [(p["id"], p["match_count"]) for p in res["pinboards"]]
+
+            oracle = []
+            for pid, shas in boards.items():
+                pins = set(shas)
+                matched = [s for s in pins if s in pos]
+                if not matched:
+                    continue
+                best = min(pos[s] for s in matched)
+                frac = len(matched) / len(pins)
+                oracle.append((best, -frac, -len(matched), -pid, pid,
+                               len(matched)))
+            # recency: boards were created in id order seconds apart —
+            # time_updated desc == id desc, folded into -pid here.
+            oracle.sort()
+            assert got == [(t[4], t[5]) for t in oracle]
+        finally:
+            loop.run_until_complete(client.close())
+            state.shutdown()
+            loop.close()
