@@ -311,6 +311,46 @@ def _preflight_backend(timeout_s: int = 150, attempts: int = 3,
 
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return
+
+    def _relay_listening() -> bool:
+        # The axon relay owns loopback ports in the 808x/811x band; when
+        # NONE is listening the relay process is gone and every probe
+        # below would just burn its full timeout.
+        import socket
+
+        for port in (8080, 8081, 8082, 8083, 8110, 8111, 8112, 8117):
+            s = socket.socket()
+            s.settimeout(0.2)
+            try:
+                if s.connect_ex(("127.0.0.1", port)) == 0:
+                    return True
+            finally:
+                s.close()
+        return False
+
+    if not _relay_listening():
+        # Cheap port poll while the relay is down — its supervisor may
+        # restart it; a port appearing is the signal to start real probes.
+        wait_budget = int(os.environ.get("BENCH_RELAY_WAIT_S", "1200"))
+        deadline = _t.monotonic() + wait_budget
+        print(
+            f"[bench] no relay port listening — waiting up to "
+            f"{wait_budget}s for the tunnel to come back",
+            file=sys.stderr,
+        )
+        while _t.monotonic() < deadline:
+            _t.sleep(30)
+            if _relay_listening():
+                print("[bench] relay port is back — probing", file=sys.stderr)
+                break
+        else:
+            print(
+                "[bench] FATAL: the TPU tunnel relay never came back "
+                "(no loopback relay port listening). Restart the relay "
+                "and re-run.",
+                file=sys.stderr,
+            )
+            raise SystemExit(3)
     for attempt in range(attempts):
         try:
             subprocess.run(
