@@ -1252,10 +1252,13 @@ class OcrImpl(InferenceModel):
     ``{"text", "confidence", "language"}``.
 
     Real recognition stack (models/ocr.py): projection-profile line
-    segmentation on the host, then a CTC transformer recognizer over
-    fixed-height line strips — the EasyOCR/CRNN formulation with the
-    recurrent trunk replaced by attention. Trainable (optax.ctc_loss);
-    the test suite trains the tiny config to read rendered text."""
+    segmentation on the host, then one of TWO recognizer families over
+    fixed-height line strips — ``recognizer="ctc"`` (the EasyOCR/CRNN
+    formulation, recurrent trunk replaced by attention) or
+    ``recognizer="attn"`` (seq2seq attention decoder reusing the whisper
+    KV-cached decode, the reference's second OCR engine family). Both are
+    trainable; the test suite trains BOTH tiny configs to read rendered
+    text."""
 
     def __init__(
         self,
@@ -1263,12 +1266,25 @@ class OcrImpl(InferenceModel):
         checkpoint: Optional[str] = None,
         batch_cap: int = 16,
         min_confidence: float = 0.0,
+        recognizer: str = "ctc",
         **_: Any,
     ):
         from panoptikon_tpu.models import ocr as _ocr
 
         self._ocr = _ocr
-        self.cfg = _ocr.CONFIGS.get(model_arch) or _ocr.CONFIGS["crnn-base"]
+        # Two recognizer families over the same strip encoder + host
+        # segmentation (the reference's engine spread): "ctc" (EasyOCR/CRNN
+        # formulation) and "attn" (seq2seq attention decoder).
+        self.recognizer = recognizer
+        if recognizer == "attn":
+            self.attn_cfg = (
+                _ocr.ATTN_CONFIGS.get(model_arch)
+                or _ocr.ATTN_CONFIGS["attn-base"]
+            )
+            self.cfg = self.attn_cfg.enc
+        else:
+            self.attn_cfg = None
+            self.cfg = _ocr.CONFIGS.get(model_arch) or _ocr.CONFIGS["crnn-base"]
         self.checkpoint = checkpoint
         self.batch_ladder = batching.bucket_ladder(batch_cap)
         self.min_confidence = min_confidence
@@ -1287,6 +1303,10 @@ class OcrImpl(InferenceModel):
             with open(self.checkpoint, "rb") as f:
                 raw = pickle.load(f)
             self.params = jax.tree.map(jnp_asarray, raw)
+        elif self.recognizer == "attn":
+            self.params = self._ocr.init_attn_params(
+                jax.random.key(11), self.attn_cfg
+            )
         else:
             self.params = self._ocr.init_params(jax.random.key(11), self.cfg)
 
@@ -1299,7 +1319,10 @@ class OcrImpl(InferenceModel):
             strips = np.zeros(
                 (bucket, self.cfg.height, self.cfg.max_width), np.float32
             )
-            self._ocr.recognize_jit(self.params, self.cfg, strips)
+            if self.recognizer == "attn":
+                self._ocr.attn_read_jit(self.params, self.attn_cfg, strips)
+            else:
+                self._ocr.recognize_jit(self.params, self.cfg, strips)
 
     def predict(self, inputs: Sequence[PredictionInput]) -> list[Any]:
         from PIL import Image
@@ -1329,13 +1352,34 @@ class OcrImpl(InferenceModel):
             batch = np.stack(strips)
             bucket = batching.bucket_for(len(strips), self.batch_ladder)
             padded, _ = batching.pad_batch(batch, bucket)
-            ids, conf = self._ocr.recognize_jit(self.params, self.cfg, padded)
-            ids = np.asarray(ids)[: len(strips)]
-            conf = np.asarray(conf)[: len(strips)]
+            if self.recognizer == "attn":
+                toks, lens, conf = self._ocr.attn_read_jit(
+                    self.params, self.attn_cfg, padded
+                )
+                toks = np.asarray(toks)[: len(strips)]
+                lens = np.asarray(lens)[: len(strips)]
+                conf = np.asarray(conf)[: len(strips)]
+                texts = [
+                    self._ocr.attn_collapse(
+                        toks[j], int(lens[j]), self.cfg.charset
+                    )
+                    for j in range(len(strips))
+                ]
+            else:
+                ids, conf = self._ocr.recognize_jit(
+                    self.params, self.cfg, padded
+                )
+                ids = np.asarray(ids)[: len(strips)]
+                conf = np.asarray(conf)[: len(strips)]
+                texts = [
+                    self._ocr.ctc_collapse(ids[j], self.cfg.charset)
+                    for j in range(len(strips))
+                ]
             per_image: dict[int, list[tuple[str, float]]] = {}
             for j, owner in enumerate(owners):
-                text = self._ocr.ctc_collapse(ids[j], self.cfg.charset)
-                per_image.setdefault(owner, []).append((text, float(conf[j])))
+                per_image.setdefault(owner, []).append(
+                    (texts[j], float(conf[j]))
+                )
             for owner, lines in per_image.items():
                 kept = [
                     (t, c) for t, c in lines if c >= self.min_confidence and t

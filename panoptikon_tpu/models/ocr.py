@@ -81,8 +81,9 @@ def init_params(key, cfg: OcrConfig) -> Params:
     }
 
 
-def logits(params: Params, cfg: OcrConfig, strips):
-    """strips: (B, height, max_width) f32 in [0,1] → (B, tokens, classes)."""
+def encode_strips(params: Params, cfg: OcrConfig, strips):
+    """Trunk features (B, tokens, width) bf16 — shared by the CTC head and
+    the attention recognizer's cross-attention memory."""
     b = strips.shape[0]
     x = strips.astype(jnp.bfloat16)
     # (B, H, T·cp) → (B, T, H·cp): column patches as tokens.
@@ -93,7 +94,12 @@ def logits(params: Params, cfg: OcrConfig, strips):
     for blk in params["blocks"]:
         x = _clip._block(x, blk, cfg.heads, causal=False,
                          precision=cfg.matmul_precision)
-    x = _clip._layernorm(x, params["ln_out"])
+    return _clip._layernorm(x, params["ln_out"])
+
+
+def logits(params: Params, cfg: OcrConfig, strips):
+    """strips: (B, height, max_width) f32 in [0,1] → (B, tokens, classes)."""
+    x = encode_strips(params, cfg, strips)
     return (x @ params["head_w"].astype(x.dtype)).astype(jnp.float32) + params[
         "head_b"
     ]
@@ -186,3 +192,152 @@ def prepare_strip(gray: np.ndarray, box, cfg: OcrConfig) -> np.ndarray:
     out = np.zeros((cfg.height, cfg.max_width), np.float32)
     out[:, :new_w] = resized
     return out
+
+
+# ---------------------------------------------------------------------------
+# Second recognizer architecture: attention decoder (seq2seq)
+# ---------------------------------------------------------------------------
+# The reference ships multiple OCR engines (impl/ocr.py docTR, eocr.py
+# EasyOCR, dotsocr.py); architecturally they split into CTC recognizers
+# and attention/seq2seq recognizers. ``recognize_jit`` above is the CTC
+# family; this is the attention family — the SAME strip encoder feeds a
+# whisper-style autoregressive character decoder with cross-attention
+# (reusing models/whisper.py's KV-cached incremental decode, exactly as
+# the captioner does). Different failure modes: no per-column alignment
+# assumption, an implicit character language model, native variable-length
+# output.
+
+
+@dataclasses.dataclass(frozen=True)
+class AttnOcrConfig:
+    enc: OcrConfig = OcrConfig()
+    max_chars: int = 64  # decoder context (incl. SOT + EOT)
+    dec_layers: int = 2
+    dec_heads: int = 4
+
+    # Vocabulary layout shares the CTC label convention: 0 is PAD/blank,
+    # chars are 1 + charset.index(c); SOT/EOT follow.
+    @property
+    def n_chars(self) -> int:
+        return len(self.enc.charset)
+
+    @property
+    def sot(self) -> int:
+        return self.n_chars + 1
+
+    @property
+    def eot(self) -> int:
+        return self.n_chars + 2
+
+    @property
+    def n_vocab(self) -> int:
+        return self.n_chars + 3
+
+    def decoder_cfg(self):
+        """Synthetic WhisperConfig driving the shared decoder kernels —
+        only the text-side fields matter here."""
+        from panoptikon_tpu.models import whisper as _w
+
+        return _w.WhisperConfig(
+            n_vocab=self.n_vocab,
+            n_text_ctx=self.max_chars,
+            n_text_state=self.enc.width,
+            n_text_layers=self.dec_layers,
+            n_text_heads=self.dec_heads,
+            n_audio_state=self.enc.width,
+            sot=self.sot,
+            eot=self.eot,
+        )
+
+
+ATTN_CONFIGS = {
+    "attn-base": AttnOcrConfig(),
+    "test-tiny": AttnOcrConfig(
+        enc=CONFIGS["test-tiny"], max_chars=16, dec_layers=2, dec_heads=2
+    ),
+}
+
+
+def init_attn_params(key, cfg: AttnOcrConfig) -> Params:
+    """Encoder trunk (same layout as the CTC recognizer — checkpoints
+    share the trunk) + whisper-layout ``decoder``."""
+    from panoptikon_tpu.models import whisper as _w
+
+    k_enc, k_emb, k_pos, kb = jax.random.split(key, 4)
+    params = init_params(k_enc, cfg.enc)
+    w = cfg.enc.width
+    dec_blocks = [
+        {
+            "ln_1": _w._ln_init(w),
+            "attn": _w._init_attn(k1, w),
+            "ln_cross": _w._ln_init(w),
+            "cross": _w._init_cross(k2, w),
+            "ln_2": _w._ln_init(w),
+            "mlp": _w._init_mlp(k3, w),
+        }
+        for k1, k2, k3 in jax.random.split(
+            kb, (cfg.dec_layers, 3)
+        )
+    ]
+    params["decoder"] = {
+        "token_emb": jax.random.normal(k_emb, (cfg.n_vocab, w)) * 0.02,
+        "pos_emb": jax.random.normal(k_pos, (cfg.max_chars, w)) * 0.01,
+        "blocks": dec_blocks,
+        "ln_post": _w._ln_init(w),
+    }
+    return params
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def attn_read_jit(params, cfg: AttnOcrConfig, strips):
+    """strips (B, height, max_width) → (tokens (B, max_chars), lengths,
+    confidence) via KV-cached greedy decode. tokens[:, 0] is the SOT
+    prompt; generated chars are tokens[j, 1:lengths[j]]."""
+    from panoptikon_tpu.models import whisper as _w
+
+    memory = encode_strips(params, cfg.enc, strips)
+    b = strips.shape[0]
+    prompt = jnp.full((b, 1), cfg.sot, jnp.int32)
+    tokens, lengths, avg_logp = _w.decode_from_feats(
+        params, cfg.decoder_cfg(), memory, prompt, cfg.max_chars
+    )
+    return tokens, lengths, jnp.exp(avg_logp)
+
+
+def attn_collapse(tokens: np.ndarray, length: int, charset: str) -> str:
+    """Generated token ids → text (PAD and specials dropped)."""
+    out = []
+    for t in tokens[1:length]:
+        t = int(t)
+        if 1 <= t <= len(charset):
+            out.append(charset[t - 1])
+    return "".join(out)
+
+
+def attn_loss(params: Params, cfg: AttnOcrConfig, strips, labels,
+              label_lengths):
+    """Teacher-forced cross-entropy. ``labels``: (B, L) CTC-convention ids
+    (0 = pad, chars 1-based), L ≤ max_chars - 2. The decoder input is
+    [SOT, chars…]; the target appends EOT at each row's length."""
+    from panoptikon_tpu.models import whisper as _w
+
+    b, ll = labels.shape
+    memory = encode_strips(params, cfg.enc, strips)
+    sot_col = jnp.full((b, 1), cfg.sot, jnp.int32)
+    dec_in = jnp.concatenate([sot_col, labels.astype(jnp.int32)], axis=1)
+    lg = _w._decoder_logits(params, cfg.decoder_cfg(), dec_in, memory, None)
+    # Target at position i is the token AFTER dec_in[i]: the chars shifted
+    # left, with EOT at each row's end.
+    pos = jnp.arange(ll + 1)[None]
+    lens = label_lengths[:, None]
+    targets = jnp.where(
+        pos < lens,
+        jnp.concatenate(
+            [labels.astype(jnp.int32), jnp.zeros((b, 1), jnp.int32)], axis=1
+        ),
+        jnp.where(pos == lens, cfg.eot, 0),
+    )
+    valid = (pos <= lens).astype(jnp.float32)
+    logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)

@@ -162,3 +162,76 @@ class TestOcrImpl:
         from panoptikon_tpu.models.base import is_error_slot
 
         assert is_error_slot(out[0]) and is_error_slot(out[1])
+
+
+ATTN_CFG = ocr.ATTN_CONFIGS["test-tiny"]
+
+
+@pytest.fixture(scope="module")
+def trained_attn_params():
+    """Overfit the tiny ATTENTION recognizer on the same rendered digit
+    strings — the second engine family must also actually read."""
+    samples = ["0123", "4567", "89", "31415", "2718", "909"]
+
+    def strip_of(s):
+        img = render_digits(s)
+        box = ocr.segment_lines(img)[0]
+        return ocr.prepare_strip(img, box, ATTN_CFG.enc)
+
+    strips = np.stack([strip_of(s) for s in samples])
+    labels = np.stack([labels_for(s, ATTN_CFG.enc)[0] for s in samples])
+    lengths = np.array(
+        [labels_for(s, ATTN_CFG.enc)[1] for s in samples], np.int32
+    )
+
+    params = ocr.init_attn_params(jax.random.key(3), ATTN_CFG)
+    tx = optax.adam(2e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        loss, grads = jax.value_and_grad(ocr.attn_loss)(
+            params, ATTN_CFG, strips, labels, lengths
+        )
+        updates, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, updates), opt, loss
+
+    loss = None
+    for _ in range(400):
+        params, opt, loss = step(params, opt)
+    assert float(loss) < 0.2, f"attn decoder failed to converge: {float(loss)}"
+    return params, samples, strips
+
+
+class TestAttnRecognizer:
+    def test_trained_attn_recognizer_reads(self, trained_attn_params):
+        params, samples, strips = trained_attn_params
+        toks, lens, conf = ocr.attn_read_jit(params, ATTN_CFG, strips)
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        for j, expected in enumerate(samples):
+            got = ocr.attn_collapse(toks[j], int(lens[j]), ATTN_CFG.enc.charset)
+            assert got == expected, f"read {got!r}, wanted {expected!r}"
+        assert float(np.asarray(conf).min()) > 0.5
+
+    def test_attn_impl_reads_rendered_text(self, trained_attn_params,
+                                           tmp_path):
+        import io as _io
+        import pickle
+
+        from PIL import Image
+
+        params, samples, _ = trained_attn_params
+        ckpt = tmp_path / "attn.pkl"
+        with open(ckpt, "wb") as f:
+            pickle.dump(jax.device_get(params), f)
+        impl = OcrImpl(
+            model_arch="test-tiny", recognizer="attn",
+            checkpoint=str(ckpt),
+        )
+        img = render_digits(samples[0])
+        buf = _io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        out = impl.predict([PredictionInput(data={}, file=buf.getvalue())])
+        assert out[0]["text"] == samples[0]
+        assert out[0]["confidence"] > 0.5
+        impl.unload()

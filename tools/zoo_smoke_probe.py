@@ -79,6 +79,9 @@ smoke("whisper", WhisperImpl(model_arch="test-tiny"),
 smoke("ocr", OcrImpl(),
       [PredictionInput(file=png)],
       lambda o: "text" in o[0])
+smoke("ocr attn", OcrImpl(model_arch="test-tiny", recognizer="attn"),
+      [PredictionInput(file=png)],
+      lambda o: "text" in o[0])
 smoke("captioner", CaptionerImpl(model_arch="test-tiny", max_tokens=8),
       [PredictionInput(file=png)],
       lambda o: "text" in o[0])
