@@ -244,16 +244,21 @@ class TestRefreshPerf:
         ex = Executor(db, NoIndex())
         snap0 = ex.base_snapshot("file")
         assert snap0.n == n
-        # Best-of-3: the bar guards the ALGORITHM (no O(corpus) rebuild),
-        # not this box's scheduler — a single attempt flakes when another
-        # suite process owns the 1-core host mid-measurement.
-        best, snap1 = float("inf"), None
+        # The bar guards the ALGORITHM (no O(corpus) rebuild), not this
+        # box's scheduler. Two ways to pass, either suffices:
+        #  (a) absolute: best-of-3 refresh < 50 ms, or
+        #  (b) relative (load-invariant): refresh < 30% of a COLD full
+        #      rebuild measured back-to-back under the same load — a
+        #      delta path that secretly rebuilds the corpus can't win
+        #      a 3.3x race against the rebuild it is performing.
+        best, snap1, applied = float("inf"), None, 0
         for attempt in range(3):
             writer.call(
                 lambda c, a=attempt: c.execute(
                     "UPDATE items SET size = ? WHERE id = 1", (7 + a,)
                 )
             )
+            applied += 1
             t0 = time.perf_counter()
             snap1 = ex.base_snapshot("file")
             dt = time.perf_counter() - t0
@@ -261,8 +266,21 @@ class TestRefreshPerf:
             if best < 0.050:
                 break
         assert snap1.state is snap0.state
-        assert snap1.n == n + 1
-        assert best < 0.050, f"refresh took {best * 1e3:.1f} ms (best of 3)"
+        # each applied delta tombstones the old physical row and appends
+        # the refreshed one, so physical rows grow by 1 per attempt while
+        # the live count stays at n
+        assert snap1.n == n + applied
+        assert int(snap1.live.sum()) == n
+        if best >= 0.050:
+            t0 = time.perf_counter()
+            cold = Executor(db, NoIndex()).base_snapshot("file")
+            rebuild = time.perf_counter() - t0
+            assert cold.n == n  # cold rebuild has no tombstones
+            assert best < 0.30 * rebuild, (
+                f"refresh took {best * 1e3:.1f} ms (best of 3) vs full "
+                f"rebuild {rebuild * 1e3:.1f} ms — delta path is not "
+                f"sub-linear in the corpus"
+            )
 
 
 class TestDeltaSortCodesSameGap:
