@@ -176,12 +176,20 @@ class SpanCache:
 
 
 def _approx_bytes(rows: list[Any]) -> int:
-    total = 256
-    for row in rows:
+    """Byte estimate for LRU accounting. Sampled: rows in one span share a
+    query's column shape, so sizing every cell (256 rows × ~20 cells of
+    ``getsizeof`` per insert, ~1.5 ms of GIL-held work per cached query)
+    buys no accuracy over sizing a few rows and scaling."""
+    if not rows:
+        return 256
+
+    def one(row: Any) -> int:
         if isinstance(row, dict):
-            total += sum(
+            return sum(
                 sys.getsizeof(k) + sys.getsizeof(v) for k, v in row.items()
             )
-        else:
-            total += sys.getsizeof(row)
-    return total
+        return sys.getsizeof(row)
+
+    step = max(1, len(rows) // 4)
+    sample = rows[::step]
+    return 256 + sum(one(r) for r in sample) * len(rows) // len(sample)

@@ -732,6 +732,8 @@ async def search_stats(request: web.Request) -> web.Response:
             # Dispatch-window coalescer amortization (queries/dispatches):
             # how many co-arriving searches each device round-trip carried.
             "coalescer": state.executor(name)._scan_coalescer.stats(),
+            # Epoch-validated FTS candidate cache (hybrid-path hot terms).
+            "fts_cache": state.executor(name).fts_cache_stats(),
         }
 
     return web.json_response(await asyncio.to_thread(run))

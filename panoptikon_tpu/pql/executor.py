@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -654,6 +655,13 @@ class Executor:
         # _ScanCoalescer). Disable to force per-query dispatch.
         self.enable_coalesce = True
         self._scan_coalescer = _ScanCoalescer()
+        # (fts-sql, params, epoch)-keyed candidate arrays — see
+        # _leaf_match_text. Row-budget LRU; any committed write invalidates
+        # via the epoch component.
+        self._fts_cache: OrderedDict = OrderedDict()
+        self._fts_cache_lock = threading.Lock()
+        self._fts_cache_rows = 0
+        self._fts_cache_stats = {"hits": 0, "misses": 0}
 
     def _device_arrays(self, space: str, snap, use_quant: bool) -> dict:
         import jax
@@ -978,24 +986,44 @@ class Executor:
         if query.results:
             start = (query.page - 1) * query.page_size
             page_rows = rows[start : start + query.page_size]
-            select = list(query.select)
-            for ri in page_rows:
-                row = {c: _pyval(base.col(c)[ri]) for c in select}
-                row["file_id"] = int(base.col("file_id")[ri])
-                row["item_id"] = int(base.col("item_id")[ri])
+            if len(page_rows):
+                # Columnar page assembly: one C-speed gather + .tolist() per
+                # column instead of page×cols Python `_pyval` calls — the
+                # per-cell loop cost ~5 ms per 256-row span, fully
+                # GIL-serialized under concurrent serving (r4: 41 QPS at
+                # 16-way was mostly this class of host work).
+                names = list(query.select) + ["file_id", "item_id"]
                 if query.entity == "text":
-                    row["data_id"] = int(base.col("data_id")[ri])
-                extra = {
-                    alias: _pyval(values[ri])
-                    for alias, values in extra_cols.items()
-                    if not _isnan(values[ri])
-                }
-                for alias, svals in state.string_cols.items():
-                    if svals[ri] is not None:
-                        extra[alias] = svals[ri]
-                if extra:
-                    row["extra"] = extra
-                results.append(row)
+                    names.append("data_id")
+                colvals = []
+                for c in names:
+                    arr = base.col(c)[page_rows]
+                    if arr.dtype.kind == "f":
+                        colvals.append(
+                            [None if v != v else v for v in arr.tolist()]
+                        )
+                    else:
+                        colvals.append(arr.tolist())
+                # dict(zip(...)) keeps the LAST value per duplicate name —
+                # same override the per-row path applied for file_id/item_id.
+                results = [dict(zip(names, vals)) for vals in zip(*colvals)]
+                if extra_cols or state.string_cols:
+                    extra_items = [
+                        (alias, values[page_rows].tolist())
+                        for alias, values in extra_cols.items()
+                    ]
+                    for i, row in enumerate(results):
+                        extra = {
+                            alias: v
+                            for alias, vals in extra_items
+                            if (v := vals[i]) == v  # NaN-only exclusion
+                        }
+                        ri = page_rows[i]
+                        for alias, svals in state.string_cols.items():
+                            if svals[ri] is not None:
+                                extra[alias] = svals[ri]
+                        if extra:
+                            row["extra"] = extra
         metrics = SearchMetrics(
             compile_s=compile_s, execute_s=time.perf_counter() - t1,
             path=engine_path,
@@ -1269,17 +1297,37 @@ class Executor:
             WHERE 1=1 {where_sql}
             {group_sql}
         """
-        try:
-            rows = conn.execute(sql, params).fetchall()
-        except Exception as exc:
-            raise pql.PqlError(f"invalid text match query: {exc}") from exc
-        n_hits = len(rows)
-        keys = np.fromiter((r[0] for r in rows), dtype=np.int64, count=n_hits)
-        vals = np.fromiter(
-            (np.nan if r[1] is None else r[1] for r in rows),
-            dtype=np.float64,
-            count=n_hits,
-        )
+        # (fts-query, index-epoch)-keyed candidate cache: host FTS5 MATCH
+        # over a 1M-chunk corpus costs 20-33 ms per request (r4 e2e: the
+        # hybrid path's p95 cliff) and its result depends only on committed
+        # DB state — the same epoch discipline that validates the span
+        # cache (api/search_cache.py) makes repeats free. Mirrors the
+        # reference's per-query rank+snippet fetch (match_text.rs:18-70),
+        # which SQLite re-paid every time.
+        epoch = EPOCHS.index_epoch(self.db.name)
+        fkey = (sql, tuple(params))
+        cached = self._fts_cache_get(fkey, epoch)
+        if cached is not None:
+            keys, vals, snip_vals = cached
+        else:
+            try:
+                rows = conn.execute(sql, params).fetchall()
+            except Exception as exc:
+                raise pql.PqlError(f"invalid text match query: {exc}") from exc
+            n_hits = len(rows)
+            keys = np.fromiter(
+                (r[0] for r in rows), dtype=np.int64, count=n_hits)
+            vals = np.fromiter(
+                (np.nan if r[1] is None else r[1] for r in rows),
+                dtype=np.float64,
+                count=n_hits,
+            )
+            snip_vals = (
+                np.fromiter((r[2] for r in rows), dtype=object, count=n_hits)
+                if want_snippet
+                else None
+            )
+            self._fts_cache_put(fkey, epoch, (keys, vals, snip_vals))
         values, hit = _join_i64(ids, keys, vals)
         mask = hit & ctx
         if want_snippet:
@@ -1287,11 +1335,51 @@ class Executor:
             # the FTS result keys, then one fancy-index per matched row (the
             # round-2 per-row dict loop was O(matched) Python).
             snips = np.full(base.n, None, dtype=object)
-            snip_vals = np.fromiter((r[2] for r in rows), dtype=object, count=n_hits)
             pos, _ = _join_pos(ids, keys)
             snips[mask] = snip_vals[pos[mask]]
             state.string_cols[args.select_snippet_as] = snips
         return self._sortable(el.sort, mask, values, base, state)
+
+    # FTS candidate cache internals: epoch-validated LRU, bounded by total
+    # cached rows (entries × rows), not entry count — one broad MATCH can
+    # carry ~1M candidate rows.
+    FTS_CACHE_ROW_BUDGET = 4_000_000
+
+    def _fts_cache_get(self, fkey, epoch):
+        with self._fts_cache_lock:
+            entry = self._fts_cache.get(fkey)
+            if entry is None or entry[0] != epoch:
+                self._fts_cache_stats["misses"] += 1
+                return None
+            self._fts_cache.move_to_end(fkey)
+            self._fts_cache_stats["hits"] += 1
+            return entry[1]
+
+    def _fts_cache_put(self, fkey, epoch, arrays) -> None:
+        rows = len(arrays[0])
+        if rows > self.FTS_CACHE_ROW_BUDGET:
+            return
+        with self._fts_cache_lock:
+            old = self._fts_cache.pop(fkey, None)
+            if old is not None:
+                self._fts_cache_rows -= len(old[1][0])
+            self._fts_cache[fkey] = (epoch, arrays)
+            self._fts_cache_rows += rows
+            while (
+                self._fts_cache_rows > self.FTS_CACHE_ROW_BUDGET
+                and len(self._fts_cache) > 1
+            ):
+                _, (_, ev) = self._fts_cache.popitem(last=False)
+                self._fts_cache_rows -= len(ev[0])
+
+    def fts_cache_stats(self) -> dict:
+        with self._fts_cache_lock:
+            return {
+                "entries": len(self._fts_cache),
+                "rows": self._fts_cache_rows,
+                "row_budget": self.FTS_CACHE_ROW_BUDGET,
+                **self._fts_cache_stats,
+            }
 
     def _leaf_match_tags(self, el: pql.MatchTags, ctx, base, state):
         args = el.match_tags
