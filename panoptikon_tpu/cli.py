@@ -359,6 +359,23 @@ def build_parser() -> argparse.ArgumentParser:
                      help="release manifest URL (json: {version, requirement})")
     upd.add_argument("--apply", action="store_true",
                      help="run the pip upgrade when newer")
+
+    desk = sub.add_parser(
+        "desktop",
+        help="local-app mode: supervise the server, open the UI, restart "
+             "on crash (the reference desktop app's lifecycle, tray-less)",
+    )
+    desk.add_argument("--config", default=None, help="server TOML path")
+    desk.add_argument("--port", type=int, default=None)
+    desk.add_argument("--host", default=None)
+    desk.add_argument("--data-root", default=None)
+    desk.add_argument("--registry-dir", default=None)
+    desk.add_argument("--no-browser", action="store_true",
+                      help="skip opening the UI in a browser")
+    desk.add_argument("--manifest", default=None,
+                      help="release manifest URL for the startup update check")
+    desk.add_argument("--max-restarts", type=int, default=None,
+                      help="give up after this many crashes (default: never)")
     return parser
 
 
@@ -384,6 +401,10 @@ def main(argv=None) -> int:
         return cmd_jobs(args)
     if cmd == "health":
         return cmd_health(args)
+    if cmd == "desktop":
+        from panoptikon_tpu.desktop import run_desktop
+
+        return run_desktop(args)
     return cmd_serve(args)
 
 

@@ -217,3 +217,67 @@ def load_ast_checkpoint(path, cfg: AudioConfig) -> Params:
         else np.eye(width, cfg.embed_dim, dtype=np.float32),
     }
     return params
+
+
+def save_ast_checkpoint(params, cfg: AudioConfig, path) -> None:
+    """Our audio param tree → HF ``ASTModel``-layout safetensors — the
+    export inverse of :func:`load_ast_checkpoint` (the reference's CLAP
+    wraps an HF audio tower, impl/clap.py). CLS/distill position rows are
+    written as zeros (the loader crops to the trailing patch grid) and the
+    projection is stored under ``audio_projection.weight``."""
+    from safetensors.numpy import save_file
+
+    out: dict[str, np.ndarray] = {}
+    patch_w = np.asarray(params["patch_w"], np.float32)
+    width = patch_w.shape[1]
+    out["embeddings.patch_embeddings.projection.weight"] = (
+        np.ascontiguousarray(
+            patch_w.reshape(cfg.mel_patch, cfg.time_patch, 1, width)
+            .transpose(3, 2, 0, 1)
+        )
+    )
+    out["embeddings.patch_embeddings.projection.bias"] = np.zeros(
+        width, np.float32
+    )
+    pos = np.asarray(params["pos_emb"], np.float32)
+    out["embeddings.position_embeddings"] = np.concatenate(
+        [np.zeros((2, width), np.float32), pos]
+    )[None]
+    out["embeddings.cls_token"] = np.zeros((1, 1, width), np.float32)
+    out["embeddings.distillation_token"] = np.zeros((1, 1, width), np.float32)
+
+    def put_ln(prefix, q):
+        out[f"{prefix}.weight"] = np.asarray(q["scale"], np.float32)
+        out[f"{prefix}.bias"] = np.asarray(q["bias"], np.float32)
+
+    def put_lin(prefix, w, b):
+        out[f"{prefix}.weight"] = np.ascontiguousarray(
+            np.asarray(w, np.float32).T
+        )
+        out[f"{prefix}.bias"] = np.asarray(b, np.float32)
+
+    for i, blk in enumerate(params["blocks"]):
+        p = f"encoder.layer.{i}"
+        qkv_w = np.asarray(blk["attn"]["qkv_w"], np.float32)
+        qkv_b = np.asarray(blk["attn"]["qkv_b"], np.float32)
+        d = qkv_w.shape[0]
+        put_ln(f"{p}.layernorm_before", blk["ln_1"])
+        put_lin(f"{p}.attention.attention.query", qkv_w[:, :d], qkv_b[:d])
+        put_lin(
+            f"{p}.attention.attention.key",
+            qkv_w[:, d : 2 * d], qkv_b[d : 2 * d],
+        )
+        put_lin(f"{p}.attention.attention.value", qkv_w[:, 2 * d :], qkv_b[2 * d :])
+        put_lin(
+            f"{p}.attention.output.dense",
+            blk["attn"]["out_w"], blk["attn"]["out_b"],
+        )
+        put_ln(f"{p}.layernorm_after", blk["ln_2"])
+        put_lin(f"{p}.intermediate.dense", blk["mlp"]["fc_w"], blk["mlp"]["fc_b"])
+        put_lin(f"{p}.output.dense", blk["mlp"]["proj_w"], blk["mlp"]["proj_b"])
+    put_ln("layernorm", params["ln_post"])
+    out["audio_projection.weight"] = np.ascontiguousarray(
+        np.asarray(params["proj"], np.float32).T
+    )
+    out = {k: np.ascontiguousarray(v) for k, v in out.items()}
+    save_file(out, str(path))

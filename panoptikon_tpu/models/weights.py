@@ -477,6 +477,136 @@ def save_whisper_decoder_checkpoint(params, path: str | Path) -> None:
     save_file(out, str(path))
 
 
+def save_whisper_checkpoint(params, path: str | Path) -> None:
+    """Our whisper param tree → HF ``WhisperModel``-layout safetensors —
+    the export inverse of :func:`load_whisper_checkpoint`, so a locally
+    trained/finetuned model round-trips through the EXACT mapping real
+    faster-whisper/HF checkpoints use (reference impl/whisper.py loads the
+    same layout). k-proj biases are written even though HF omits them
+    (the loader zero-fills absent ones), keeping the round trip lossless
+    for locally trained weights."""
+    from safetensors.numpy import save_file
+
+    out: dict[str, np.ndarray] = {}
+
+    def put_ln(prefix, p):
+        out[f"{prefix}.weight"] = np.asarray(p["scale"], np.float32)
+        out[f"{prefix}.bias"] = np.asarray(p["bias"], np.float32)
+
+    def put_lin(prefix, w, b=None):
+        out[f"{prefix}.weight"] = np.ascontiguousarray(
+            np.asarray(w, np.float32).T
+        )
+        if b is not None:
+            out[f"{prefix}.bias"] = np.ascontiguousarray(
+                np.asarray(b, np.float32)
+            )
+
+    def put_self_attn(prefix, attn):
+        w = np.asarray(attn["qkv_w"], np.float32)
+        b = np.asarray(attn["qkv_b"], np.float32)
+        d = w.shape[0]
+        put_lin(f"{prefix}.q_proj", w[:, :d], b[:d])
+        put_lin(f"{prefix}.k_proj", w[:, d : 2 * d], b[d : 2 * d])
+        put_lin(f"{prefix}.v_proj", w[:, 2 * d :], b[2 * d :])
+        put_lin(f"{prefix}.out_proj", attn["out_w"], attn["out_b"])
+
+    def put_cross_attn(prefix, cross):
+        put_lin(f"{prefix}.q_proj", cross["q_w"], cross["q_b"])
+        kv_w = np.asarray(cross["kv_w"], np.float32)
+        kv_b = np.asarray(cross["kv_b"], np.float32)
+        d = kv_w.shape[0]
+        put_lin(f"{prefix}.k_proj", kv_w[:, :d], kv_b[:d])
+        put_lin(f"{prefix}.v_proj", kv_w[:, d:], kv_b[d:])
+        put_lin(f"{prefix}.out_proj", cross["out_w"], cross["out_b"])
+
+    enc = params["encoder"]
+    # Our NWC conv (k, in, out) → HF (out, in, k).
+    out["encoder.conv1.weight"] = np.ascontiguousarray(
+        np.asarray(enc["conv1_w"], np.float32).transpose(2, 1, 0)
+    )
+    out["encoder.conv1.bias"] = np.asarray(enc["conv1_b"], np.float32)
+    out["encoder.conv2.weight"] = np.ascontiguousarray(
+        np.asarray(enc["conv2_w"], np.float32).transpose(2, 1, 0)
+    )
+    out["encoder.conv2.bias"] = np.asarray(enc["conv2_b"], np.float32)
+    for i, blk in enumerate(enc["blocks"]):
+        p = f"encoder.layers.{i}"
+        put_ln(f"{p}.self_attn_layer_norm", blk["ln_1"])
+        put_self_attn(f"{p}.self_attn", blk["attn"])
+        put_ln(f"{p}.final_layer_norm", blk["ln_2"])
+        put_lin(f"{p}.fc1", blk["mlp"]["fc_w"], blk["mlp"]["fc_b"])
+        put_lin(f"{p}.fc2", blk["mlp"]["proj_w"], blk["mlp"]["proj_b"])
+    put_ln("encoder.layer_norm", enc["ln_post"])
+
+    dec = params["decoder"]
+    out["decoder.embed_tokens.weight"] = np.ascontiguousarray(
+        np.asarray(dec["token_emb"], np.float32)
+    )
+    out["decoder.embed_positions.weight"] = np.ascontiguousarray(
+        np.asarray(dec["pos_emb"], np.float32)
+    )
+    for i, blk in enumerate(dec["blocks"]):
+        p = f"decoder.layers.{i}"
+        put_ln(f"{p}.self_attn_layer_norm", blk["ln_1"])
+        put_self_attn(f"{p}.self_attn", blk["attn"])
+        put_ln(f"{p}.encoder_attn_layer_norm", blk["ln_cross"])
+        put_cross_attn(f"{p}.encoder_attn", blk["cross"])
+        put_ln(f"{p}.final_layer_norm", blk["ln_2"])
+        put_lin(f"{p}.fc1", blk["mlp"]["fc_w"], blk["mlp"]["fc_b"])
+        put_lin(f"{p}.fc2", blk["mlp"]["proj_w"], blk["mlp"]["proj_b"])
+    put_ln("decoder.layer_norm", dec["ln_post"])
+    out = {k: np.ascontiguousarray(v) for k, v in out.items()}
+    save_file(out, str(path))
+
+
+def save_timm_vit_checkpoint(
+    visual, head_w, head_b, cfg: ClipConfig, path: str | Path
+) -> None:
+    """Our ViT trunk + tagger head → timm state-dict layout safetensors —
+    the export inverse of :func:`load_timm_vit_checkpoint` (the reference's
+    WD taggers ship timm checkpoints, impl/wd_tagger.py)."""
+    from safetensors.numpy import save_file
+
+    out: dict[str, np.ndarray] = {}
+    p = cfg.patch_size
+    patch_w = np.asarray(visual["patch_w"], np.float32)
+    width = patch_w.shape[1]
+    out["patch_embed.proj.weight"] = np.ascontiguousarray(
+        patch_w.reshape(p, p, 3, width).transpose(3, 2, 0, 1)
+    )
+    out["patch_embed.proj.bias"] = np.asarray(
+        visual.get("patch_b", np.zeros(width)), np.float32
+    )
+    out["cls_token"] = np.asarray(
+        visual["class_emb"], np.float32
+    ).reshape(1, 1, -1)
+    out["pos_embed"] = np.asarray(visual["pos_emb"], np.float32)[None]
+
+    def put_ln(prefix, q):
+        out[f"{prefix}.weight"] = np.asarray(q["scale"], np.float32)
+        out[f"{prefix}.bias"] = np.asarray(q["bias"], np.float32)
+
+    def put_lin(prefix, w, b):
+        out[f"{prefix}.weight"] = np.ascontiguousarray(
+            np.asarray(w, np.float32).T
+        )
+        out[f"{prefix}.bias"] = np.asarray(b, np.float32)
+
+    for i, blk in enumerate(visual["blocks"]):
+        q = f"blocks.{i}"
+        put_ln(f"{q}.norm1", blk["ln_1"])
+        put_lin(f"{q}.attn.qkv", blk["attn"]["qkv_w"], blk["attn"]["qkv_b"])
+        put_lin(f"{q}.attn.proj", blk["attn"]["out_w"], blk["attn"]["out_b"])
+        put_ln(f"{q}.norm2", blk["ln_2"])
+        put_lin(f"{q}.mlp.fc1", blk["mlp"]["fc_w"], blk["mlp"]["fc_b"])
+        put_lin(f"{q}.mlp.fc2", blk["mlp"]["proj_w"], blk["mlp"]["proj_b"])
+    put_ln("norm", visual["ln_post"])
+    put_lin("head", head_w, head_b)
+    out = {k: np.ascontiguousarray(v) for k, v in out.items()}
+    save_file(out, str(path))
+
+
 def load_text_encoder_checkpoint(path: str | Path, cfg: TextEncoderConfig) -> dict[str, Any]:
     """BERT-style (MiniLM/mpnet) state dict → our text encoder params."""
     sd = load_state_dict(path)

@@ -461,6 +461,11 @@ class SearchMetrics:
     # path never called — this field makes the dispatch auditable per
     # query (e2e bench + ops dashboards read it).
     path: str = "meta"
+    # Per-phase wall timings (seconds), populated when
+    # ``Executor.debug_timing`` is on — the serving-path microscope
+    # (SURVEY §5.1 tracing; used by tools/profile_serving.py to attribute
+    # GIL-serialized host cost under concurrency).
+    phases: Optional[dict] = None
 
 
 @dataclass
@@ -662,6 +667,10 @@ class Executor:
         self._fts_cache_lock = threading.Lock()
         self._fts_cache_rows = 0
         self._fts_cache_stats = {"hits": 0, "misses": 0}
+        # Phase timers in SearchMetrics.phases (off by default: ~µs of
+        # clock reads per query, but more importantly a stable metrics
+        # payload shape for the API).
+        self.debug_timing = False
 
     def _device_arrays(self, space: str, snap, use_quant: bool) -> dict:
         import jax
@@ -866,18 +875,34 @@ class Executor:
         self, query: pql.PqlQuery, *, rows_only: bool = False
     ) -> SearchResult:
         t0 = time.perf_counter()
+        phases: Optional[dict] = {} if self.debug_timing else None
+        _last = t0
+
+        def tick(name: str) -> None:
+            nonlocal _last
+            if phases is not None:
+                now = time.perf_counter()
+                phases[name] = round(
+                    phases.get(name, 0.0) + (now - _last), 6)
+                _last = now
+
         seed, _synth = query.resolve_seed()
         prep.preprocess_query(query, manager=self.manager, index=self.index)
+        tick("preprocess")
         base = self.base_snapshot(query.entity)
+        tick("base")
         state = EvalState()
         ctx = base.live_mask()
         if query.query is not None:
             ctx = self._eval(query.query, ctx, base, state)
+        tick("eval")
         compile_s = time.perf_counter() - t0
 
         t1 = time.perf_counter()
+        _last = t1
         rows = np.flatnonzero(ctx)
         total = len(rows)
+        tick("members")
         extra_cols: dict[str, np.ndarray] = {}
         need_order = bool(query.results)
         fused_rows = None
@@ -887,6 +912,7 @@ class Executor:
                 from panoptikon_tpu.pql import fused as _fused
 
                 out = _fused.fused_page(self, query, base, state, ctx, seed)
+                tick("fused")
                 if out is not None:
                     fused_rows, extra_cols = out
                     engine_path = "fused"
@@ -919,6 +945,7 @@ class Executor:
             # Count-only requests never observe row order — skip the sort
             # entirely (the round-1 executor paid it unconditionally).
             order_keys = []
+        tick("order")
         if order_keys and need_order:
             # Page-bounded partial selection: argpartition the PRIMARY key
             # to a tie-closed superset, then lexsort only that superset
@@ -967,6 +994,7 @@ class Executor:
             rows = rows[np.sort(first_idx)]
             total = len(rows)
 
+        tick("sort")
         count = int(total) if query.count else None
         if rows_only:
             # Board-intersection path: the caller consumes the ordered row
@@ -1024,9 +1052,10 @@ class Executor:
                                 extra[alias] = svals[ri]
                         if extra:
                             row["extra"] = extra
+        tick("page")
         metrics = SearchMetrics(
             compile_s=compile_s, execute_s=time.perf_counter() - t1,
-            path=engine_path,
+            path=engine_path, phases=phases,
         )
         return SearchResult(count=count, results=results, seed=seed, metrics=metrics)
 
