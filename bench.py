@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -474,18 +475,23 @@ def main() -> None:
     }
 
     def emit() -> None:
-        print(
-            json.dumps(
-                {
-                    "metric": "int8_search_qps_1M_512d",
-                    "value": round(qps, 1),
-                    "unit": "queries/s",
-                    "vs_baseline": round(qps / 5000.0, 3),
-                    "detail": detail,
-                }
-            ),
-            flush=True,
-        )
+        doc = {
+            "metric": "int8_search_qps_1M_512d",
+            "value": round(qps, 1),
+            "unit": "queries/s",
+            "vs_baseline": round(qps / 5000.0, 3),
+            "detail": detail,
+        }
+        print(json.dumps(doc), flush=True)
+        # Same document to docs/bench_latest.json — the source of truth
+        # tools/readme_sync_check.py diffs README's quoted numbers against
+        # (committed whenever README perf claims change).
+        try:
+            latest = Path(__file__).resolve().parent / "docs" / "bench_latest.json"
+            latest.write_text(json.dumps(doc, indent=1) + "\n")
+        except OSError as exc:
+            print(f"[bench] bench_latest.json not written: {exc}",
+                  file=sys.stderr)
 
     emit()
 
@@ -540,7 +546,7 @@ def main() -> None:
             from tools import or3_bench
 
             detail["or3_composition"] = or3_bench.run(
-                seq=16, thread_total=96, recall_queries=8,
+                seq=16, thread_total=128, recall_queries=8,
                 log=lambda *a: print(*a, file=sys.stderr),
             )
         except Exception as exc:  # noqa: BLE001

@@ -49,7 +49,19 @@ XMODAL_PREFIX = "t"  # the reference's `t`-sibling naming (vector_quants.rs:51)
 # Max queries merged into one coalesced device scan. Bounds both the
 # compile-cache footprint (Q buckets 1..8) and the identity fast path's
 # (Q, capacity) f32 HBM surface.
-SCAN_COALESCE_MAX = 8
+SCAN_COALESCE_MAX = 16
+
+
+def _prefetch_host(dev) -> None:
+    """Kick off the device→host copy at DISPATCH time: the transfer
+    handshake then overlaps the enqueued compute instead of starting
+    inside the later ``device_get`` (which only waits for completion).
+    Best-effort — backends without the hint just ignore it."""
+    try:
+        for leaf in dev if isinstance(dev, (tuple, list)) else (dev,):
+            leaf.copy_to_host_async()
+    except Exception:  # noqa: BLE001 — a hint, never load-bearing
+        pass
 
 
 class _ScanCoalescer:
@@ -94,6 +106,14 @@ class _ScanCoalescer:
     MAX_LEADER_ROUNDS = 2
 
     def run(self, key, payload, runner):
+        """``runner`` is either ``callable(payloads) -> results`` or a
+        ``(dispatch, collect)`` pair: ``dispatch(payloads) -> token``
+        enqueues the device work WITHOUT blocking (JAX dispatch is async)
+        and ``collect(token) -> results`` blocks on the readback. Two-phase
+        runners pipeline in the drain loop: batch N+1's scan is enqueued
+        before batch N's ~25 ms tunnel readback is collected, so device
+        compute overlaps the transfer — and the readback itself is the
+        dispatch window that lets co-arriving queries fill batch N+1."""
         from concurrent.futures import Future
 
         fut: Future = Future()
@@ -106,33 +126,72 @@ class _ScanCoalescer:
             self._drain(key, rounds_budget=self.MAX_LEADER_ROUNDS)
         return fut.result()
 
+    @staticmethod
+    def _finish(batch, token, collect) -> None:
+        try:
+            results = collect(token) if collect is not None else token
+        except BaseException as exc:  # noqa: BLE001 — waiters must wake
+            for _, f, _ in batch:
+                f.set_exception(exc)
+        else:
+            for (_, f, _), r in zip(batch, results):
+                f.set_result(r)
+
     def _drain(self, key, rounds_budget: int | None = None) -> None:
         """Drain loop: requests arriving while a batch executes join the
-        next batch. ``self._busy`` holds the key until a drain round finds
-        nothing pending — either here or in the handoff daemon. Each batch
-        runs its first entry's runner (same key ⇒ same compiled program)."""
+        next batch (at most SCAN_COALESCE_MAX per dispatch; the remainder
+        stays queued for the next round, which keeps every device program
+        at one of the two compiled buckets). ``self._busy`` holds the key
+        until a drain round finds nothing pending and nothing in flight —
+        either here or in the handoff daemon. Each batch runs its first
+        entry's runner (same key ⇒ same compiled program)."""
         rounds = 0
+        inflight = None  # (batch, token, collect) — dispatched, uncollected
         while True:
             with self._lock:
-                batch = self._pending.pop(key, None)
-                if not batch:
+                q = self._pending.get(key)
+                batch = None
+                if q:
+                    batch = q[:SCAN_COALESCE_MAX]
+                    rest = q[SCAN_COALESCE_MAX:]
+                    if rest:
+                        self._pending[key] = rest
+                    else:
+                        del self._pending[key]
+                    self.dispatches += 1
+                    self.queries += len(batch)
+                    if len(batch) > self.max_batch:
+                        self.max_batch = len(batch)
+                elif inflight is None:
                     self._busy.discard(key)
                     return
-                self.dispatches += 1
-                self.queries += len(batch)
-                if len(batch) > self.max_batch:
-                    self.max_batch = len(batch)
-            runner = batch[0][2]
-            try:
-                results = runner([p for p, _, _ in batch])
-            except BaseException as exc:  # noqa: BLE001 — waiters must wake
-                for _, f, _ in batch:
-                    f.set_exception(exc)
-            else:
-                for (_, f, _), r in zip(batch, results):
-                    f.set_result(r)
+            nxt = None
+            if batch is not None:
+                runner = batch[0][2]
+                dispatch, collect = (
+                    runner if isinstance(runner, tuple) else (runner, None)
+                )
+                try:
+                    token = dispatch([p for p, _, _ in batch])
+                except BaseException as exc:  # noqa: BLE001
+                    for _, f, _ in batch:
+                        f.set_exception(exc)
+                else:
+                    if collect is None:
+                        # One-phase runner: token IS the results.
+                        self._finish(batch, token, None)
+                    else:
+                        nxt = (batch, token, collect)
+            if inflight is not None:
+                self._finish(*inflight)
+            inflight = nxt
             rounds += 1
             if rounds_budget is not None and rounds >= rounds_budget:
+                if inflight is not None:
+                    # Never hand off an uncollected batch: its waiters'
+                    # futures resolve only through this frame.
+                    self._finish(*inflight)
+                    inflight = None
                 with self._lock:
                     if not self._pending.get(key):
                         self._busy.discard(key)
@@ -684,9 +743,16 @@ class Executor:
                 self._device_cache_bytes[key] = self._device_cache_bytes.pop(key)
                 return cached
         corpus = snap.codes if use_quant else snap.vectors
+        # ONE upload: sumsq computes from the device-resident copy in
+        # chunks (the unfused int8→int32 square transient is 8 B/element —
+        # 4 GiB at 1M×512). The old shape uploaded the corpus twice (once
+        # implicitly under row_sumsq, once for device_put) and read the
+        # sumsq back host-ward just to re-upload it — ~6 min of warm at
+        # 1M×512 over the serving tunnel.
+        dev_corpus = jax.device_put(corpus)
         arrays = {
-            "corpus": jax.device_put(corpus),
-            "sumsq": jax.device_put(np.asarray(scoring.row_sumsq(corpus))),
+            "corpus": dev_corpus,
+            "sumsq": scoring.row_sumsq_chunked(dev_corpus),
             "group_ids": jax.device_put(snap.group_ids),
             "weights": jax.device_put(snap.weights),
             # Unmasked queries reuse the device-resident validity instead of
@@ -900,8 +966,11 @@ class Executor:
 
         t1 = time.perf_counter()
         _last = t1
-        rows = np.flatnonzero(ctx)
-        total = len(rows)
+        # Membership count only — the full row list (flatnonzero allocates
+        # 8 MB at 1M, ~1.5 ms of GIL-held time per query) is materialized
+        # lazily: the fused path never needs it.
+        rows = None
+        total = int(np.count_nonzero(ctx))
         tick("members")
         extra_cols: dict[str, np.ndarray] = {}
         need_order = bool(query.results)
@@ -911,7 +980,9 @@ class Executor:
             if need_order and not query.partition_by:
                 from panoptikon_tpu.pql import fused as _fused
 
-                out = _fused.fused_page(self, query, base, state, ctx, seed)
+                out = _fused.fused_page(
+                    self, query, base, state, ctx, seed, total=total
+                )
                 tick("fused")
                 if out is not None:
                     fused_rows, extra_cols = out
@@ -938,12 +1009,15 @@ class Executor:
         elif need_order or (
             query.results and any(e.select_as for e in state.order_list)
         ):
+            rows = np.flatnonzero(ctx)
             order_keys, extra_cols = self._assemble_order(
                 query, base, state, ctx, seed
             )
         else:
             # Count-only requests never observe row order — skip the sort
             # entirely (the round-1 executor paid it unconditionally).
+            rows = np.flatnonzero(ctx) if (query.results or rows_only) else \
+                np.empty(0, np.int64)
             order_keys = []
         tick("order")
         if order_keys and need_order:
@@ -1870,18 +1944,15 @@ class Executor:
                        d.aggregation, kk_eff, largest)
                 vals, slots, fin = self._scan_coalescer.run(
                     key, q,
-                    lambda ps: self._coalesced_candidates(
-                        d, kk_eff, largest, ps
-                    ),
+                    self._coalesced_candidates(d, kk_eff, largest),
                 )
             else:
                 key = ("mcand", d.space, snap.generation, d.distance,
                        d.aggregation, kk_eff, largest)
                 vals, slots, fin = self._scan_coalescer.run(
                     key, (q, group_mask),
-                    lambda ps: self._coalesced_candidates(
-                        d, kk_eff, largest,
-                        [p[0] for p in ps], masks=[p[1] for p in ps],
+                    self._coalesced_candidates(
+                        d, kk_eff, largest, masked=True
                     ),
                 )
         else:
@@ -1987,43 +2058,55 @@ class Executor:
         return np.concatenate(chunk + [chunk[0]] * (bucket - b), axis=0)
 
     def _coalesced_candidates(
-        self, d, kk_eff: int, largest: bool, payloads, masks=None,
+        self, d, kk_eff: int, largest: bool, *, masked: bool = False,
     ):
-        """Coalescer runner: one (B, d) scan + top-kk + ONE readback for a
-        drained batch of concurrent queries. ``masks`` (per-payload
-        snapshot-group bool scopes) restrict each row's top-k on device."""
+        """Two-phase coalescer runner: one (B, d) scan + top-kk enqueued at
+        dispatch (async — the drain loop overlaps it with the previous
+        batch's readback), ONE readback at collect. Masked payloads carry
+        per-query snapshot-group bool scopes restricting each row's top-k
+        on device."""
         import jax
 
-        out = []
-        for s in range(0, len(payloads), SCAN_COALESCE_MAX):
-            chunk = payloads[s : s + SCAN_COALESCE_MAX]
-            qs = self._pad_batch(chunk)
-            dist, valid, packed_map = self._scan_surface_batched(d, qs)
-            if masks is None:
-                vals, slots, fin = jax.device_get(scoring.topk_of_scores(
-                    dist, valid, kk=kk_eff, largest=largest
-                ))
-            else:
-                mchunk = masks[s : s + SCAN_COALESCE_MAX]
-                m = np.stack(
-                    mchunk + [mchunk[0]] * (qs.shape[0] - len(chunk))
-                )
-                if packed_map is not None:
-                    m = np.where(
-                        packed_map[None, :] >= 0,
-                        m[:, np.clip(packed_map, 0, None)], False,
+        def dispatch(payloads):
+            toks = []
+            for s in range(0, len(payloads), SCAN_COALESCE_MAX):
+                chunk = payloads[s : s + SCAN_COALESCE_MAX]
+                if masked:
+                    qs = self._pad_batch([q for q, _ in chunk])
+                else:
+                    qs = self._pad_batch(chunk)
+                dist, valid, packed_map = self._scan_surface_batched(d, qs)
+                if not masked:
+                    dev = scoring.topk_of_scores(
+                        dist, valid, kk=kk_eff, largest=largest
                     )
-                vals, slots, fin = jax.device_get(
-                    scoring.masked_topk_of_scores(
+                else:
+                    mchunk = [m for _, m in chunk]
+                    m = np.stack(
+                        mchunk + [mchunk[0]] * (qs.shape[0] - len(chunk))
+                    )
+                    if packed_map is not None:
+                        m = np.where(
+                            packed_map[None, :] >= 0,
+                            m[:, np.clip(packed_map, 0, None)], False,
+                        )
+                    dev = scoring.masked_topk_of_scores(
                         dist, valid, m, kk=kk_eff, largest=largest
                     )
-                )
-            if packed_map is not None:
-                slots = packed_map[slots]  # packed global → snapshot slot
-            out.extend(
-                (vals[i], slots[i], fin[i]) for i in range(len(chunk))
-            )
-        return out
+                _prefetch_host(dev)
+                toks.append((dev, len(chunk), packed_map))
+            return toks
+
+        def collect(toks):
+            out = []
+            for dev, nc, packed_map in toks:
+                vals, slots, fin = jax.device_get(dev)
+                if packed_map is not None:
+                    slots = packed_map[slots]  # packed global → snapshot slot
+                out.extend((vals[i], slots[i], fin[i]) for i in range(nc))
+            return out
+
+        return dispatch, collect
 
     def _item_slot_lut(self, space: str, snap) -> tuple[np.ndarray, int]:
         """Dense item-id → group-slot LUT (−1 = absent), cached per
@@ -2077,8 +2160,7 @@ class Executor:
             padded = np.full(bucket, -1, dtype=np.int64)
             padded[:s] = slots
             vals, ok = self._scan_coalescer.run(
-                key, (q, padded),
-                lambda ps: self._coalesced_gather(d, bucket, ps),
+                key, (q, padded), self._coalesced_gather(d, bucket),
             )
             return vals[:s], ok[:s]
         dist, valid, packed_map = self._deferred_surface(d)
@@ -2096,25 +2178,35 @@ class Executor:
         vals, ok = jax.device_get(scoring.gather_of_scores(dist, valid, padded))
         return vals[0][:s], ok[0][:s]
 
-    def _coalesced_gather(self, d, bucket: int, payloads):
-        """Coalescer runner for scoped gathers: one (B, d) scan, each row
-        gathering its OWN padded slot set, ONE readback."""
+    def _coalesced_gather(self, d, bucket: int):
+        """Two-phase coalescer runner for scoped gathers: one (B, d) scan,
+        each row gathering its OWN padded slot set, enqueued at dispatch;
+        ONE readback at collect."""
         import jax
 
-        out = []
-        for s0 in range(0, len(payloads), SCAN_COALESCE_MAX):
-            chunk = payloads[s0 : s0 + SCAN_COALESCE_MAX]
-            qs = self._pad_batch([q for q, _ in chunk])
-            idx = np.stack(
-                [i for _, i in chunk]
-                + [chunk[0][1]] * (qs.shape[0] - len(chunk))
-            )
-            dist, valid, _packed_map = self._scan_surface_batched(d, qs)
-            vals, ok = jax.device_get(
-                scoring.gather_rows_of_scores(dist, valid, idx)
-            )
-            out.extend((vals[i], ok[i]) for i in range(len(chunk)))
-        return out
+        def dispatch(payloads):
+            toks = []
+            for s0 in range(0, len(payloads), SCAN_COALESCE_MAX):
+                chunk = payloads[s0 : s0 + SCAN_COALESCE_MAX]
+                qs = self._pad_batch([q for q, _ in chunk])
+                idx = np.stack(
+                    [i for _, i in chunk]
+                    + [chunk[0][1]] * (qs.shape[0] - len(chunk))
+                )
+                dist, valid, _packed_map = self._scan_surface_batched(d, qs)
+                dev = scoring.gather_rows_of_scores(dist, valid, idx)
+                _prefetch_host(dev)
+                toks.append((dev, len(chunk)))
+            return toks
+
+        def collect(toks):
+            out = []
+            for dev, nc in toks:
+                vals, ok = jax.device_get(dev)
+                out.extend((vals[i], ok[i]) for i in range(nc))
+            return out
+
+        return dispatch, collect
 
     def _rrf_item_index(self, d: DeferredScore, packed: bool, n_items: int):
         """Device-resident slot→item-id map for the rank join, cached per
@@ -2216,8 +2308,7 @@ class Executor:
         )
         ks = np.asarray([(e.rrf or pql.Rrf()).k for e in group], np.float32)
         cand, cand_ranks, t32 = self._scan_coalescer.run(
-            key, (qs, ws, ks),
-            lambda ps: self._coalesced_rrf_join(group, kk, n_items, ps),
+            key, (qs, ws, ks), self._coalesced_rrf_join(group, kk, n_items),
         )
         cand = cand.astype(np.int64)
         cand_ranks = cand_ranks.astype(np.float64)
@@ -2226,9 +2317,9 @@ class Executor:
         cand_ranks[cand_ranks >= float(int(fusion.RANK_MISSING))] = np.inf
         return cand, cand_ranks, t32
 
-    def _coalesced_rrf_join(self, group, kk: int, n_items: int, payloads):
-        """Coalescer runner: S batched (B, d_s) scans + one batched rank
-        join + ONE readback for a drained batch of composed queries.
+    def _coalesced_rrf_join(self, group, kk: int, n_items: int):
+        """Two-phase coalescer runner: S batched (B, d_s) scans + one
+        batched rank join enqueued at dispatch, ONE readback at collect.
         ``group`` supplies per-space snapshots (identical across the batch
         by key); each payload carries its own query codes and RRF params."""
         import jax
@@ -2236,38 +2327,48 @@ class Executor:
         from panoptikon_tpu.ops import fusion
 
         multi = jax.device_count() > 1
-        out = []
-        for s0 in range(0, len(payloads), SCAN_COALESCE_MAX):
-            chunk = payloads[s0 : s0 + SCAN_COALESCE_MAX]
-            surfs, valids, idxs, offs = [], [], [], []
-            for si, e in enumerate(group):
-                d = e.deferred
-                qb = self._pad_batch([p[0][si] for p in chunk])
-                dist, valid, _packed = self._scan_surface_batched(d, qb)
-                surfs.append(dist)
-                valids.append(valid)
-                idx_dev, off = self._rrf_item_index(d, multi, n_items)
-                idxs.append(idx_dev)
-                offs.append(off)
-            b = surfs[0].shape[0]
-            wb = np.stack(
-                [p[1] for p in chunk]
-                + [chunk[0][1]] * (b - len(chunk))
-            )
-            kb = np.stack(
-                [p[2] for p in chunk]
-                + [chunk[0][2]] * (b - len(chunk))
-            )
-            cand, cand_ranks, t32 = jax.device_get(
-                fusion.rank_join_topk_batch(
+
+        def dispatch(payloads):
+            toks = []
+            for s0 in range(0, len(payloads), SCAN_COALESCE_MAX):
+                chunk = payloads[s0 : s0 + SCAN_COALESCE_MAX]
+                surfs, valids, idxs, offs = [], [], [], []
+                for si, e in enumerate(group):
+                    d = e.deferred
+                    qb = self._pad_batch([p[0][si] for p in chunk])
+                    dist, valid, _packed = self._scan_surface_batched(d, qb)
+                    surfs.append(dist)
+                    valids.append(valid)
+                    idx_dev, off = self._rrf_item_index(d, multi, n_items)
+                    idxs.append(idx_dev)
+                    offs.append(off)
+                b = surfs[0].shape[0]
+                wb = np.stack(
+                    [p[1] for p in chunk]
+                    + [chunk[0][1]] * (b - len(chunk))
+                )
+                kb = np.stack(
+                    [p[2] for p in chunk]
+                    + [chunk[0][2]] * (b - len(chunk))
+                )
+                dev = fusion.rank_join_topk_batch(
                     tuple(surfs), tuple(valids), tuple(idxs), wb, kb,
                     kk=kk, n_items=n_items, contig_offsets=tuple(offs),
                 )
-            )
-            out.extend(
-                (cand[i], cand_ranks[i], t32[i]) for i in range(len(chunk))
-            )
-        return out
+                _prefetch_host(dev)
+                toks.append((dev, len(chunk)))
+            return toks
+
+        def collect(toks):
+            out = []
+            for dev, nc in toks:
+                cand, cand_ranks, t32 = jax.device_get(dev)
+                out.extend(
+                    (cand[i], cand_ranks[i], t32[i]) for i in range(nc)
+                )
+            return out
+
+        return dispatch, collect
 
     def _space_scores(
         self,

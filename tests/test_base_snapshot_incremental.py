@@ -247,10 +247,14 @@ class TestRefreshPerf:
         # The bar guards the ALGORITHM (no O(corpus) rebuild), not this
         # box's scheduler. Two ways to pass, either suffices:
         #  (a) absolute: best-of-3 refresh < 50 ms, or
-        #  (b) relative (load-invariant): refresh < 30% of a COLD full
-        #      rebuild measured back-to-back under the same load — a
-        #      delta path that secretly rebuilds the corpus can't win
-        #      a 3.3x race against the rebuild it is performing.
+        #  (b) relative (load-invariant): refresh < 10% of a COLD full
+        #      rebuild, best-of-2 measured back-to-back under the same
+        #      load — a true O(delta + isin) refresh at this scale is
+        #      ~1000x faster than a rebuild, so 10x leaves headroom while
+        #      an O(corpus) refresh (e.g. one that skips only the SQL
+        #      fetch) cannot win a 10x race against the rebuild it is
+        #      secretly performing; best-of-2 keeps one scheduler spike
+        #      during the rebuild from inflating the denominator.
         best, snap1, applied = float("inf"), None, 0
         for attempt in range(3):
             writer.call(
@@ -272,14 +276,16 @@ class TestRefreshPerf:
         assert snap1.n == n + applied
         assert int(snap1.live.sum()) == n
         if best >= 0.050:
-            t0 = time.perf_counter()
-            cold = Executor(db, NoIndex()).base_snapshot("file")
-            rebuild = time.perf_counter() - t0
-            assert cold.n == n  # cold rebuild has no tombstones
-            assert best < 0.30 * rebuild, (
+            rebuild = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cold = Executor(db, NoIndex()).base_snapshot("file")
+                rebuild = min(rebuild, time.perf_counter() - t0)
+                assert cold.n == n  # cold rebuild has no tombstones
+            assert best < 0.10 * rebuild, (
                 f"refresh took {best * 1e3:.1f} ms (best of 3) vs full "
-                f"rebuild {rebuild * 1e3:.1f} ms — delta path is not "
-                f"sub-linear in the corpus"
+                f"rebuild {rebuild * 1e3:.1f} ms (best of 2) — delta path "
+                f"is not sub-linear in the corpus"
             )
 
 

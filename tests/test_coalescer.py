@@ -102,6 +102,127 @@ class TestCoalescerUnit:
             assert r == (("a" if i % 2 else "b"), i)
 
 
+class TestTwoPhasePipelining:
+    """(dispatch, collect) runners: the drain loop enqueues batch N+1's
+    dispatch BEFORE collecting batch N (device compute overlaps the
+    readback), batches cap at SCAN_COALESCE_MAX, and failures in either
+    phase wake exactly that batch's waiters."""
+
+    def test_two_phase_results_and_overlap(self):
+        from panoptikon_tpu.pql.executor import SCAN_COALESCE_MAX
+
+        co = _ScanCoalescer()
+        nthreads = SCAN_COALESCE_MAX + 4  # forces ≥2 batches
+        barrier = threading.Barrier(nthreads)
+        events = []
+        ev_lock = threading.Lock()
+
+        def dispatch(payloads):
+            with ev_lock:
+                events.append(("dispatch", tuple(payloads)))
+            return [p * 10 for p in payloads]
+
+        def collect(token):
+            with ev_lock:
+                events.append(("collect", tuple(token)))
+            return token
+
+        def worker(i):
+            barrier.wait()
+            return co.run("k", i, (dispatch, collect))
+
+        with ThreadPoolExecutor(max_workers=nthreads) as pool:
+            out = list(pool.map(worker, range(nthreads)))
+        assert out == [i * 10 for i in range(nthreads)]
+        dispatches = [e for e in events if e[0] == "dispatch"]
+        assert all(len(e[1]) <= SCAN_COALESCE_MAX for e in dispatches)
+        assert sum(len(e[1]) for e in dispatches) == nthreads
+
+    def test_second_dispatch_precedes_first_collect(self):
+        """Deterministic overlap check: with two batches already queued,
+        the drain loop must enqueue batch 2's dispatch BEFORE blocking on
+        batch 1's collect (d, d, c, c — device compute overlaps the
+        readback)."""
+        from concurrent.futures import Future
+
+        from panoptikon_tpu.pql.executor import SCAN_COALESCE_MAX
+
+        co = _ScanCoalescer()
+        events = []
+
+        def dispatch(payloads):
+            events.append(("d", len(payloads)))
+            return payloads
+
+        def collect(token):
+            events.append(("c", len(token)))
+            return list(token)
+
+        runner = (dispatch, collect)
+        n = SCAN_COALESCE_MAX + 3  # two batches: MAX + 3
+        futs = [Future() for _ in range(n)]
+        with co._lock:
+            co._pending["k"] = [(i, futs[i], runner) for i in range(n)]
+            co._busy.add("k")
+        co._drain("k")
+        assert [f.result(timeout=5) for f in futs] == list(range(n))
+        assert [e[0] for e in events] == ["d", "d", "c", "c"]
+        assert events[0][1] == SCAN_COALESCE_MAX and events[1][1] == 3
+
+    def test_dispatch_exception_wakes_batch_and_frees_key(self):
+        co = _ScanCoalescer()
+
+        def dispatch(payloads):
+            raise RuntimeError("enqueue failed")
+
+        def collect(token):  # pragma: no cover — dispatch always raises
+            return token
+
+        try:
+            co.run("k", 1, (dispatch, collect))
+            raise AssertionError("expected RuntimeError")
+        except RuntimeError as exc:
+            assert "enqueue failed" in str(exc)
+        # Key released: a later one-phase run still works.
+        assert co.run("k", 7, lambda ps: [p + 1 for p in ps]) == 8
+
+    def test_collect_exception_wakes_batch_and_frees_key(self):
+        co = _ScanCoalescer()
+
+        def dispatch(payloads):
+            return payloads
+
+        def collect(token):
+            raise RuntimeError("readback failed")
+
+        try:
+            co.run("k", 1, (dispatch, collect))
+            raise AssertionError("expected RuntimeError")
+        except RuntimeError as exc:
+            assert "readback failed" in str(exc)
+        assert co.run("k", 7, lambda ps: [p + 1 for p in ps]) == 8
+
+    def test_inflight_collected_before_leader_handoff(self):
+        """A two-phase batch dispatched by the leader must be collected by
+        the SAME frame even when the round budget expires — an uncollected
+        token handed to the daemon would strand its waiters."""
+        co = _ScanCoalescer()
+        co_events = []
+
+        def dispatch(payloads):
+            co_events.append("d")
+            return payloads
+
+        def collect(token):
+            co_events.append("c")
+            return list(token)
+
+        # Sequential runs: every run's future must resolve (no strand).
+        for i in range(5):
+            assert co.run("k", i, (dispatch, collect)) == i
+        assert co_events.count("d") == co_events.count("c") == 5
+
+
 class TestExecutorCoalescing:
     def test_concurrent_quant_queries_match_solo(self):
         ex, rng = build_executor(n_items=600, dim=16, seed=3)

@@ -151,8 +151,8 @@ def _device_space(jax, jnp, codec, scoring, *, n, d, seed, recall_queries,
     return codes, sumsq, scale, recall
 
 
-def run(n1=4_000_000, n2=2_000_000, n3=1_000_000, seq=24, threads=8,
-        thread_total=96, recall_queries=32, log=print) -> dict:
+def run(n1=4_000_000, n2=2_000_000, n3=1_000_000, seq=24, threads=16,
+        thread_total=128, recall_queries=32, log=print) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -260,11 +260,12 @@ def run(n1=4_000_000, n2=2_000_000, n3=1_000_000, seq=24, threads=8,
         lats[min(len(lats) - 1, int(len(lats) * 0.95))] * 1e3, 2
     )
 
-    # Concurrent warm: the coalescer's batched (B=8) scan + rank-join
-    # programs compile on the first drained batch — pay that before the
-    # timed round (production pays it once per space-group geometry).
+    # Concurrent warm: the coalescer's batched (SCAN_COALESCE_MAX) scan +
+    # rank-join programs compile on the first drained batch — pay that
+    # before the timed round (production pays it once per space-group
+    # geometry).
     for _ in range(2):
-        wq = [pql.PqlQuery.from_json(payload()) for _ in range(8)]
+        wq = [pql.PqlQuery.from_json(payload()) for _ in range(threads)]
         wt = [threading.Thread(target=ex.execute, args=(q,)) for q in wq]
         for t in wt:
             t.start()
