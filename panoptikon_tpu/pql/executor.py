@@ -87,6 +87,13 @@ class _ScanCoalescer:
         self.dispatches = 0
         self.queries = 0
         self.max_batch = 0
+        # Wall seconds inside the two phases, accumulated per batch:
+        # dispatch_s is host enqueue cost (trace + transfer handshake —
+        # JAX dispatch is async, device compute is NOT in here) and
+        # collect_s is the blocking readback. Their ratio tells whether
+        # served latency is host-bound or transfer-bound.
+        self.dispatch_s = 0.0
+        self.collect_s = 0.0
 
     def stats(self) -> dict:
         with self._lock:
@@ -97,6 +104,8 @@ class _ScanCoalescer:
                 "mean_batch": round(
                     self.queries / self.dispatches, 3
                 ) if self.dispatches else 0.0,
+                "dispatch_ms_total": round(self.dispatch_s * 1e3, 1),
+                "collect_ms_total": round(self.collect_s * 1e3, 1),
             }
 
     # The leading request thread drains at most this many batches (its own
@@ -126,8 +135,8 @@ class _ScanCoalescer:
             self._drain(key, rounds_budget=self.MAX_LEADER_ROUNDS)
         return fut.result()
 
-    @staticmethod
-    def _finish(batch, token, collect) -> None:
+    def _finish(self, batch, token, collect) -> None:
+        t0 = time.perf_counter()
         try:
             results = collect(token) if collect is not None else token
         except BaseException as exc:  # noqa: BLE001 — waiters must wake
@@ -136,6 +145,8 @@ class _ScanCoalescer:
         else:
             for (_, f, _), r in zip(batch, results):
                 f.set_result(r)
+        if collect is not None:
+            self.collect_s += time.perf_counter() - t0
 
     def _drain(self, key, rounds_budget: int | None = None) -> None:
         """Drain loop: requests arriving while a batch executes join the
@@ -171,12 +182,14 @@ class _ScanCoalescer:
                 dispatch, collect = (
                     runner if isinstance(runner, tuple) else (runner, None)
                 )
+                t0 = time.perf_counter()
                 try:
                     token = dispatch([p for p, _, _ in batch])
                 except BaseException as exc:  # noqa: BLE001
                     for _, f, _ in batch:
                         f.set_exception(exc)
                 else:
+                    self.dispatch_s += time.perf_counter() - t0
                     if collect is None:
                         # One-phase runner: token IS the results.
                         self._finish(batch, token, None)

@@ -283,6 +283,7 @@ def run(n1=4_000_000, n2=2_000_000, n3=1_000_000, seq=24, threads=16,
             errs.append(exc)
 
     parts = [payloads[i::threads] for i in range(threads)]
+    co0 = ex._scan_coalescer.stats()
     t0 = time.perf_counter()
     ts = [threading.Thread(target=drive, args=(p,)) for p in parts]
     for t in ts:
@@ -291,7 +292,33 @@ def run(n1=4_000_000, n2=2_000_000, n3=1_000_000, seq=24, threads=16,
         t.join()
     if errs:
         raise errs[0]
-    out["or3_qps"] = round(thread_total / (time.perf_counter() - t0), 1)
+    wall = time.perf_counter() - t0
+    out["or3_qps"] = round(thread_total / wall, 1)
+    # Phase breakdown (VERDICT r4 ask #3): the coalescer accumulates wall
+    # time in its two phases per drained batch. dispatch = host enqueue of
+    # the 3 batched scans + rank join (device compute is async under it);
+    # collect = the blocking candidate readback; the remainder of the wall
+    # is host compose (RRF re-rank over candidates, page assembly) + queue
+    # wait inside ex.execute.
+    co1 = ex._scan_coalescer.stats()
+    co = {
+        "dispatches": co1["dispatches"] - co0["dispatches"],
+        "queries": co1["queries"] - co0["queries"],
+        "max_batch": co1["max_batch"],
+    }
+    co["mean_batch"] = round(co["queries"] / co["dispatches"], 2) \
+        if co["dispatches"] else 0.0
+    out["coalescer"] = co
+    disp_ms = round(co1["dispatch_ms_total"] - co0["dispatch_ms_total"], 1)
+    coll_ms = round(co1["collect_ms_total"] - co0["collect_ms_total"], 1)
+    out["breakdown_ms"] = {
+        "wall_total": round(wall * 1e3, 1),
+        "dispatch_total": disp_ms,
+        "collect_total": coll_ms,
+        "host_and_wait_total": round(
+            max(0.0, wall * 1e3 - disp_ms - coll_ms), 1
+        ),
+    }
     out["hbm_codes_gb"] = round(
         sum(n * d for n, d, _ in dims.values()) / 2**30, 2
     )
