@@ -44,6 +44,15 @@ F32 = np.float32
 # Candidate-list sizes tried in order; escalation re-fetches every entry at
 # the next size when the proof fails for lack of coverage.
 KK_BUCKETS = (1024, 8192)
+
+# Shallow pages (need <= SHALLOW_NEED) first try a SHALLOW_KK-candidate
+# fetch: the serving tunnel reads back at ~11 MB/s, so a 16-query batch at
+# kk=1024 ships ~140 KB (~13 ms) of candidates for pages that certify off
+# the top dozen rows. kk=128 cuts that 8x; the escalation loop below
+# retries at the larger buckets whenever the boundary proof fails, so the
+# small bucket is a latency optimization, never a correctness trade.
+SHALLOW_KK = 128
+SHALLOW_NEED = 32
 # Pages deeper than this go to the full path (candidate lists would exceed
 # any sensible readback budget).
 MAX_NEED = 20_000
@@ -362,7 +371,10 @@ def fused_page(ex, query, base, state, ctx, seed, total=None):
         e.deferred.snap.num_groups for e in group if e.deferred is not None
     ]
     entry_cache: dict = {}
-    for kk in KK_BUCKETS:
+    buckets = (
+        (SHALLOW_KK,) + KK_BUCKETS if need <= SHALLOW_NEED else KK_BUCKETS
+    )
+    for kk in buckets:
         out = _attempt(
             ex, query, base, state, ctx, group, specs, gtype, desc_key,
             need, total, kk, rest_keys, entry_cache=entry_cache,

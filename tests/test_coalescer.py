@@ -9,6 +9,7 @@ against sequential (coalescing-off) baselines.
 """
 
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -139,10 +140,10 @@ class TestTwoPhasePipelining:
         assert sum(len(e[1]) for e in dispatches) == nthreads
 
     def test_second_dispatch_precedes_first_collect(self):
-        """Deterministic overlap check: with two batches already queued,
-        the drain loop must enqueue batch 2's dispatch BEFORE blocking on
-        batch 1's collect (d, d, c, c — device compute overlaps the
-        readback)."""
+        """Deterministic overlap check: with batches already queued, the
+        drain loop enqueues every dispatch (up to PIPELINE_DEPTH) BEFORE
+        blocking on the first collect — device compute overlaps the
+        readback (see _ScanCoalescer._drain)."""
         from concurrent.futures import Future
 
         from panoptikon_tpu.pql.executor import SCAN_COALESCE_MAX
@@ -159,15 +160,21 @@ class TestTwoPhasePipelining:
             return list(token)
 
         runner = (dispatch, collect)
-        n = SCAN_COALESCE_MAX + 3  # two batches: MAX + 3
+        n = 2 * SCAN_COALESCE_MAX + 3  # three batches: MAX, MAX, 3
         futs = [Future() for _ in range(n)]
         with co._lock:
             co._pending["k"] = [(i, futs[i], runner) for i in range(n)]
             co._busy.add("k")
         co._drain("k")
         assert [f.result(timeout=5) for f in futs] == list(range(n))
-        assert [e[0] for e in events] == ["d", "d", "c", "c"]
-        assert events[0][1] == SCAN_COALESCE_MAX and events[1][1] == 3
+        assert events == [
+            ("d", SCAN_COALESCE_MAX),  # full batch 1
+            ("d", SCAN_COALESCE_MAX),  # full batch 2 overlaps 1's readback
+            ("c", SCAN_COALESCE_MAX),  # partial queue: collect-first
+            ("d", 3),                  # remainder dispatches after
+            ("c", SCAN_COALESCE_MAX),
+            ("c", 3),
+        ]
 
     def test_dispatch_exception_wakes_batch_and_frees_key(self):
         co = _ScanCoalescer()
@@ -221,6 +228,54 @@ class TestTwoPhasePipelining:
         for i in range(5):
             assert co.run("k", i, (dispatch, collect)) == i
         assert co_events.count("d") == co_events.count("c") == 5
+
+    def test_closed_loop_clients_merge_into_full_batches(self):
+        """16 closed-loop clients (each re-issuing the moment its result
+        lands, like concurrent HTTP searchers) must converge to wide
+        batches: each collect readback is the accumulation window during
+        which the previously-freed cohort re-arrives. The old
+        dispatch-eager loop fragmented this workload into mean batches of
+        ~2-5; the work-conserving policy settles at the half-cohort
+        ping-pong (~8) or better."""
+        import threading as _t
+
+        from panoptikon_tpu.pql.executor import SCAN_COALESCE_MAX
+
+        co = _ScanCoalescer()
+
+        def dispatch(payloads):
+            return payloads
+
+        def collect(token):
+            time.sleep(0.005)  # modeled tunnel readback
+            return list(token)
+
+        runner = (dispatch, collect)
+        stop = _t.Event()
+        errors: list = []
+
+        def client(cid):
+            i = 0
+            while not stop.is_set():
+                try:
+                    assert co.run("k", (cid, i), runner) == (cid, i)
+                except Exception as exc:  # noqa: BLE001
+                    errors.append(exc)
+                    return
+                i += 1
+
+        threads = [_t.Thread(target=client, args=(c,)) for c in range(16)]
+        for t in threads:
+            t.start()
+        time.sleep(1.0)
+        stop.set()
+        for t in threads:
+            t.join(10)
+        assert not errors, errors[:1]
+        stats = co.stats()
+        assert stats["queries"] > 200, stats
+        assert stats["mean_batch"] >= 6.0, stats
+        assert stats["max_batch"] <= SCAN_COALESCE_MAX
 
 
 class TestExecutorCoalescing:

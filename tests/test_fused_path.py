@@ -513,6 +513,83 @@ class TestMetricsPath:
         assert len(r.results)  # gt=-100 excludes nothing
 
 
+class TestShallowKkBucket:
+    """Shallow pages (need <= SHALLOW_NEED) must try the SHALLOW_KK
+    candidate fetch FIRST (an ~8x readback cut on the serving tunnel) and
+    escalate through KK_BUCKETS when the boundary proof fails — never a
+    correctness trade (run_both asserts fused == full either way)."""
+
+    def test_shallow_page_attempts_small_bucket_first(
+        self, ex_rng, monkeypatch,
+    ):
+        ex, rng = ex_rng
+        seen = []
+        real = fused._attempt
+
+        def spy(ex_, query, base, state, ctx, group, specs, gtype,
+                desc_key, need, total, kk, rest_keys, entry_cache=None):
+            seen.append(kk)
+            return real(ex_, query, base, state, ctx, group, specs, gtype,
+                        desc_key, need, total, kk, rest_keys,
+                        entry_cache=entry_cache)
+
+        monkeypatch.setattr(fused, "_attempt", spy)
+        payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "quant"}},
+            "page_size": 10,
+        }
+        run_both(ex, payload)
+        assert seen and seen[0] == fused.SHALLOW_KK
+
+    def test_deep_page_skips_small_bucket(self, ex_rng, monkeypatch):
+        ex, rng = ex_rng
+        seen = []
+        real = fused._attempt
+
+        def spy(*a, **k):
+            seen.append(a[11])  # kk positional
+            return real(*a, **k)
+
+        monkeypatch.setattr(fused, "_attempt", spy)
+        payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "quant"}},
+            "page_size": 100,  # need > SHALLOW_NEED
+        }
+        run_both(ex, payload)
+        assert seen and seen[0] == fused.KK_BUCKETS[0]
+
+    def test_escalation_from_shallow_is_exact(self, ex_rng, monkeypatch):
+        """Force the shallow attempt to report INSUFFICIENT: the loop must
+        escalate and the escalated page must still equal the full path."""
+        ex, rng = ex_rng
+        real = fused._attempt
+        seen = []
+
+        def flaky(ex_, query, base, state, ctx, group, specs, gtype,
+                  desc_key, need, total, kk, rest_keys, entry_cache=None):
+            seen.append(kk)
+            if kk == fused.SHALLOW_KK:
+                return fused._INSUFFICIENT
+            return real(ex_, query, base, state, ctx, group, specs, gtype,
+                        desc_key, need, total, kk, rest_keys,
+                        entry_cache=entry_cache)
+
+        monkeypatch.setattr(fused, "_attempt", flaky)
+        payload = {
+            "query": {"text_embeddings": {
+                "query": b64(q_of(rng)), "model": "m", "embed": None,
+                "index": "quant"}},
+            "page_size": 10,
+        }
+        r_fused, _ = run_both(ex, payload)
+        assert seen[:2] == [fused.SHALLOW_KK, fused.KK_BUCKETS[0]]
+        assert len(r_fused.results) == 10
+
+
 class TestSelectAsParity:
     def test_alias_omitted_for_items_absent_from_space(self, ex_mono,
                                                        small_kk):
